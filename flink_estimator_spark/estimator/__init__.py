@@ -1,1 +1,2 @@
-from .calculus import Scenario, estimate_scenario  # noqa: F401
+from .calculus import Scenario, estimate_scenario, validate_scenario  # noqa: F401
+from .engine import estimate_df, normalize, scenario_schema, validate  # noqa: F401

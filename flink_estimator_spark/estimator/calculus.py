@@ -495,7 +495,11 @@ def scaling_recommendations(s: Scenario, tm_total_cpus: int) -> dict:
 def estimate_scenario(s: Scenario) -> dict:
     """End-to-end estimation for one scenario — the pure-Python oracle
     mirroring the reference orchestrator (estimation.py:284-405).  Returns the
-    nested result as plain dicts (None on placement error, with ``error``)."""
+    nested result as plain dicts (on validation/placement failure only the
+    ``error`` key is populated, mirroring the reference's HTTP 400/500)."""
+    errs = validate_scenario(s)
+    if errs:
+        return {"error": "; ".join(errs)}
     s = normalize_scenario(s)
     core = sizing_core(s)
     if core.error is not None:
