@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``     — flagship: the vectorized Plane-A estimation engine
+  run over the five BASELINE.md golden scenarios (plus the synthetic tables'
+  own workload profile), returning the nested EstimationResult rows.
+- ``queries()``        — the declared Plane-B operator inventory
+  (flink_estimator_spark.plans.registry; one entry per operator from
+  SURVEY.md §2.2 + the LLM-pipeline extensions).
+- ``oracle_sql()``     — DuckDB-equivalent SQL for every SQL-expressible
+  query (rows-only operators omit theirs).
 """
 
 from __future__ import annotations
@@ -15,24 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: estimate the golden scenario corpus in one DataFrame pass."""
+    from flink_estimator_spark.estimator import Scenario, estimate_df, scenario_schema
+    from tests.scenarios import GOLDEN
+
+    rows = []
+    for kw in GOLDEN:
+        s = Scenario(**kw)
+        rows.append(tuple(getattr(s, f.name) for f in scenario_schema.fields))
+    df = spark.createDataFrame(rows, scenario_schema)
+    return estimate_df(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from flink_estimator_spark.plans import get_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flink_estimator_spark.plans import get_oracle_sql
+
+    return get_oracle_sql()

@@ -1,0 +1,338 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each a composition of built-in DataFrame ops (no row-at-a-time
+Python anywhere):
+
+* **exact** — hash-groupBy on a normalized content fingerprint;
+* **n-gram Jaccard** — word-shingle explode -> distinct -> self-join on
+  shingle -> pair-wise Jaccard (exact, DuckDB-oracle'd);
+* **MinHash + LSH** — per-doc signature of K minimum ``xxhash64`` values,
+  banded into B buckets; candidate pairs only ever meet inside a bucket, so
+  the shuffle is bounded by bucket width, not corpus size (the 100 TB path);
+* **SimHash** — 48-bit sign-aggregated token-hash fingerprint with banded
+  Hamming candidate generation.
+
+Scale notes: every stage is explode -> groupBy/join on well-distributed hash
+keys; skew only appears for pathological shingles (e.g. boilerplate), which
+the ``max_shingle_freq`` guard drops — the standard trick in web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans._helpers import t
+from ..plans.registry import query
+from .textstats import fingerprint
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: lowest id per normalized-content fingerprint."""
+    return (
+        df.groupBy(fingerprint(text_col).alias("fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingle_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built entirely from array functions: split -> sliding transform -> explode.
+    ``max_shingle_freq`` drops boilerplate shingles that would otherwise make
+    the self-join quadratic on a hot key.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.size(words) - F.lit(n - 1)  # number of n-grams (may be <= 0)
+    grams = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count("*").alias("df_"))
+        out = (
+            out.join(freq, "shingle")
+            .filter(F.col("df_") <= max_shingle_freq)
+            .drop("df_")
+        )
+    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, sim >= thr).
+
+    intersection via shingle self-join; |A| and |B| via per-doc counts;
+    jaccard = inter / (|A| + |B| - inter) — all integer arithmetic until the
+    final division, so it hash-matches any engine.
+    """
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """K-function MinHash signature per doc: h_i = min(xxhash64(shingle, i)).
+
+    One hash-aggregate produces all K mins — a single shuffle on the doc id.
+    """
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs agreeing on all rows of >= 1 band.
+
+    Pipeline: shingle -> K-min signature -> band keys -> explode -> groupBy
+    band bucket -> in-bucket pairs.  Candidate generation never compares
+    cross-bucket docs, so cost is sum(bucket^2), not corpus^2.  Output adds
+    the estimated Jaccard (fraction of agreeing minhashes).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(shingle_df(df, id_col, text_col, n), id_col, num_hashes)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sig.withColumn("bk", F.explode(band_keys)).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *[
+            F.col(f"h{i}") for i in range(num_hashes)
+        ]
+    )
+    left = exploded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    right = exploded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48  # keep below the sign bit so the fingerprint packs into a long
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per-bit sign of summed token-hash bits.
+
+    explode tokens -> one aggregate with 48 conditional sums -> pack bits.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    )
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: equal band of the simhash (Hamming-LSH) then exact
+    Hamming distance via bit_count(xor)."""
+    width = SIMHASH_BITS // bands
+    sig = simhash(df, id_col, text_col)
+    banded = sig.withColumn(
+        "bk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    ).select(F.col(id_col), "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact_docs",
+    oracle=r"""
+        SELECT count(*) AS n_unique,
+               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+               sum(n_copies) AS n_docs
+        FROM (
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        )
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact-dedup summary: unique contents, duplicate groups, total docs."""
+    d = exact_dedup(t(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum("n_copies").alias("n_docs"),
+    )
+
+
+@query(
+    "q_dedup_jaccard_pairs",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 5-gram Jaccard near-duplicate pairs (threshold 0.5)."""
+    return jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are engine-specific -> rows-only check
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs with estimated Jaccard (16 hashes, 4
+    bands).  Deterministic (xxhash64 is seeded), but not SQL-portable."""
+    return lsh_candidate_pairs(t(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint -> rows-only check
+    tags=("llm", "dedup", "simhash"),
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates with exact Hamming distance <= 6."""
+    return (
+        simhash_candidates(t(spark, sf_dir, "documents"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    )

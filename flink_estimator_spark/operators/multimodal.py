@@ -1,0 +1,102 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stand-in (length + digest features); everything around it —
+binary columns, schema, Arrow batch shape, ``mapInPandas`` plumbing,
+partitioning — is the real production path.  Swap ``_fake_decode`` for a
+PIL/libav call and nothing else changes.
+
+Scale notes: ``mapInPandas`` streams Arrow batches, so blob columns never
+materialize on the driver; feature extraction is embarrassingly parallel and
+partition-local (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_source", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Fixture adapter: treat document text bytes as opaque media payloads
+    (the driver tables carry no real binary columns)."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/fake-image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("meta_source"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real decoder.  A real deployment would
+    raise NotImplementedError or call PIL/libav here; the fake keeps the
+    pipeline testable and oracle-checkable."""
+    digest = hashlib.md5(payload).hexdigest()
+    n = len(payload)
+    # fake "dimensions" derived from the digest so they are reproducible
+    width = int(digest[:4], 16) % 1920 + 1
+    height = int(digest[4:8], 16) % 1080 + 1
+    return {"n_bytes": n, "digest": digest, "width": width, "height": height}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched, partition-local)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+        WHERE doc_id < 100
+        ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the mapInPandas decode path
+    (digest/length features are deterministic, so DuckDB can oracle them)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = extract_features(documents_as_media(docs))
+    return feats.select("media_id", "n_bytes", "digest").orderBy("media_id")

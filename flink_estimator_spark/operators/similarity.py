@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast of the query set against a
+full scan of the candidates (linear in corpus size, the exact answer).
+Scale path: random-hyperplane LSH bucketing — candidates are only compared
+inside their bucket, turning O(Q x N) into O(Q x bucket).
+
+All arithmetic uses built-in higher-order functions (``zip_with`` +
+``aggregate``) — a strict left-to-right fold in DOUBLE, which both Spark and
+the DuckDB oracle (list_dot_product over DOUBLE[]) evaluate identically, so
+cosine values hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast queries x scan candidates ->
+    per-query ranked window.  (query_id, neighbor_id, cos_sim, rk)."""
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def _projection_planes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from random hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        s = dot(vec, lit_plane)
+        bucket = bucket + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann(
+    df: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors: compare only vectors sharing a sign-LSH
+    bucket.  Deterministic given the seed (no oracle: approximation is
+    engine-specific by construction)."""
+    pl = _projection_planes(dim, planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), pl).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (exact)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    "  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "q_emb_cosine_topk",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cos_sim, rk FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_COS_SQL} DESC, a.vec_id) AS rk
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+        )
+        WHERE rk <= 5
+        ORDER BY query_id, rk
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_emb_cosine_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the first 10 vectors (brute force)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(q, emb, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "q_emb_label_knn",
+    oracle=f"""
+        SELECT label, count(*) AS n_hits FROM (
+            SELECT b.vec_id, a.label,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_COS_SQL} DESC, a.vec_id) AS rk
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id < 50 AND a.vec_id != b.vec_id
+        )
+        WHERE rk = 1
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("llm", "similarity", "knn"),
+)
+def q_emb_label_knn(spark, sf_dir):
+    """1-NN label distribution for the first 50 vectors (similarity join +
+    argmax window)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    nn = cosine_topk(q, emb, k=1)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    return (
+        nn.join(labels, "neighbor_id")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_emb_lsh_ann",
+    oracle=None,  # approximate by construction -> rows-only check
+    tags=("llm", "similarity", "lsh", "ann"),
+)
+def q_emb_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-5 neighbors (8 hyperplanes, seed 42)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann(emb, k=5).orderBy("query_id", "rk")

@@ -1,0 +1,216 @@
+"""Text-analysis operators for LLM training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side, codegen) —
+no Python UDFs — so these scale to 100 TB document corpora limited only by
+scan + one aggregation shuffle.  Every operator doubles as a registered query
+with a DuckDB oracle (identical expression semantics in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+# Tiny stopword inventories for the language heuristic.  The guess is a
+# deterministic rule (most stopword hits; ties resolved in list order), so the
+# SQL oracle reproduces it exactly — on real corpora swap in real lexicons.
+_LANG_STOPWORDS = {
+    "en": r"\b(the|a|and|of|to|in|is|it)\b",
+    "es": r"\b(el|la|de|que|y|en|un|es)\b",
+    "de": r"\b(der|die|das|und|ist|von|ein|zu)\b",
+    "fr": r"\b(le|la|les|de|et|un|une|est)\b",
+}
+
+TOKEN_RE = r"\s+"
+WORD_RE = r"[A-Za-z0-9']+"
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (JVM-side regexp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), TOKEN_RE)).cast("long")
+
+
+def word_count(col: str | Column) -> Column:
+    """BPE-ish word-token count via regexp extraction."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(WORD_RE)).cast("long")
+
+
+def stopword_hits(col: str | Column, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(_LANG_STOPWORDS[lang])).cast("long")
+
+
+def quality_columns(col: str = "text") -> dict[str, Column]:
+    """Quality-score feature columns: length, token stats, char-class ratios,
+    stopword density — the usual cheap pre-filter for LLM data curation."""
+    c = F.col(col)
+    n_chars = F.length(c).cast("long")
+    n_tokens = token_count(c)
+    n_words = word_count(c)
+    n_spaces = (n_chars - F.length(F.regexp_replace(c, r"\s", ""))).cast("long")
+    n_alpha = (n_chars - F.length(F.regexp_replace(c, r"[A-Za-z]", ""))).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "space_ratio": n_spaces.cast("double") / n_chars.cast("double"),
+        "alpha_ratio": n_alpha.cast("double") / n_chars.cast("double"),
+        "avg_token_len": (n_chars - n_spaces).cast("double") / n_tokens.cast("double"),
+        "stopword_ratio": stopword_hits(c).cast("double") / n_tokens.cast("double"),
+    }
+
+
+def lang_guess(col: str = "text") -> Column:
+    """Deterministic stopword-vote language guess (ties -> lexicon order)."""
+    hits = {lang: stopword_hits(col, lang) for lang in _LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("unknown")
+    for lang in reversed(list(_LANG_STOPWORDS)):  # earlier lexicons win ties
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Content fingerprint: md5 of the lower-cased, whitespace-collapsed text
+    (the exact-dedup key)."""
+    c = F.col(col)
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns to a document DataFrame."""
+    out = df
+    for name, expr in quality_columns(col).items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("lang_guess", lang_guess(col)).withColumn(
+        "fingerprint", fingerprint(col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (DuckDB-oracle'd)
+# ---------------------------------------------------------------------------
+
+_SQL_NTOK = r"len(string_split_regex(trim(text), '\s+'))"
+_SQL_EN_HITS = r"len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))"
+
+
+@query(
+    "q_text_token_stats",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CAST({_SQL_NTOK} AS BIGINT)) AS total_tokens,
+               CAST(sum(CAST({_SQL_NTOK} AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def q_text_token_stats(spark, sf_dir):
+    """Per-source token statistics over the documents corpus."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+               CAST({_SQL_EN_HITS} AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / length(text) AS space_ratio
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_text_quality(spark, sf_dir):
+    """Per-document quality features (token count, stopword & space ratios)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    c = F.col("text")
+    n_chars = F.length(c)
+    n_spaces = n_chars - F.length(F.regexp_replace(c, r"\s", ""))
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        (stopword_hits("text").cast("double") / token_count("text").cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (n_spaces.cast("double") / n_chars.cast("double")).alias("space_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY fp
+    """,
+    tags=("llm", "text", "fingerprint", "dedup"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Content fingerprints with copy counts (exact-dedup survivor table)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("fp")
+    )
+
+
+@query(
+    "q_text_lang_guess",
+    oracle=r"""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|es)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|zu)\b')) AS de,
+                   len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est)\b')) AS fr
+            FROM documents
+        )
+        SELECT CASE WHEN en >= greatest(en, es, de, fr) AND greatest(en, es, de, fr) > 0 THEN 'en'
+                    WHEN es >= greatest(es, de, fr) AND greatest(es, de, fr) > 0 THEN 'es'
+                    WHEN de >= greatest(de, fr) AND greatest(de, fr) > 0 THEN 'de'
+                    WHEN fr > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_guess,
+               count(*) AS n_docs
+        FROM hits
+        GROUP BY 1
+        ORDER BY lang_guess
+    """,
+    tags=("llm", "text", "langid"),
+)
+def q_text_lang_guess(spark, sf_dir):
+    """Language-ID heuristic distribution (stopword vote, ties to lexicon
+    order: en > es > de > fr)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(lang_guess("text").alias("lang_guess"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )

@@ -1,0 +1,40 @@
+"""Shared builder helpers for the declared query inventory.
+
+Hash-parity conventions (see registry.py docstring): money columns are
+2-decimal values stored as doubles, so aggregates go through DECIMAL(18,2)
+arithmetic (exact, order-independent) and are cast back to DOUBLE at the end
+— both engines then produce bit-identical numbers regardless of row order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def as_double(c: Column) -> Column:
+    return c.cast("double")
+
+
+# revenue := extendedprice * (1 - discount), exact decimal arithmetic
+def revenue_expr() -> Column:
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+
+
+# the matching DuckDB fragment
+REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)

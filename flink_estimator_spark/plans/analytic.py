@@ -1,0 +1,480 @@
+"""Complex-tier operators (reference taxonomy: "Complex event pattern
+matching, multi-level window operations, UDFs, advanced analytical queries" —
+estimation.html:231-245; plus set ops / sort-limit / grouping sets / JSON
+implied by 'advanced analytical queries', SURVEY.md §2.2).
+
+Analytic window functions keep their frames deterministic (unique ORDER BY
+suffix) so both engines agree row-for-row.  The CEP pattern query is the batch
+oracle of the streaming CEP operator in flink_estimator_spark.streaming.cep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._helpers import dec, revenue_expr, t
+from .registry import query
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+        SELECT c_mktsegment, rk, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rk <= 3
+        ORDER BY c_mktsegment, rk
+    """,
+    tags=("complex", "window-analytic", "topk"),
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group via ranked window (the scalable top-k idiom: no global
+    sort, one shuffle on the partition key)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", F.col("o_totalprice").cast("double"))
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+@query(
+    "q_running_revenue",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_revenue
+        FROM lineitem
+        WHERE l_suppkey <= 3
+        ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    tags=("complex", "window-analytic", "frame"),
+)
+def q_running_revenue(spark, sf_dir):
+    """Cumulative sum with an explicit ROWS frame (exact decimal arithmetic
+    so the running values match bit-for-bit)."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(revenue_expr()).over(w).cast("double").alias("running_revenue"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_lag_delta",
+    oracle="""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(value AS DOUBLE) AS value,
+               CAST(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta
+        FROM events
+        WHERE user_id < 20
+        ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("complex", "window-analytic", "lag"),
+)
+def q_lag_delta(spark, sf_dir):
+    """LAG: per-user value delta vs the previous event."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast("double"),
+            (F.col("value") - F.lag("value").over(w)).cast("double").alias("delta"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+@query(
+    "q_sessionization",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(min(ts)) AS sess_start_us,
+               epoch_us(max(ts)) AS sess_end_us
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("complex", "window-time", "session"),
+)
+def q_sessionization(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands, 30-minute gap) — the batch
+    shadow of ``F.session_window`` (see streaming.windows)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("sess_start_us"),
+            F.unix_micros(F.max("ts")).alias("sess_end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls
+    """,
+    tags=("complex", "rollup"),
+)
+def q_rollup(spark, sf_dir):
+    """ROLLUP with grouping-id (subtotal levels)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            F.col("gid").cast("long"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               CAST(coalesce(CAST(hour(ts) AS BIGINT), -1) AS BIGINT) AS hr,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, CAST(hour(ts) AS BIGINT))
+        ORDER BY etype, hr
+    """,
+    tags=("complex", "cube"),
+)
+def q_cube(spark, sf_dir):
+    """CUBE over (event_type, hour-of-day)."""
+    ev = t(spark, sf_dir, "events").withColumn("hr", F.hour("ts").cast("long"))
+    return (
+        ev.cube("event_type", "hr")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("hr", F.lit(-1)).cast("long").alias("hr"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("etype", "hr")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """,
+    tags=("complex", "grouping-sets"),
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with heterogeneous groupings (SQL surface)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY k_bucket
+    """,
+    tags=("complex", "json"),
+)
+def q_json_extract(spark, sf_dir):
+    """JSON extraction from a string column (events.props)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+        SELECT 'union' AS op, count(*) AS n FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            UNION
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'intersect' AS op, count(*) AS n FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY op
+    """,
+    tags=("complex", "set-ops"),
+)
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT cardinalities in one result."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    b = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    rows = [
+        o.union(b).distinct().agg(F.lit("union").alias("op"), F.count("*").alias("n")),
+        o.intersect(b).agg(F.lit("intersect").alias("op"), F.count("*").alias("n")),
+        b.exceptAll(o.distinct()).distinct().agg(
+            F.lit("except").alias("op"), F.count("*").alias("n")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select("op", "n").orderBy("op")
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / count(*) FROM customer)
+        ORDER BY c_custkey
+    """,
+    tags=("complex", "subquery"),
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: customers above the global mean balance (mean as
+    exact-sum / count so both engines compare the same double)."""
+    c = t(spark, sf_dir, "customer")
+    avg_df = c.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.col("c_acctbal").cast("double"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        FROM events
+        WHERE user_id < 20
+        ORDER BY user_id, event_id
+    """,
+    tags=("complex", "window-analytic", "frame"),
+)
+def q_moving_avg(spark, sf_dir):
+    """Moving average over a 3-row sliding frame (exact sum / frame count)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias("mov_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_ntile_rank",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+               rank() OVER (ORDER BY o_orderpriority) AS prio_rank
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+    tags=("complex", "window-analytic", "rank"),
+)
+def q_ntile_rank(spark, sf_dir):
+    """NTILE + RANK global windows (single-partition window — bounded input
+    on purpose; the scalable variant partitions first, cf. q_topk_per_group)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
+            F.rank().over(W.orderBy("o_orderpriority")).alias("prio_rank"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_pivot_status",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("complex", "pivot"),
+)
+def q_pivot_status(spark, sf_dir):
+    """PIVOT (wide conditional aggregation)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).cast("double").alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).cast("double").alias("qty_finished"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_cep_funnel",
+    oracle="""
+        SELECT s.user_id, count(*) AS n_conversions
+        FROM events s
+        JOIN events p
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts > s.ts
+         AND epoch(p.ts) - epoch(s.ts) <= 86400
+        WHERE s.event_type = 'signup'
+        GROUP BY s.user_id
+        ORDER BY s.user_id
+    """,
+    tags=("complex", "cep", "pattern"),
+)
+def q_cep_funnel(spark, sf_dir):
+    """CEP pattern (signup followed by purchase within 24 h) as a batch
+    interval self-join — the oracle for the streaming CEP operator
+    (streaming.cep.FunnelDetector)."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts").cast("double") - F.col("s_ts").cast("double") <= 86400),
+        )
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy("user_id")
+    )
