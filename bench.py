@@ -1,0 +1,109 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "estimator_eps": ...}
+
+Also measures Plane-A estimator throughput (estimations/sec over a 20k-row
+scenario batch) against the reference's measured ~815/s single-core calculus
+(BASELINE.md §B).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# every registered query runs; these are just reported first
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "q_supplier_stats",
+    "q_tumble_window",
+    "q_topk_per_group",
+    "q_sessionization",
+    "q_dedup_jaccard_pairs",
+    "q_emb_cosine_topk",
+    "q_text_token_stats",
+]
+
+
+def main() -> int:
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            sf = None
+
+    # warm the JVM + parquet footers with a trivial action
+    from flink_estimator_spark.sources import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.take(1)
+
+    timings: dict[str, float] = {}
+    order = HEADLINE + sorted(n for n in QUERIES if n not in HEADLINE)
+    for name in order:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            n = spec.builder(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query is a benchmark failure
+            print(f"FAIL {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # Plane-A estimator throughput: 20k scenarios in one DataFrame pass
+    from flink_estimator_spark.estimator import Scenario, estimate_df, scenario_schema
+    from tests.scenarios import random_scenarios
+
+    rows = []
+    base_cases = random_scenarios(200, seed=11)
+    for i in range(20_000):
+        kw = dict(base_cases[i % len(base_cases)])
+        kw["project_name"] = f"s{i}"
+        s = Scenario(**kw)
+        rows.append(tuple(getattr(s, f.name) for f in scenario_schema.fields))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_part = int(cpus) if cpus.isdigit() else 32
+    sdf = spark.createDataFrame(rows, scenario_schema).repartition(n_part)
+    sdf.count()  # materialize the repartition outside the timed window
+    t0 = time.perf_counter()
+    n_est = estimate_df(sdf).count()
+    est_sec = time.perf_counter() - t0
+    estimator_eps = round(n_est / est_sec, 1)
+    timings["plane_a_estimator_20k"] = round(est_sec, 3)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    out = {
+        "metric": "total_runtime_all_declared_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "estimator_eps": estimator_eps,
+        "n_queries": len(timings),
+        "failed": failed,
+    }
+    print(json.dumps(out))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
