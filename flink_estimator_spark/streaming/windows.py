@@ -1,0 +1,67 @@
+"""Streaming event-time windows: TUMBLE / HOP / SESSION with watermarks.
+
+These are the streaming duals of the batch queries ``q_tumble_window`` /
+``q_hop_window`` / ``q_sessionization`` — same output schema (window start as
+epoch seconds), so the batch results are the oracle for the streaming path
+(tests/test_streaming.py drives both and compares).
+
+Late data: ``withWatermark`` bounds state; in append mode a window emits only
+once the watermark passes its end — the Flink-equivalent completeness/latency
+trade the estimator's latency input models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _win_agg(df: DataFrame, win) -> DataFrame:
+    return (
+        df.groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window").start.cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def tumble_agg(events: DataFrame, size: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """TUMBLE: non-overlapping event-time windows."""
+    return _win_agg(
+        events.withWatermark("ts", watermark), F.window("ts", size).alias("window")
+    )
+
+
+def hop_agg(
+    events: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """HOP: overlapping sliding windows (each event in size/slide windows)."""
+    return _win_agg(
+        events.withWatermark("ts", watermark), F.window("ts", size, slide).alias("window")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """SESSION: dynamic-width windows closed by a gap of inactivity, keyed by
+    user (the streaming dual of batch gaps-and-islands sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.cast("long").alias("sess_start"),
+            F.col("w").end.cast("long").alias("sess_end"),
+            "n_events",
+        )
+    )

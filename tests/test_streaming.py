@@ -1,0 +1,178 @@
+"""Structured Streaming operators vs their batch shadows.
+
+Each streaming query is driven from a temp directory of parquet files (the
+sf0.001 events split into two micro-batches, plus a far-future sentinel row
+that pushes the watermark past every real window so append-mode results are
+complete), then compared against the equivalent batch query on the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from flink_estimator_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    funnel_conversions,
+    session_agg,
+    tumble_agg,
+)
+from tests.conftest import SF_SMALL
+
+SENTINEL_USER = 10**9
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    """events sf0.001 split in two time-ordered files + watermark sentinel."""
+    src = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = src.to_pandas().sort_values("ts").reset_index(drop=True)
+    d = tmp_path_factory.mktemp("events_stream")
+    half = len(pdf) // 2
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:half], preserve_index=False),
+                   str(d / "part-000.parquet"))
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[half:], preserve_index=False),
+                   str(d / "part-001.parquet"))
+    sentinel = pdf.iloc[[-1]].copy()
+    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=10)
+    sentinel["event_id"] = 10**12
+    sentinel["user_id"] = SENTINEL_USER
+    sentinel["event_type"] = "view"
+    pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False),
+                   str(d / "part-002-sentinel.parquet"))
+    return str(d)
+
+
+def _run_stream(spark, df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _batch_events(spark):
+    from flink_estimator_spark.sources.tables import read_table
+
+    return read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+
+
+def test_tumble_stream_matches_batch(spark, stream_dir, tmp_path):
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, tumble_agg(ev), "tumble_out", tmp_path)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = _batch_events(spark)
+    exp_df = (
+        batch.groupBy(F.window("ts", "10 minutes").start.cast("long").alias("win_start"),
+                      "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    )
+    exp = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in exp_df.collect()
+    }
+    # every real (non-sentinel) window must be emitted and identical
+    missing = {k: v for k, v in exp.items() if k not in got}
+    assert not missing, f"windows not emitted: {list(missing)[:5]}"
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, stream_dir, tmp_path, tmp_path_factory):
+    # duplicate both event files -> every event arrives twice across batches
+    d = tmp_path_factory.mktemp("events_dup")
+    for f in sorted(os.listdir(stream_dir)):
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f))
+        if "sentinel" not in f:
+            shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f.replace("part-", "dup-")))
+    ev = events_stream(spark, str(d))
+    out = _run_stream(
+        spark, dedup_within_watermark(ev, ["event_id"], watermark="40 days"),
+        "dedup_out", tmp_path,
+    )
+    n_distinct = _batch_events(spark).count() + 1  # + sentinel
+    assert out.count() == n_distinct
+
+
+def test_cep_funnel_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.plans import QUERIES
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, funnel_conversions(ev, watermark="40 days"),
+                      "funnel_out", tmp_path, mode="update")
+    # update mode: last emission per user is the cumulative total
+    pdf = out.toPandas()
+    got = pdf.groupby("user_id")["n_conversions"].max().to_dict()
+    exp = {
+        r["user_id"]: r["n_conversions"]
+        for r in QUERIES["q_cep_funnel"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+
+
+def test_session_stream_matches_batch_counts(spark, stream_dir, tmp_path):
+    ev = events_stream(spark, stream_dir)
+    # small watermark: the +10d sentinel then pushes it past every real session
+    out = _run_stream(spark, session_agg(ev, gap="30 minutes", watermark="30 minutes"),
+                      "session_out", tmp_path)
+    got = (
+        out.filter(F.col("user_id") != SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    got_map = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+
+    # batch shadow: gaps-and-islands sessionization over all users
+    from pyspark.sql import Window as W
+
+    batch = _batch_events(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    flagged = batch.withColumn(
+        "new_session", F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_session").over(cum))
+    exp = (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("sid").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+    exp_map = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in exp.collect()}
+    assert got_map == exp_map
+
+
+def test_stream_config_from_estimator(spark):
+    from flink_estimator_spark.estimator import Scenario
+    from flink_estimator_spark.streaming import (
+        apply_stream_config,
+        stream_config_from_estimate,
+    )
+
+    cfg = stream_config_from_estimate(
+        Scenario(project_name="stream", worker_node_type="VM", worker_node_t_size="S")
+    )
+    assert cfg.shuffle_partitions >= 1
+    assert cfg.checkpoint_interval_ms == 9000  # BASELINE default_vm_s golden
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        apply_stream_config(spark, cfg)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(cfg.shuffle_partitions)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
