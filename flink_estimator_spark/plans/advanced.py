@@ -1,0 +1,236 @@
+"""Advanced/custom operators Spark has no single built-in for: as-of join,
+range (band) join, exact percentiles, approximate sketches, and the UDF
+surface (Pandas UDF + Python UDTF).
+
+As-of join strategy (the scalable pattern, cf. the pyspark guide's
+"as-of/range join" note): union both sides with a tag, one window pass
+carries the last left-side value forward — a single shuffle on the key, no
+point-in-time self-join blowup.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._helpers import t
+from .registry import query
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, side,
+                   max(CASE WHEN side = 0 THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_view_us
+            FROM tagged
+        )
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+               last_view_us
+        FROM carried
+        WHERE side = 1
+        ORDER BY user_id, purchase_us, purchase_id
+    """,
+    tags=("complex", "asof-join"),
+)
+def q_asof_join(spark, sf_dir):
+    """AS-OF join: each purchase picks the user's most recent prior (or
+    simultaneous) view — union + carry-forward window, one shuffle total."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("side") == 0, F.unix_micros("ts"))).over(w),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.unix_micros("ts").alias("purchase_us"),
+            "last_view_us",
+        )
+        .orderBy("user_id", "purchase_us", "purchase_id")
+    )
+
+
+@query(
+    "q_range_join_bands",
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('micro', 0.0, 5.0), ('small', 5.0, 20.0),
+                   ('mid', 20.0, 50.0), ('large', 50.0, 1e18)
+        )
+        SELECT b.band, count(*) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+        ORDER BY b.band
+    """,
+    tags=("complex", "range-join"),
+)
+def q_range_join_bands(spark, sf_dir):
+    """Range (band) join against a tiny literal dimension — broadcast
+    nested-loop on an interval predicate (the band table stays tiny at any
+    scale, so this never shuffles the fact side)."""
+    ev = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 5.0), ("small", 5.0, 20.0), ("mid", 20.0, 50.0), ("large", 50.0, 1e18)],
+        T.StructType(
+            [
+                T.StructField("band", T.StringType()),
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+            ]
+        ),
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95,
+               CAST(min(value) AS DOUBLE) AS vmin,
+               CAST(max(value) AS DOUBLE) AS vmax
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("complex", "percentile"),
+)
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: sort + linear interpolation)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.min("value").cast("double").alias("vmin"),
+            F.max("value").cast("double").alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_approx_sketches",
+    oracle=None,  # HLL/KLL sketches are engine-specific -> rows-only check
+    tags=("complex", "approx", "sketch"),
+)
+def q_approx_sketches(spark, sf_dir):
+    """Approximate sketches (HyperLogLog distinct, KLL quantiles) — the
+    100 TB substitutes for exact distincts/percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_pandas_udf_score",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_quantity * 2.0 + l_extendedprice * 0.001
+                   + CASE WHEN l_discount > 0.05 THEN 10.0 ELSE 0.0 END AS score
+        FROM lineitem
+        WHERE l_orderkey <= 500
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("complex", "udf", "pandas-udf"),
+)
+def q_pandas_udf_score(spark, sf_dir):
+    """Scalar Pandas UDF (Arrow-vectorized) — the sanctioned custom-logic
+    path; same IEEE double ops as the SQL oracle so values hash-match."""
+
+    @F.pandas_udf(T.DoubleType())
+    def score(qty: pd.Series, price: pd.Series, disc: pd.Series) -> pd.Series:
+        return qty * 2.0 + price * 0.001 + (disc > 0.05) * 10.0
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            score("l_quantity", "l_extendedprice", "l_discount").alias("score"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_grouped_pandas_minmax",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST((value - min_v) / nullif(max_v - min_v, 0) AS DOUBLE) AS scaled
+        FROM (
+            SELECT user_id, event_id, value,
+                   min(value) OVER (PARTITION BY user_id) AS min_v,
+                   max(value) OVER (PARTITION BY user_id) AS max_v
+            FROM events
+            WHERE user_id < 10
+        )
+        ORDER BY user_id, event_id
+    """,
+    tags=("complex", "udf", "applyInPandas"),
+)
+def q_grouped_pandas_minmax(spark, sf_dir):
+    """Grouped-map applyInPandas (UDAF-ish): per-user min-max scaling.
+    min/max are exact, so the IEEE subtract/divide hash-matches the oracle
+    (a z-score variant differs in the last ULP because pandas' pairwise sum
+    and DuckDB's streaming variance accumulate in different orders)."""
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        lo, hi = float(v.min()), float(v.max())
+        scaled = (v - lo) / (hi - lo) if hi != lo else pd.Series([None] * len(v), dtype="float64")
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "scaled": scaled}
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .applyInPandas(minmax, "user_id long, event_id long, scaled double")
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,265 @@
+"""Further TPC-H-style queries adapted to the fixture schema (the driver's
+tables carry no partsupp/shipmode/commitdate columns; these adaptations keep
+each query's operator shape — the thing being tested — intact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._helpers import REVENUE_SQL, dec, revenue_expr, t
+from .registry import query
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    tags=("medium", "aggregate", "tpch"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure filtered aggregation (fully pushed-down scan)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q4_late_orders",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("medium", "join", "semi", "tpch"),
+)
+def q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi join with a correlated date condition
+    (orders having a line shipped >90 days after ordering)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_nation_trade",
+    oracle=f"""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum({REVENUE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name < sn.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY cust_nation, supp_nation, l_year
+    """,
+    tags=("complex", "join", "tpch"),
+)
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume (two aliases of the same
+    dimension, ordered nation pairs, per-year rollup)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@query(
+    "q13_order_histogram",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    tags=("medium", "join", "aggregate", "tpch"),
+)
+def q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution (left join with an extra
+    join-side predicate, double aggregation)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+        SELECT CAST(100.0 AS DOUBLE)
+               * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {REVENUE_SQL}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum({REVENUE_SQL}) AS DOUBLE) AS promo_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("medium", "join", "aggregate", "tpch"),
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14: promo revenue share (conditional aggregate over a broadcast
+    dimension join)."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", revenue_expr()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue_expr()).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(t.sum_qty AS DOUBLE) AS sum_qty
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        ) t ON o.o_orderkey = t.l_orderkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 50
+    """,
+    tags=("complex", "join", "having", "tpch"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: large-volume orders (aggregate-filter subquery join)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double"),
+            F.col("sum_qty").cast("double"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q22_idle_balances",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / count(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("complex", "subquery", "anti", "tpch"),
+)
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape: above-average balances with no orders (scalar
+    subquery + anti join)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
