@@ -215,3 +215,112 @@ def q_emb_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate top-5 neighbors (8 hyperplanes, seed 42)."""
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann(emb, k=5).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF centroids: partition vectors by ``id % n_centroids``
+    and average element-wise (one k-means-style refinement of a deterministic
+    seed assignment).
+
+    The element-wise mean runs as posexplode -> groupBy(cid, pos) -> avg —
+    linear in corpus size with a tiny (n_centroids x dim) key space, so it
+    scales to any corpus; the result is always a broadcastable
+    ``n_centroids``-row table.  The avg accumulates in DECIMAL so the result
+    is independent of partial-aggregation order (run-to-run deterministic).
+    """
+    return (
+        df.withColumn("cid", (F.col(id_col) % n_centroids).cast("int"))
+        .select("cid", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("decimal(27,10)")).cast("double").alias("v"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cid", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def ivf_ann(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: every vector lives in the inverted
+    list of its nearest centroid; a query only scans the ``nprobe`` lists
+    whose centroids are closest to it.
+
+    Cost: corpus x n_centroids (broadcast) for assignment, then
+    queries x (nprobe/n_centroids) x corpus for scoring — the classic IVF
+    recall/cost dial.  Both joins broadcast the tiny side; the big side never
+    shuffles except for the final per-query top-k window.
+    """
+    cent = F.broadcast(ivf_centroids(df, n_centroids, id_col, vec_col))
+
+    def nearest(frame: DataFrame, out_id: str, keep_vec: str, rk_max: int) -> DataFrame:
+        w = W.partitionBy(out_id).orderBy(F.desc("c_sim"), "cid")
+        return (
+            frame.crossJoin(cent)
+            .withColumn("c_sim", cosine(F.col(keep_vec), F.col("centroid")))
+            .withColumn("c_rk", F.row_number().over(w))
+            .filter(F.col("c_rk") <= rk_max)
+            .select(out_id, keep_vec, "cid")
+        )
+
+    inv = nearest(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id", "c_vec", 1,
+    )
+    probes = nearest(
+        df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id", "q_vec", nprobe,
+    )
+    scored = (
+        probes.join(inv, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+@query(
+    "q_emb_ivf_ann",
+    oracle=None,  # approximate by construction -> rows-only check
+    tags=("llm", "similarity", "ivf", "ann"),
+)
+def q_emb_ivf_ann(spark, sf_dir):
+    """IVF approximate top-5 neighbors (8 inverted lists, nprobe=2)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_ann(emb, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.40
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.40).
+
+    The exact all-pairs baseline; at corpus scale the same threshold filter
+    runs over LSH/IVF candidate pairs instead (``lsh_ann`` / ``ivf_ann``
+    buckets), turning O(n^2) into O(sum(bucket^2))."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.40).orderBy("id_a", "id_b")

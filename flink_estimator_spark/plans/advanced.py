@@ -234,3 +234,47 @@ def q_grouped_pandas_minmax(spark, sf_dir):
         .applyInPandas(minmax, "user_id long, event_id long, scaled double")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle=r"""
+        WITH toks AS (
+            SELECT words[i] AS tok
+            FROM (
+                SELECT string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents WHERE doc_id < 100
+            ), LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
+        )
+        SELECT tok, count(*) AS n
+        FROM toks WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 25
+    """,
+    tags=("complex", "udf", "udtf"),
+)
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF (table function) in a LATERAL join: tokenizer emitting one
+    row per token, aggregated into the top-25 token counts."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in (text or "").lower().strip().split():
+                yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT t.tok, count(*) AS n
+        FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY t.tok
+        ORDER BY n DESC, t.tok
+        LIMIT 25
+        """
+    )
