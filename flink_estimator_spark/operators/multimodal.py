@@ -100,3 +100,110 @@ def q_multimodal_features(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     feats = extract_features(documents_as_media(docs))
     return feats.select("media_id", "n_bytes", "digest").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame sampling (same stub-decode contract as extract_features)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize-to-fit via mapInPandas: aspect-preserving scale so the longer
+    side equals ``max_side``.  The decode is the deterministic stub (real
+    deployments swap in PIL's ``Image.resize`` inside the same batch loop);
+    the scale arithmetic is the production logic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _fake_decode(payload if payload is not None else b"")
+                w, h = d["width"], d["height"]
+                # multiply before dividing — same IEEE op order as the SQL
+                # oracle's (side * 256.0) / longest, so results hash-match
+                m = float(max(w, h))
+                out.append(
+                    (mid, w, h,
+                     max(1, int(w * float(max_side) / m)),
+                     max(1, int(h * float(max_side) / m)))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = 10) -> DataFrame:
+    """Frame sampling via mapInPandas: treat the payload as a fake video of
+    ``len(payload) // 1024 + 1`` frames and emit every ``stride``-th frame
+    index — a one-to-many table function over binary columns (the real
+    decoder would emit the frame bytes alongside)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = (len(payload) if payload is not None else 0) // 1024 + 1
+                rows.extend((mid, f, n) for f in range(0, n, stride))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+        SELECT media_id, width, height,
+               greatest(1, CAST(floor(width  * 256.0 / greatest(width, height)) AS INT)) AS out_width,
+               greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INT)) AS out_height
+        FROM (
+            SELECT doc_id AS media_id,
+                   ('0x' || substr(md5(text), 1, 4))::INT % 1920 + 1 AS width,
+                   ('0x' || substr(md5(text), 5, 4))::INT % 1080 + 1 AS height
+            FROM documents WHERE doc_id < 100
+        )
+        ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "resize"),
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over the stub decoder (dims are
+    digest-derived, so DuckDB reproduces them from md5)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return resize_images(documents_as_media(docs)).orderBy("media_id")
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+        SELECT media_id, CAST(f AS INT) AS frame_no, n_frames
+        FROM (
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
+            FROM documents WHERE doc_id < 100
+        ), LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS f)
+        ORDER BY media_id, frame_no
+    """,
+    tags=("llm", "multimodal", "frames"),
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Every-10th-frame sampling through the mapInPandas one-to-many path."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return sample_frames(documents_as_media(docs)).orderBy("media_id", "frame_no")
