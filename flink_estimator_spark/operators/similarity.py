@@ -25,7 +25,11 @@ from ..plans.registry import query
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double (deterministic order)."""
+    """Sequential-fold dot product in double (deterministic order).
+
+    Deliberately the ``aggregate`` fold, not an unrolled 64-term expression:
+    the unrolled form blows past codegen's expression-size limits and runs
+    ~2.5x slower on all-pairs workloads (measured at sf0.1)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,6 +45,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a small-but-compute-heavy side across the cluster.
+
+    The embeddings table compresses to a single parquet split, so every
+    all-pairs operator downstream of it would otherwise run its O(n^2) score
+    loop in ONE task.  An explicit hash repartition on the id costs a
+    trivial shuffle (thousands of rows) and buys full parallelism — the
+    inverse of the usual minimize-shuffle rule, worth it exactly when
+    per-partition compute dwarfs partition size."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms.  ``sqrt(dot(a,a))`` is referentially
+    transparent, so ``dot(a,b) / (na * nb)`` is bit-identical to
+    ``cosine(a, b)`` — but an all-pairs comparison computes each norm once
+    per *vector* instead of once per *pair*, turning three array folds per
+    pair into one."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     queries_df: DataFrame,
     candidates_df: DataFrame,
@@ -51,10 +77,14 @@ def cosine_topk(
     """Exact top-k cosine neighbors: broadcast queries x scan candidates ->
     per-query ranked window.  (query_id, neighbor_id, cos_sim, rk)."""
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = candidates_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = spread(candidates_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -62,7 +92,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -103,18 +135,29 @@ def lsh_ann(
     engine-specific by construction)."""
     pl = _projection_planes(dim, planes, seed)
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), pl).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), pl).alias("bucket"),
     )
     a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col("bucket"), F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"), F.col("nrm").alias("q_nrm"),
     )
     b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"), F.col("nrm").alias("c_nrm"),
     )
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -130,15 +173,38 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold (exact)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    """Embedding-cosine near-duplicate pairs above a threshold (exact).
+
+    Catalyst would push a filter on the aliased ``cos_sim`` back below the
+    projection by substituting the full expression — evaluating the
+    64-element dot fold twice per pair (and, worse, inside the
+    nested-loop-join condition, which is interpreted).  The
+    ``monotonically_increasing_id`` barrier column makes the projection
+    non-pushable, so the fold runs exactly once per pair in the project and
+    the threshold tests the already-computed attribute.  The filter must
+    *reference* the barrier (always-false disjunct: ids are never negative)
+    — otherwise column pruning deletes it and pushdown returns."""
+    a = spread(df, id_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    scored = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
     )
+    return scored.filter(
+        (F.col("cos_sim") >= threshold) | (F.col("_barrier") < 0)
+    ).drop("_barrier")
 
 
 # ---------------------------------------------------------------------------
@@ -262,30 +328,47 @@ def ivf_ann(
     recall/cost dial.  Both joins broadcast the tiny side; the big side never
     shuffles except for the final per-query top-k window.
     """
-    cent = F.broadcast(ivf_centroids(df, n_centroids, id_col, vec_col))
+    cent = F.broadcast(
+        ivf_centroids(df, n_centroids, id_col, vec_col).withColumn(
+            "cent_nrm", norm(F.col("centroid"))
+        )
+    )
 
-    def nearest(frame: DataFrame, out_id: str, keep_vec: str, rk_max: int) -> DataFrame:
+    def nearest(frame: DataFrame, out_id: str, keep_vec: str, keep_nrm: str,
+                rk_max: int) -> DataFrame:
         w = W.partitionBy(out_id).orderBy(F.desc("c_sim"), "cid")
         return (
             frame.crossJoin(cent)
-            .withColumn("c_sim", cosine(F.col(keep_vec), F.col("centroid")))
+            .withColumn(
+                "c_sim",
+                cosine_pre(F.col(keep_vec), F.col("centroid"),
+                           F.col(keep_nrm), F.col("cent_nrm")),
+            )
             .withColumn("c_rk", F.row_number().over(w))
             .filter(F.col("c_rk") <= rk_max)
-            .select(out_id, keep_vec, "cid")
+            .select(out_id, keep_vec, keep_nrm, "cid")
         )
 
     inv = nearest(
-        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "neighbor_id", "c_vec", 1,
+        spread(df, id_col).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+                  norm(F.col(vec_col)).alias("c_nrm")),
+        "neighbor_id", "c_vec", "c_nrm", 1,
     )
     probes = nearest(
-        df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "query_id", "q_vec", nprobe,
+        spread(df, id_col).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                  norm(F.col(vec_col)).alias("q_nrm")),
+        "query_id", "q_vec", "q_nrm", nprobe,
     )
     scored = (
         probes.join(inv, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (

@@ -278,3 +278,40 @@ def q_udtf_tokens(spark, sf_dir):
         LIMIT 25
         """
     )
+
+
+@query(
+    "q_time_range_frame",
+    oracle="""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               count(*) OVER w AS n_last_hour,
+               CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_last_hour
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("complex", "window-frame", "range"),
+)
+def q_time_range_frame(spark, sf_dir):
+    """Time-based RANGE frame: per user, activity count and decimal-exact
+    value sum over the trailing hour of each event (rangeBetween on epoch
+    microseconds — the sliding-window analytic that rowsBetween can't
+    express when event spacing is irregular)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count("*").over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
