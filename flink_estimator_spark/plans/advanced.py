@@ -315,3 +315,29 @@ def q_time_range_frame(spark, sf_dir):
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ORDER BY p.user_id, purchase_id, view_id
+    """,
+    tags=("medium", "join", "interval", "stream-stream"),
+)
+def q_interval_join(spark, sf_dir):
+    """Interval join (batch shape of the stream-stream join in
+    streaming/joins.py): each purchase paired with the same user's views in
+    the preceding hour."""
+    from ..streaming.joins import view_purchase_interval_join
+
+    return view_purchase_interval_join(t(spark, sf_dir, "events")).orderBy(
+        "user_id", "purchase_id", "view_id"
+    )

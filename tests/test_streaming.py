@@ -176,3 +176,22 @@ def test_stream_config_from_estimator(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(cfg.shuffle_partitions)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_interval_join_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming import view_purchase_interval_join
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, view_purchase_interval_join(ev), "ivjoin_out", tmp_path
+    )
+    got = {
+        (r["user_id"], r["purchase_id"], r["view_id"]) for r in out.collect()
+    }
+    exp = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in view_purchase_interval_join(_batch_events(spark)).collect()
+    }
+    missing = exp - got
+    assert not missing, f"pairs not emitted: {list(missing)[:5]}"
+    assert got == exp
