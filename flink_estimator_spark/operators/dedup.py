@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 from .textstats import fingerprint
 
@@ -57,6 +57,8 @@ def shingle_df(
     ``max_shingle_freq`` drops boilerplate shingles that would otherwise make
     the self-join quadratic on a hot key.
     """
+    # single-split scans would shingle in one task; spread first (see _helpers)
+    df = spread(df, id_col)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = F.size(words) - F.lit(n - 1)  # number of n-grams (may be <= 0)
     grams = F.when(
@@ -204,7 +206,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     explode tokens -> one aggregate with 48 conditional sums -> pack bits.
     """
-    toks = df.select(
+    toks = spread(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     )
     h = F.xxhash64("tok")

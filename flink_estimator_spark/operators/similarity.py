@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..plans._helpers import t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 
 
@@ -43,19 +43,6 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition a small-but-compute-heavy side across the cluster.
-
-    The embeddings table compresses to a single parquet split, so every
-    all-pairs operator downstream of it would otherwise run its O(n^2) score
-    loop in ONE task.  An explicit hash repartition on the id costs a
-    trivial shuffle (thousands of rows) and buys full parallelism — the
-    inverse of the usual minimize-shuffle rule, worth it exactly when
-    per-partition compute dwarfs partition size."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, F.col(key))
 
 
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -359,8 +346,13 @@ def ivf_ann(
                   norm(F.col(vec_col)).alias("q_nrm")),
         "query_id", "q_vec", "q_nrm", nprobe,
     )
+    # join probes->lists on cid: only n_centroids distinct keys, so a shuffle
+    # join would bottleneck on n_centroids tasks.  Broadcasting the inverted
+    # lists keeps the probe side's query_id partitioning (full parallelism);
+    # at corpora beyond broadcast size, salt the cid key instead
+    # (operators/skew.py::salted_broadcast_join).
     scored = (
-        probes.join(inv, "cid")
+        probes.join(F.broadcast(inv), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

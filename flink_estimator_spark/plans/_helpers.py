@@ -38,3 +38,17 @@ def revenue_expr() -> Column:
 REVENUE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a small-but-compute-heavy input across the cluster.
+
+    Small parquet tables scan as a single split, so any downstream stage
+    with heavy per-row compute (all-pairs scoring, shingle explosion,
+    wide partial aggregates, nested-loop joins) runs in ONE task.  A hash
+    repartition on the row id costs a shuffle of the (tiny) input and buys
+    full parallelism — the inverse of the minimize-shuffle rule, applied
+    exactly when per-partition compute dwarfs per-partition bytes.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))

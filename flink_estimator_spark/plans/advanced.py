@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._helpers import t
+from ._helpers import spread, t
 from .registry import query
 
 
@@ -92,8 +92,9 @@ def q_asof_join(spark, sf_dir):
 def q_range_join_bands(spark, sf_dir):
     """Range (band) join against a tiny literal dimension — broadcast
     nested-loop on an interval predicate (the band table stays tiny at any
-    scale, so this never shuffles the fact side)."""
-    ev = t(spark, sf_dir, "events")
+    scale; the fact side is spread so the per-pair predicate evaluation
+    parallelizes even from a single-split scan)."""
+    ev = spread(t(spark, sf_dir, "events"), "event_id")
     bands = spark.createDataFrame(
         [("micro", 0.0, 5.0), ("small", 5.0, 20.0), ("mid", 20.0, 50.0), ("large", 50.0, 1e18)],
         T.StructType(
