@@ -342,3 +342,66 @@ def q_interval_join(spark, sf_dir):
     return view_purchase_interval_join(t(spark, sf_dir, "events")).orderBy(
         "user_id", "purchase_id", "view_id"
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric,
+               CAST(val AS DOUBLE) AS val
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+            FROM lineitem WHERE l_orderkey <= 200
+        ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    tags=("complex", "unpivot"),
+)
+def q_unpivot(spark, sf_dir):
+    """Wide-to-long unpivot (the inverse of q_pivot_status): one row per
+    (line, metric) — Spark's ``unpivot`` == SQL UNPIVOT/stack."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@query(
+    "q_pandas_grouped_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS mean_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("complex", "udf", "pandas-grouped-agg"),
+)
+def q_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate Pandas UDF (the UDAF surface): a custom mean over
+    Arrow batches.  Sums in Decimal so the result is bit-equal to the SQL
+    oracle regardless of batch/partition order."""
+    from decimal import Decimal
+
+    @F.pandas_udf(T.DoubleType())
+    def decimal_mean(v: pd.Series) -> float:
+        total = Decimal(0)
+        for x in v:
+            total += Decimal(f"{x:.2f}")
+        return float(total) / len(v)
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(decimal_mean("l_quantity").alias("mean_qty"))
+        .orderBy("l_returnflag")
+    )

@@ -263,3 +263,248 @@ def q22_idle_balances(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+        SELECT l_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   {REVENUE_SQL} AS volume, sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+            JOIN region r   ON cn.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        )
+        GROUP BY l_year
+        ORDER BY l_year
+    """,
+    tags=("complex", "join", "tpch"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's market by
+    year (six-way join, conditional share aggregate)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = revenue_expr()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no, sum({REVENUE_SQL}) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    tags=("complex", "subquery", "tpch"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue (aggregate
+    view + scalar-subquery max; ties all surface)."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_expr()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+            FROM lineitem GROUP BY l_partkey
+        ) a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3' AND p.p_type = 'PROMO'
+          AND l.l_quantity < a.qty_thr
+    """,
+    tags=("complex", "correlated-subquery", "tpch"),
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of small-quantity orders — the
+    correlated per-part average decorrelates into an aggregate + join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
+    )
+    thr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("tp"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(thr, l.l_partkey == F.col("tp"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+        SELECT CAST(sum({REVENUE_SQL}) AS DOUBLE) AS revenue, count(*) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("medium", "join", "disjunction", "tpch"),
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs predicate brackets spanning both join sides
+    (exercises predicate normalization + broadcast join with residual)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q21_sole_late_shipper",
+    oracle="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    tags=("complex", "semi", "anti", "tpch"),
+)
+def q21_sole_late_shipper(spark, sf_dir):
+    """TPC-H Q21 shape (no receipt/commit dates in the fixture, so "late" is
+    shipped >60 days after ordering): suppliers who were the only late
+    shipper on a multi-supplier order — EXISTS -> left-semi, NOT EXISTS ->
+    left-anti on self-joined lineitem."""
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    l1 = t(spark, sf_dir, "lineitem").alias("l1")
+    l2 = t(spark, sf_dir, "lineitem").alias("l2")
+    late1 = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .filter(F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l1.l_orderkey", "l1.l_suppkey", "l1.l_linenumber")
+    )
+    # another supplier on the same order
+    other = l2.select(
+        F.col("l2.l_orderkey").alias("ok2"), F.col("l2.l_suppkey").alias("sk2")
+    )
+    multi = late1.join(
+        other,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    # ... but no OTHER supplier was late on that order
+    other_late = late1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole = multi.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
