@@ -1,0 +1,19 @@
+"""Public column-function library — the engine's reusable scalar/array
+expressions, gathered in one namespace (the Spark analogue of the
+reference's helper surface plus the LLM-pipeline additions).
+
+Everything here returns a ``pyspark.sql.Column`` built from JVM built-ins
+(codegen-friendly, no Python in the hot path); see the defining modules for
+semantics and scale notes.
+"""
+
+from ..operators.similarity import cosine, cosine_pre, dot, norm  # noqa: F401
+from ..operators.textstats import (  # noqa: F401
+    fingerprint,
+    lang_guess,
+    quality_columns,
+    stopword_hits,
+    token_count,
+    word_count,
+)
+from ..plans._helpers import as_double, dec, revenue_expr, spread  # noqa: F401
