@@ -51,11 +51,17 @@ def shingle_df(
     n: int = 5,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct word n-gram shingles per document, as 64-bit hashes:
+    (id, shingle: long).
 
-    Built entirely from array functions: split -> sliding transform -> explode.
-    ``max_shingle_freq`` drops boilerplate shingles that would otherwise make
-    the self-join quadratic on a hot key.
+    Built entirely from array functions: split -> sliding transform ->
+    explode.  Shingles are hashed to ``xxhash64`` *before* the distinct, so
+    every downstream shuffle (the distinct itself, the self-join, the
+    MinHash aggregate) moves 8 bytes per shingle instead of ~n words — the
+    standard web-scale-dedup representation; the 2^-64 collision rate is far
+    below the FP rate the hashed stages already accept.
+    ``max_shingle_freq`` drops boilerplate shingles that would otherwise
+    make the self-join quadratic on a hot key.
     """
     # single-split scans would shingle in one task; spread first (see _helpers)
     df = spread(df, id_col)
@@ -66,7 +72,8 @@ def shingle_df(
         F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))),
     ).otherwise(F.array().cast("array<string>"))
     out = (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col), F.explode(grams).alias("_shingle_str"))
+        .select(F.col(id_col), F.xxhash64("_shingle_str").alias("shingle"))
         .distinct()
     )
     if max_shingle_freq is not None:
@@ -92,18 +99,10 @@ def jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter) — all integer arithmetic until the
     final division, so it hash-matches any engine.
 
-    The join key is ``xxhash64(shingle)``, not the shingle string: 8 bytes
-    shuffled per shingle instead of ~n words, which at corpus scale cuts the
-    self-join shuffle by an order of magnitude.  (A 64-bit collision between
-    two distinct shingles of the same doc pair would inflate ``inter`` by
-    one; at p ~ 2^-64 per pair this is far below the FP rate already
-    accepted by every hashed-dedup stage.)
+    Shingles arrive pre-hashed from ``shingle_df`` (8-byte join keys — an
+    order of magnitude less shuffle than the strings at corpus scale).
     """
-    sh = (
-        shingle_df(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    sh = shingle_df(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
