@@ -348,3 +348,121 @@ def q_dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every vertex repeatedly adopts the smallest label
+    reachable over one hop until no label changes.
+
+    Each iteration is one distributed join + aggregate (label propagation is
+    how GraphX/GraphFrames implement it); the driver only checks the
+    converged-yet counter — the vertex/edge data never leaves the cluster.
+    Iterations are bounded by the graph diameter, which for near-dup
+    clusters is tiny (they are near-cliques).
+
+    Input: (id_a, id_b) pairs.  Output: (doc_id, cluster) with cluster ==
+    min doc_id of the component.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        # smallest label visible over one hop (incl. own)
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=r"""
+        WITH pairs AS (
+            SELECT id_a, id_b FROM (
+                WITH sh AS (
+                    SELECT DISTINCT doc_id, shingle FROM (
+                        SELECT doc_id,
+                               array_to_string(words[i:i+4], ' ') AS shingle
+                        FROM (
+                            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                            FROM documents
+                        ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+                    )
+                ),
+                sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+                inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                )
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            )
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+            ) SELECT * FROM r
+        )
+        SELECT src AS doc_id, min(dst) AS cluster
+        FROM reach GROUP BY src
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: connected components over the exact 5-gram
+    Jaccard pair graph (threshold 0.5) — the step that turns pairwise
+    near-dup hits into dedup groups with a canonical survivor (min id).
+    Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_components(pairs.select("id_a", "id_b")).orderBy("doc_id")

@@ -195,3 +195,36 @@ def test_interval_join_stream_matches_batch(spark, stream_dir, tmp_path):
     missing = exp - got
     assert not missing, f"pairs not emitted: {list(missing)[:5]}"
     assert got == exp
+
+
+def test_transform_with_state_running_totals(spark, stream_dir, tmp_path):
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state-server protocol"
+    )
+    from flink_estimator_spark.streaming import running_totals
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, running_totals(ev), "twsp_out", tmp_path, mode="update"
+    )
+    pdf = out.toPandas()
+    # update mode: the max cumulative count per user is the final state
+    last = pdf.sort_values("n_events").groupby("user_id").last()
+    got = {
+        int(uid): (int(r["n_events"]), int(r["sum_value_cents"]))
+        for uid, r in last.iterrows()
+        if uid != SENTINEL_USER
+    }
+    exp_df = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2) * 100).cast("long").alias("cents"),
+        )
+    )
+    exp = {
+        int(r["user_id"]): (int(r["n_events"]), int(r["cents"]))
+        for r in exp_df.collect()
+    }
+    assert got == exp
