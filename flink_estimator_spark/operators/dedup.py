@@ -390,24 +390,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_min"))
         )
+        # carry a changed-flag instead of re-joining old vs new labels —
+        # one cached pass serves both the convergence check and next round
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
+                ).alias("new_cluster"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster")) < F.col("cluster"))
+                .alias("changed"),
             )
+            .withColumnRenamed("new_cluster", "cluster")
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        changed = new_labels.filter("changed").count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster")

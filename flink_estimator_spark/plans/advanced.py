@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._helpers import spread, t
+from ._helpers import dec, spread, t
 from .registry import query
 
 
@@ -404,4 +404,60 @@ def q_pandas_grouped_agg(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(decimal_mean("l_quantity").alias("mean_qty"))
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_multistage_windows",
+    oracle="""
+        WITH minute_rollup AS (
+            SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS win_start,
+                   user_id,
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(floor(win_start/86400)*86400 AS BIGINT) AS day_start,
+               count(*) AS n_active_user_windows,
+               count(DISTINCT user_id) AS n_users,
+               max(n) AS peak_10min_events,
+               CAST(sum(v) AS DOUBLE) AS day_value
+        FROM minute_rollup
+        GROUP BY 1
+        ORDER BY day_start
+    """,
+    tags=("complex", "window-time", "multi-stage"),
+)
+def q_multistage_windows(spark, sf_dir):
+    """Multi-level window pipeline: 10-minute per-user windows rolled up
+    into daily totals (chained groupBy(window(...)) stages — the
+    map-side-partial + re-aggregate shape that at scale only shuffles the
+    first stage's compacted output into the second)."""
+    ev = t(spark, sf_dir, "events")
+    per_10min = (
+        ev.groupBy(
+            F.window("ts", "10 minutes").start.cast("long").alias("win_start"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).alias("v"))
+    )
+    return (
+        per_10min.groupBy(
+            F.floor(F.col("win_start") / 86400).cast("long").alias("_day")
+        )
+        .agg(
+            F.count("*").alias("n_active_user_windows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("n").alias("peak_10min_events"),
+            F.sum("v").cast("double").alias("day_value"),
+        )
+        .select(
+            (F.col("_day") * 86400).alias("day_start"),
+            "n_active_user_windows",
+            "n_users",
+            "peak_10min_events",
+            "day_value",
+        )
+        .orderBy("day_start")
     )
