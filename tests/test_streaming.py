@@ -228,3 +228,27 @@ def test_transform_with_state_running_totals(spark, stream_dir, tmp_path):
         for r in exp_df.collect()
     }
     assert got == exp
+
+
+def test_estimation_stream_matches_batch(spark, tmp_path, tmp_path_factory):
+    import json
+
+    from flink_estimator_spark.estimator import estimate_df, estimate_stream, scenario_schema
+    from tests.scenarios import GOLDEN
+
+    d = tmp_path_factory.mktemp("scenario_stream")
+    # two micro-batch files of scenario records
+    for i, chunk in enumerate((GOLDEN[:3], GOLDEN[3:])):
+        with open(d / f"req-{i}.json", "w") as f:
+            for kw in chunk:
+                f.write(json.dumps(kw) + "\n")
+
+    out = _run_stream(
+        spark, estimate_stream(spark, str(d)), "est_stream_out", tmp_path
+    )
+    batch_in = spark.read.schema(scenario_schema).json(str(d))
+    exp = estimate_df(batch_in)
+    got_rows = {r["project_name"]: r.asDict(recursive=True) for r in out.collect()}
+    exp_rows = {r["project_name"]: r.asDict(recursive=True) for r in exp.collect()}
+    assert got_rows == exp_rows
+    assert len(got_rows) == len(GOLDEN)
