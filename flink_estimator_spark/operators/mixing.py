@@ -1,0 +1,205 @@
+"""Training-data assembly operators: deterministic stratified mixing,
+sequence packing, and n-gram language-model statistics.
+
+These are the stages between "deduped corpus" and "training batches":
+
+* **mixing** — enforce per-source quotas with a *deterministic* sample
+  (rank docs inside each source by a hash of their id and keep the first
+  k): reproducible across engines and runs, unlike ``sampleBy``'s
+  RNG-dependent draw, and exactly the mixture-weights step of corpus
+  curation.  One window per source partition — a single shuffle on
+  ``source``.
+* **packing** — assign docs to fixed-token-budget packs by running token
+  count in a canonical order.  The greedy sequential form used here
+  (``pack = floor((cumsum - tokens) / budget)``) admits boundary overflow
+  (a doc may straddle two packs' budgets) in exchange for being a pure
+  window expression — the shape real packers vectorize; a strict
+  no-overflow packer is per-partition sequential (applyInPandas).
+* **n-gram LM** — bigram conditional probabilities by two aggregates and a
+  window; count-based, so exact in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+
+
+def _nonempty_token_count(col: str):
+    """Whitespace token count with empty-string tokens dropped (matches the
+    oracle's ``list_filter(split(...), x -> x <> '')`` for blank docs)."""
+    return F.size(
+        F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != "")
+    ).cast("long")
+
+
+def stratified_mix(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota sampling: rank by xxhash64(id) within
+    each stratum, keep the first ``quota`` rows.  Hash-ranking is an
+    unbiased shuffle of each stratum that every engine reproduces."""
+    qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    w = W.partitionBy(strat_col).orderBy(F.xxhash64(F.col(id_col)), id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_quota", qmap[F.col(strat_col)])
+        .filter(F.col("_rk") <= F.coalesce(F.col("_quota"), F.lit(0)))
+        .drop("_rk", "_quota")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence packing: docs in ``id`` order fill packs
+    of ``budget_tokens`` whitespace tokens; ``pack_id`` is the number of
+    full budgets consumed before the doc starts."""
+    toks = _nonempty_token_count(text_col)
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.floor((F.sum(toks).over(w) - toks) / budget_tokens)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@query(
+    "q_data_mixing",
+    oracle="""
+        SELECT source, count(*) AS n_docs
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY source ORDER BY hash(doc_id), doc_id) AS rk
+            FROM documents
+        )
+        WHERE rk <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                                WHEN 'src2' THEN 15 ELSE 2 END
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "mixing", "sampling"),
+)
+def q_data_mixing(spark, sf_dir):
+    """Deterministic stratified mixing under per-source quotas.
+
+    The per-stratum *counts* are the oracle contract (DuckDB's hash() and
+    Spark's xxhash64 rank docs differently, but both keep exactly
+    min(quota, |stratum|) rows, so counts match; the specific survivors
+    are engine-local)."""
+    docs = t(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    quotas = {s: {"src0": 10, "src1": 5, "src2": 15}.get(s, 2) for s in sources}
+    mixed = stratified_mix(docs, quotas)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select("source", "n_docs")
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle=r"""
+        SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+        FROM (
+            SELECT doc_id,
+                   n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                              / 2048) AS BIGINT) AS pack_id
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            )
+        )
+        GROUP BY pack_id
+        ORDER BY pack_id
+    """,
+    tags=("llm", "packing"),
+)
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing summary: docs fill 2048-token packs in id order;
+    per-pack doc counts and token totals."""
+    packed = pack_sequences(t(spark, sf_dir, "documents"), budget_tokens=2048)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("pack_id")
+    )
+
+
+@query(
+    "q_ngram_lm",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, i, words[i] AS tok, words[i+1] AS nxt
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+        ),
+        big AS (
+            SELECT tok, nxt, count(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT tok, sum(c) AS total FROM big GROUP BY 1
+        )
+        SELECT b.tok, b.nxt, b.c,
+               CAST(b.c AS DOUBLE) / u.total AS cond_p
+        FROM big b JOIN uni u ON b.tok = u.tok
+        WHERE u.total >= 50
+        ORDER BY b.tok, b.c DESC, b.nxt
+        LIMIT 100
+    """,
+    tags=("llm", "ngram", "language-model"),
+)
+def q_ngram_lm(spark, sf_dir):
+    """Bigram language-model statistics: conditional next-token
+    probabilities for frequent contexts (two count aggregates + a join —
+    the count-based core of n-gram LM training, exact in any engine)."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("tok"),
+                        F.element_at(words, i + 1).alias("nxt"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<tok:string,nxt:string>>"))
+        ).alias("p")
+    ).select("p.tok", "p.nxt")
+    big = pairs.groupBy("tok", "nxt").agg(F.count("*").alias("c"))
+    uni = big.groupBy("tok").agg(F.sum("c").alias("total"))
+    return (
+        big.join(uni, "tok")
+        .filter(F.col("total") >= 50)
+        .select(
+            "tok", "nxt", "c", (F.col("c").cast("double") / F.col("total")).alias("cond_p")
+        )
+        .orderBy("tok", F.desc("c"), "nxt")
+        .limit(100)
+    )
