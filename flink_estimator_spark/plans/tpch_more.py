@@ -508,3 +508,125 @@ def q21_sole_late_shipper(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q9_nation_profit",
+    oracle=f"""
+        SELECT supp_nation, o_year,
+               CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS supp_nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   {REVENUE_SQL} AS amount
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE p_name LIKE '%bolt%'
+        )
+        GROUP BY supp_nation, o_year
+        ORDER BY supp_nation, o_year DESC
+    """,
+    tags=("complex", "join", "tpch"),
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp in the fixture, so profit = revenue):
+    five-way join with a LIKE filter on part name, grouped by supplier
+    nation and order year.  part/supplier/nation broadcast; the only
+    shuffle is the lineitem⋈orders join + the final aggregate."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("sum_profit"))
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+        SELECT l_returnflag AS ship_class,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("medium", "join", "conditional-agg", "tpch"),
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (returnflag stands in for the fixture's missing
+    shipmode): join + lateness predicate + two-way conditional counts.
+    The shipdate range is pushed to the parquet scan; the lateness
+    predicate evaluates post-join."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("medium", "join", "distinct-agg", "anti", "tpch"),
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    part class, excluding a complaint set (NOT IN → broadcast anti-join;
+    negative account balance stands in for the fixture's missing
+    complaint comment)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
