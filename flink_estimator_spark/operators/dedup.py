@@ -50,6 +50,7 @@ def shingle_df(
     text_col: str = "text",
     n: int = 5,
     max_shingle_freq: int | None = None,
+    partition_by_shingle: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document, as 64-bit hashes:
     (id, shingle: long).
@@ -71,11 +72,21 @@ def shingle_df(
         k >= 1,
         F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    out = (
-        df.select(F.col(id_col), F.explode(grams).alias("_shingle_str"))
-        .select(F.col(id_col), F.xxhash64("_shingle_str").alias("shingle"))
-        .distinct()
+    out = df.select(F.col(id_col), F.explode(grams).alias("_shingle_str")).select(
+        F.col(id_col), F.xxhash64("_shingle_str").alias("shingle")
     )
+    if partition_by_shingle:
+        # Partition the exploded shingles by `shingle` BEFORE the distinct:
+        # hashpartitioning(shingle) satisfies the distinct's clustering on
+        # (id, shingle) (subset rule), and — the point — it is exactly the
+        # distribution the downstream self-join on `shingle` needs, so the
+        # join adds NO further exchange.  One shuffle of the exploded set
+        # instead of three (distinct + both join sides).  Only worth it for
+        # join consumers: an aggregate-by-id consumer (MinHash) would lose
+        # the map-side partial dedup and re-shuffle on the id anyway.
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = out.repartition(n_part, F.col("shingle"))
+    out = out.distinct()
     if max_shingle_freq is not None:
         freq = out.groupBy("shingle").agg(F.count("*").alias("df_"))
         out = (
@@ -102,7 +113,7 @@ def jaccard_pairs(
     Shingles arrive pre-hashed from ``shingle_df`` (8-byte join keys — an
     order of magnitude less shuffle than the strings at corpus scale).
     """
-    sh = shingle_df(df, id_col, text_col, n).cache()
+    sh = shingle_df(df, id_col, text_col, n, partition_by_shingle=True).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -356,7 +367,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 20, dedup_edges: bool = False
 ) -> DataFrame:
     """Connected components of an undirected pair graph by iterative
     min-label propagation: every vertex repeatedly adopts the smallest label
@@ -368,19 +379,29 @@ def connected_components(
     Iterations are bounded by the graph diameter, which for near-dup
     clusters is tiny (they are near-cliques).
 
+    The edge pipeline is cached before symmetrization (it feeds both union
+    branches — without the cache an expensive upstream, e.g. the Jaccard
+    pair graph, would be computed twice).  Labels start at the one-hop
+    minimum, which is exactly what iteration 1 would compute — so the loop
+    begins at hop 2.  ``dedup_edges`` adds a distinct over the symmetrized
+    edges; leave it off when the input is already unique pairs (min-label
+    propagation is idempotent under duplicate edges — they only add join
+    rows).
+
     Input: (id_a, id_b) pairs.  Output: (doc_id, cluster) with cluster ==
     min doc_id of the component.
     """
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .cache()
+    edges = edges.cache()
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    if dedup_edges:
+        sym = sym.distinct()
+    sym = sym.cache()
+    # first hop folded into the init: cluster0 = min(own id, min neighbor)
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster"))
         .cache()
     )
     for _ in range(max_iters):

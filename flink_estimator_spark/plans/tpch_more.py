@@ -472,39 +472,40 @@ def q19_disjunctive_predicates(spark, sf_dir):
 def q21_sole_late_shipper(spark, sf_dir):
     """TPC-H Q21 shape (no receipt/commit dates in the fixture, so "late" is
     shipped >60 days after ordering): suppliers who were the only late
-    shipper on a multi-supplier order — EXISTS -> left-semi, NOT EXISTS ->
-    left-anti on self-joined lineitem."""
+    shipper on a multi-supplier order.
+
+    The EXISTS / NOT EXISTS pair is evaluated as per-order aggregates
+    instead of two lineitem self-joins: a supplier qualifies on an order
+    iff the order has >1 distinct supplier and exactly 1 late supplier.
+    After the lineitem⋈orders join partitions on the order key, every
+    later group-by and join reuses that partitioning — the whole decision
+    tree costs one extra exchange (the distinct-supplier count), not four
+    self-join shuffles, and nothing is computed twice."""
     s = t(spark, sf_dir, "supplier")
-    o = t(spark, sf_dir, "orders")
-    l1 = t(spark, sf_dir, "lineitem").alias("l1")
-    l2 = t(spark, sf_dir, "lineitem").alias("l2")
-    late1 = (
-        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .filter(F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l1.l_orderkey", "l1.l_suppkey", "l1.l_linenumber")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
     )
-    # another supplier on the same order
-    other = l2.select(
-        F.col("l2.l_orderkey").alias("ok2"), F.col("l2.l_suppkey").alias("sk2")
+    late_per_os = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count("*").alias("n_late_lines")
     )
-    multi = late1.join(
-        other,
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
+    late_per_o = late_per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_late_supp")
     )
-    # ... but no OTHER supplier was late on that order
-    other_late = late1.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    supp_per_o = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
     )
-    sole = multi.join(
-        other_late,
-        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
-        "left_anti",
+    sole = (
+        late_per_os.join(late_per_o.filter(F.col("n_late_supp") == 1), "l_orderkey")
+        .join(supp_per_o.filter(F.col("n_supp") > 1), "l_orderkey")
     )
     return (
         sole.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
