@@ -101,7 +101,13 @@ def main() -> int:
         "n_queries": len(timings),
         "failed": failed,
     }
-    print(json.dumps(out))
+    # the JSON line is the contract: flush stderr first and lead with a
+    # newline so the line stays intact even if some library left an
+    # unterminated line on a merged stream
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
     return 1 if failed else 0
 
 

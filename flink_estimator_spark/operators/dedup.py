@@ -280,8 +280,8 @@ def simhash_candidates(
     "q_dedup_exact_docs",
     oracle=r"""
         SELECT count(*) AS n_unique,
-               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-               sum(n_copies) AS n_docs
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+               CAST(sum(n_copies) AS BIGINT) AS n_docs
         FROM (
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
                    count(*) AS n_copies

@@ -42,16 +42,21 @@ def stratified_mix(
     quotas: dict[str, int],
     strat_col: str = "source",
     id_col: str = "doc_id",
+    default_quota: int = 0,
 ) -> DataFrame:
     """Deterministic per-stratum quota sampling: rank by xxhash64(id) within
     each stratum, keep the first ``quota`` rows.  Hash-ranking is an
-    unbiased shuffle of each stratum that every engine reproduces."""
+    unbiased shuffle of each stratum that every engine reproduces.
+
+    ``quotas`` is a literal map baked into the plan; strata absent from it
+    fall back to ``default_quota`` — no driver-side enumeration of the
+    stratum values is ever needed."""
     qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
     w = W.partitionBy(strat_col).orderBy(F.xxhash64(F.col(id_col)), id_col)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .withColumn("_quota", qmap[F.col(strat_col)])
-        .filter(F.col("_rk") <= F.coalesce(F.col("_quota"), F.lit(0)))
+        .filter(F.col("_rk") <= F.coalesce(F.col("_quota"), F.lit(default_quota)))
         .drop("_rk", "_quota")
     )
 
@@ -61,18 +66,54 @@ def pack_sequences(
     budget_tokens: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Greedy sequential sequence packing: docs in ``id`` order fill packs
     of ``budget_tokens`` whitespace tokens; ``pack_id`` is the number of
-    full budgets consumed before the doc starts."""
+    full budgets consumed before the doc starts.
+
+    Scale shape (SCALE.md §9): the global running sum is a two-level
+    cumsum, never a single-task global window —
+
+    1. range-partition by ``id`` into ``num_shards`` ordered shards;
+    2. per-shard token totals (tiny: one row per shard);
+    3. each shard's prefix offset = sum of totals of *earlier* shards,
+       via a triangular broadcast self-join (shards² pairs, no
+       partition-less window anywhere in the plan);
+    4. partition-local cumsum (window partitioned by shard id) + offset.
+
+    Exactly the classic distributed prefix-sum; every stage is parallel
+    over shards, so the plan survives a 100x corpus."""
     toks = _nonempty_token_count(text_col)
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    return df.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        F.floor((F.sum(toks).over(w) - toks) / budget_tokens)
-        .cast("long")
-        .alias("pack_id"),
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    shards = num_shards or base.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(shards, id_col).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    # RangePartitioner assigns ordered key ranges to ascending partition ids,
+    # so _shard order == id order across shards.
+    totals = ranged.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot"))
+    offsets = (
+        totals.alias("a")
+        .join(F.broadcast(totals.alias("b")), F.col("b._shard") < F.col("a._shard"), "left")
+        .groupBy(F.col("a._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_offset"))
+    )
+    local = W.partitionBy("_shard").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_shard")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(
+                (F.col("_offset") + F.sum("n_tokens").over(local) - F.col("n_tokens"))
+                / budget_tokens
+            )
+            .cast("long")
+            .alias("pack_id"),
+        )
     )
 
 
@@ -98,11 +139,12 @@ def q_data_mixing(spark, sf_dir):
     The per-stratum *counts* are the oracle contract (DuckDB's hash() and
     Spark's xxhash64 rank docs differently, but both keep exactly
     min(quota, |stratum|) rows, so counts match; the specific survivors
-    are engine-local)."""
+    are engine-local).  Quotas are a literal map with a default — no
+    driver-side enumeration of the sources."""
     docs = t(spark, sf_dir, "documents")
-    sources = [r["source"] for r in docs.select("source").distinct().collect()]
-    quotas = {s: {"src0": 10, "src1": 5, "src2": 15}.get(s, 2) for s in sources}
-    mixed = stratified_mix(docs, quotas)
+    mixed = stratified_mix(
+        docs, {"src0": 10, "src1": 5, "src2": 15}, default_quota=2
+    )
     return (
         mixed.groupBy("source")
         .agg(F.count("*").alias("n_docs"))
@@ -114,7 +156,7 @@ def q_data_mixing(spark, sf_dir):
 @query(
     "q_sequence_packing",
     oracle=r"""
-        SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+        SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         FROM (
             SELECT doc_id,
                    n_tokens,

@@ -106,7 +106,7 @@ _SQL_EN_HITS = r"len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|i
     oracle=f"""
         SELECT source,
                count(*) AS n_docs,
-               sum(CAST({_SQL_NTOK} AS BIGINT)) AS total_tokens,
+               CAST(sum(CAST({_SQL_NTOK} AS BIGINT)) AS BIGINT) AS total_tokens,
                CAST(sum(CAST({_SQL_NTOK} AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
                max(n_chars) AS max_chars
         FROM documents

@@ -81,6 +81,32 @@ def test_no_unintended_cartesian(spark, name):
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+# A window with no PARTITION BY routes its whole input through one task.
+# Legitimate only where the input is explicitly bounded (q_ntile_rank caps
+# the key range to 2000 rows on purpose — global NTILE/RANK is the operator).
+ALLOWED_GLOBAL_WINDOW = {"q_ntile_rank"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_partitionless_sort_window(spark, name):
+    if name in ALLOWED_GLOBAL_WINDOW:
+        pytest.skip("declared bounded-input global window")
+    plan = (
+        QUERIES[name]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # logical Window prints `Window [exprs], [partitionSpec], [orderSpec]`;
+    # a partition-less window drops the middle bracket group
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, (
+                f"{name} plans a partition-less sort window:\n{line.strip()}"
+            )
+
+
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_forecast_revenue"])
 def test_hot_aggregates_use_codegen(spark, name):
     # simple-mode explain marks whole-stage-codegen spans with "*(n)"; AQE
