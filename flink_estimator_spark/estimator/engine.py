@@ -37,6 +37,7 @@ from .calculus import (
     TM_VCPUS,
     VM_TSHIRT_MB_CPU,
     Scenario,
+    normalize_scenario,
     sizing_core,
     validate_scenario,
 )
@@ -117,17 +118,25 @@ def _tshirt_lookup(idx: int, otherwise: Column) -> Column:
     return expr
 
 
-def normalize(df: DataFrame) -> DataFrame:
-    """Defaulting + T-shirt normalization + derived columns, all Catalyst
-    (reference models.py:67-84, estimation.py:601-606)."""
+def apply_defaults(df: DataFrame) -> DataFrame:
+    """Pydantic-style defaulting only (reference models.py:67-84) — no
+    T-shirt overwrite, so the result still carries the *raw* capacity values
+    the reference validates against."""
     out = df
     for name, default in _SCENARIO_DEFAULTS.items():
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
     if "worker_node_t_size" not in out.columns:
         out = out.withColumn("worker_node_t_size", F.lit(None).cast("string"))
+    return out.withColumn("project_name", F.trim(F.col("project_name")))
+
+
+def normalize(df: DataFrame) -> DataFrame:
+    """Defaulting + T-shirt normalization + derived columns, all Catalyst
+    (reference models.py:67-84, estimation.py:601-606)."""
+    out = apply_defaults(df)
     is_vm = (F.col("worker_node_type") == "VM") & F.col("worker_node_t_size").isNotNull()
     out = (
-        out.withColumn("project_name", F.trim(F.col("project_name")))
+        out
         .withColumn(
             "worker_node_memory_mb",
             F.when(is_vm, _tshirt_lookup(0, F.col("worker_node_memory_mb")).cast("double"))
@@ -247,7 +256,11 @@ def _run_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             rec = {f.name: None for f in _core_schema.fields}
             rec["error"] = "; ".join(errs)
         else:
-            core = sizing_core(s)
+            # validation sees RAW capacity values (reference order:
+            # validate first, then T-shirt normalization — estimation.py
+            # rejects out-of-range worker_node_memory_mb even when a VM
+            # t-size would overwrite it); normalize only after it passes
+            core = sizing_core(normalize_scenario(s))
             rec = {
                 "jm_cpu": core.jm_cpu,
                 "jm_memory": core.jm_memory,
@@ -330,8 +343,25 @@ def estimate_df(df: DataFrame) -> DataFrame:
     Input: any DataFrame with the ``scenario_schema`` columns (missing
     nullable values are defaulted, as the reference's Pydantic layer does).
     """
+    df = apply_defaults(df)
+    # stash the raw (pre-T-shirt) capacity values: the kernel validates raw
+    # input exactly like the reference, then normalizes internally
+    df = df.withColumn("_raw_memory_mb", F.col("worker_node_memory_mb")).withColumn(
+        "_raw_cpu_max", F.col("worker_node_cpu_max")
+    )
     df = normalize(df)
-    core = df.withColumn("core", _sizing_core_udf(F.struct(*_KERNEL_FIELDS))).select("*", "core.*")
+    _raw_aliases = {
+        "worker_node_memory_mb": "_raw_memory_mb",
+        "worker_node_cpu_max": "_raw_cpu_max",
+    }
+    kernel_struct = F.struct(
+        *[F.col(_raw_aliases.get(n, n)).alias(n) for n in _KERNEL_FIELDS]
+    )
+    core = (
+        df.withColumn("core", _sizing_core_udf(kernel_struct))
+        .select("*", "core.*")
+        .drop("_raw_memory_mb", "_raw_cpu_max")
+    )
 
     ok = F.col("error").isNull()
     tm_total_mem = F.ceil(F.col("nb_task_managers") * F.col("tm_process_memory_mb")).cast("long")

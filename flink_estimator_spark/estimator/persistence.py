@@ -25,7 +25,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .engine import scenario_schema
+from .engine import _SCENARIO_DEFAULTS, scenario_schema
 
 VERSION = "1.0"
 _FORBIDDEN = ("..", "/", "\\")
@@ -54,9 +54,31 @@ def envelope_df(inputs: DataFrame, results: DataFrame, saved_at: str) -> DataFra
         F.col("i.project_name").alias("project_name"),
         F.lit(saved_at).alias("saved_at"),
     )
+    # Join on the full scenario identity, not project_name alone: two
+    # scenarios sharing a name must each pair with their own result, never
+    # cross-product.  The result side only carries the *defaulted* input
+    # echo (input_summary), so the input side is defaulted the same way
+    # before comparing; null-safe equality covers worker_node_t_size.
+    join_cond = F.trim(F.col("i.project_name")) == F.col("r.project_name")
+    for iname, rcol in [
+        ("messages_per_second", "r.input_summary.messages_per_second"),
+        ("avg_record_size_bytes", "r.input_summary.avg_record_size_bytes"),
+        ("num_distinct_keys", "r.input_summary.num_distinct_keys"),
+        ("data_skew_risk", "r.input_summary.data_skew_risk"),
+        ("expected_latency_seconds", "r.input_summary.expected_latency_seconds"),
+        ("simple_statements", "r.input_summary.simple_statements"),
+        ("medium_statements", "r.input_summary.medium_statements"),
+        ("complex_statements", "r.input_summary.complex_statements"),
+        ("worker_node_t_size", "r.input_summary.worker_node_t_size"),
+    ]:
+        default = _SCENARIO_DEFAULTS.get(iname)
+        lhs = F.col(f"i.{iname}")
+        if default is not None:
+            lhs = F.coalesce(lhs, F.lit(default))
+        join_cond = join_cond & lhs.eqNullSafe(F.col(rcol))
     return (
         inputs.alias("i")
-        .join(results.alias("r"), F.col("i.project_name") == F.col("r.project_name"))
+        .join(results.alias("r"), join_cond)
         .filter(F.col("r.error").isNull())
         .select(
             meta.alias("metadata"),
@@ -64,6 +86,9 @@ def envelope_df(inputs: DataFrame, results: DataFrame, saved_at: str) -> DataFra
             res_struct.alias("estimation_results"),
             F.lit(VERSION).alias("version"),
         )
+        # byte-identical duplicate scenarios still multiply through the join;
+        # their envelopes are identical (content-addressed ids), so collapse
+        .dropDuplicates()
     )
 
 

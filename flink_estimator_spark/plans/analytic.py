@@ -165,6 +165,82 @@ def q_sessionization(spark, sf_dir):
 
 
 @query(
+    "q_session_dynamic_gap",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CAST(CASE event_type WHEN 'purchase' THEN 2400
+                                        WHEN 'error' THEN 300
+                                        ELSE 900 END AS BIGINT) AS gap_s
+            FROM events
+            WHERE user_id < 50
+        ),
+        f AS (
+            SELECT user_id, ts, event_id, gap_s,
+                   max(epoch_us(ts) + gap_s * 1000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
+            FROM g
+        ),
+        s AS (
+            SELECT user_id, ts, gap_s,
+                   CAST(sum(CASE WHEN prev_end_us IS NULL
+                                   OR epoch_us(ts) >= prev_end_us
+                                 THEN 1 ELSE 0 END) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(epoch_us(ts)) AS sess_start_us,
+               max(epoch_us(ts) + gap_s * 1000000) AS sess_end_us
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("complex", "window-time", "session", "dynamic-gap"),
+)
+def q_session_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap sessionization (SURVEY §4's named hole): the inactivity
+    gap is a per-event expression — purchases hold a session open 40 min,
+    errors only 5, everything else 15.  An event starts a new session when
+    its time reaches the running max of (ts + gap) over all earlier events
+    (not just the previous one — a short-gap event may not extend the
+    horizon a long-gap one already set).  Batch shadow of
+    streaming.windows.session_agg_dynamic (F.session_window with a gap
+    expression); same interval-merge semantics."""
+    gap_s = (
+        F.when(F.col("event_type") == "purchase", 2400)
+        .when(F.col("event_type") == "error", 300)
+        .otherwise(900)
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumn("gap_s", gap_s.cast("long"))
+        .withColumn("end_us", F.unix_micros("ts") + F.col("gap_s") * 1000000)
+    )
+    prev_end = F.max("end_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_end.isNull() | (F.unix_micros("ts") >= prev_end), 1).otherwise(0),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("sess_start_us"),
+            F.max("end_us").alias("sess_end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
     "q_rollup",
     oracle="""
         SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -477,5 +553,104 @@ def q_cep_funnel(spark, sf_dir):
         )
         .groupBy(F.col("s_user").alias("user_id"))
         .agg(F.count("*").alias("n_conversions"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_cep_three_step",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s_ts
+            FROM events
+        ),
+        s2 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' AND ts > s_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS v_ts
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS p_ts
+            FROM s2
+        ),
+        s4 AS (
+            SELECT *, CAST(sum(CASE WHEN event_type = 'error'
+                                     AND ts > s_ts AND ts < p_ts
+                                    THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY user_id) AS BIGINT) AS n_err
+            FROM s3
+        )
+        SELECT DISTINCT user_id,
+               epoch_us(s_ts) AS signup_us,
+               epoch_us(v_ts) AS view_us,
+               epoch_us(p_ts) AS purchase_us
+        FROM s4
+        WHERE p_ts IS NOT NULL
+          AND epoch(p_ts) - epoch(s_ts) <= 7200
+          AND n_err = 0
+        ORDER BY user_id
+    """,
+    tags=("complex", "cep", "pattern", "negation", "timeout"),
+)
+def q_cep_three_step(spark, sf_dir):
+    """Three-step CEP with timeout and negation (the reference's "complex"
+    class, estimation.html:231-245): earliest signup -> first later view ->
+    first later purchase, the whole chain within 2 h of the signup, with NO
+    error event strictly between signup and purchase.  Earliest-match
+    semantics (one attempt per user), so the pattern is four chained
+    partition-only window aggregates — one shuffle on user_id, no sort
+    window, no self-join.  Batch shadow of streaming.cep.three_step_matches."""
+    ev = t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+        )
+        .withColumn(
+            "v_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "n_err",
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") > F.col("s_ts"))
+                    & (F.col("ts") < F.col("p_ts")),
+                    1,
+                ).otherwise(0)
+            ).over(wu),
+        )
+    )
+    return (
+        staged.filter(
+            F.col("p_ts").isNotNull()
+            & (F.col("p_ts").cast("double") - F.col("s_ts").cast("double") <= 7200)
+            & (F.col("n_err") == 0)
+        )
+        .select(
+            "user_id",
+            F.unix_micros("s_ts").alias("signup_us"),
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+        )
+        .distinct()
         .orderBy("user_id")
     )

@@ -217,6 +217,41 @@ def q_join_left_order_counts(spark, sf_dir):
 
 
 @query(
+    "q_join_right_customer_coverage",
+    oracle="""
+        SELECT c.c_custkey,
+               c.c_mktsegment,
+               count(o.o_orderkey) AS n_open_orders,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS open_value
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+        RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        ORDER BY c.c_custkey
+    """,
+    tags=("medium", "join", "outer", "right"),
+)
+def q_join_right_customer_coverage(spark, sf_dir):
+    """RIGHT OUTER join (SURVEY §2.2 "Inner/Outer JOINs", reference join class
+    at src/templates/estimation.html:215-229): open orders right-joined to
+    customer so order-less customers survive on the null side (count 0,
+    value 0).  Mirror of q_join_left_order_counts with the preserved side on
+    the right — exercises Spark's how="right" plan path explicitly."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_open_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "q_join_full_nation_coverage",
     oracle="""
         WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),

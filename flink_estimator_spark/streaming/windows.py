@@ -65,3 +65,28 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "30
             "n_events",
         )
     )
+
+
+def session_agg_dynamic(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """SESSION with a *dynamic* gap expression (SURVEY §4's named hole):
+    each event extends its session by an event-type-dependent horizon —
+    purchases 40 min, errors 5 min, everything else 15 min.  Spark merges
+    the per-event intervals [ts, ts+gap); the batch shadow is
+    plans.analytic.q_session_dynamic_gap (running-max gaps-and-islands with
+    the same gap table)."""
+    gap = (
+        F.when(F.col("event_type") == "purchase", "40 minutes")
+        .when(F.col("event_type") == "error", "5 minutes")
+        .otherwise("15 minutes")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w").start).alias("sess_start_us"),
+            F.unix_micros(F.col("w").end).alias("sess_end_us"),
+            "n_events",
+        )
+    )

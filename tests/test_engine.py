@@ -64,6 +64,32 @@ def test_engine_matches_oracle(spark):
                 _cmp(name, flat_g[k], flat_e[k], f".{section}.{k}")
 
 
+def test_engine_rejects_invalid_vm_raw_capacity(spark):
+    """Validation must see the RAW capacity values, not the T-shirt-normalized
+    ones: a VM scenario with out-of-range worker_node_memory_mb is rejected by
+    the reference (validate-then-normalize order) and must be rejected by the
+    vectorized engine too, even though the t-size lookup would overwrite the
+    bad value."""
+    cases = [
+        dict(project_name="vm_bad_mem", worker_node_type="VM",
+             worker_node_t_size="S", worker_node_memory_mb=600000.0),
+        dict(project_name="vm_bad_cpu", worker_node_type="VM",
+             worker_node_t_size="M", worker_node_cpu_max=1),
+        dict(project_name="vm_ok", worker_node_type="VM",
+             worker_node_t_size="S"),
+    ]
+    got = {
+        r["project_name"]: r["error"]
+        for r in estimate_df(_mk_df(spark, cases)).collect()
+    }
+    for kw in cases:
+        exp = estimate_scenario(Scenario(**kw))
+        if exp.get("error"):
+            assert got[kw["project_name"]] == exp["error"], kw["project_name"]
+        else:
+            assert got[kw["project_name"]] is None, got[kw["project_name"]]
+
+
 def test_engine_validation_channel(spark):
     from pyspark.sql import functions as F
 

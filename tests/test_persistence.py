@@ -52,6 +52,25 @@ def test_envelope_roundtrip(spark, tmp_path):
     assert ids1 == ids2
 
 
+def test_envelope_no_cross_product_on_shared_project_name(spark):
+    """Two scenarios sharing a project name must each pair with their own
+    result — never a cross-product of mismatched input/result envelopes."""
+    a = dict(GOLDEN[0])
+    b = dict(GOLDEN[0])
+    b["messages_per_second"] = a.get("messages_per_second", 5000) * 7
+    inputs = _inputs_df(spark, [a, b])
+    results = estimate_df(inputs)
+    env = envelope_df(inputs, results, saved_at="2026-08-13T00:00:00")
+    rows = [r.asDict(recursive=True) for r in env.collect()]
+    assert len(rows) == 2
+    for r in rows:
+        # each envelope's echoed input must match its own result's echo
+        assert (
+            r["input_parameters"]["messages_per_second"]
+            == r["estimation_results"]["input_summary"]["messages_per_second"]
+        )
+
+
 def test_single_save_list_delete(tmp_path):
     d = str(tmp_path / "saved_single")
     r = estimate_scenario(Scenario(project_name="My Proj #1"))

@@ -66,6 +66,8 @@ ALLOWED_CROSS = {
     "q_emb_label_knn",
     "q_emb_lsh_ann",
     "q_emb_ivf_ann",
+    "q_emb_lsh_recall",  # embeds the exact brute-force side as its baseline
+    "q_emb_ivf_recall",
     "q_dedup_embedding",
     "q_range_join_bands",
     "q22_idle_balances",
@@ -99,10 +101,16 @@ def test_no_partitionless_sort_window(spark, name):
         .toString()
     )
     # logical Window prints `Window [exprs], [partitionSpec], [orderSpec]`;
-    # a partition-less window drops the middle bracket group
+    # a partition-less *sort* window (the single-task killer) drops the middle
+    # group, leaving exactly two groups with sort directions in the last one.
+    # Partition-only windows (no orderSpec) also print two groups but carry no
+    # ASC/DESC — those parallelize fine.
     for line in plan.splitlines():
-        if "Window [" in line:
-            assert line.count("], [") >= 2, (
+        if "Window [" not in line:
+            continue
+        tail = line[line.index("Window [") :]
+        if tail.count("], [") < 2 and re.search(r"\b(ASC|DESC)\b", tail.rsplit("], [", 1)[-1]):
+            raise AssertionError(
                 f"{name} plans a partition-less sort window:\n{line.strip()}"
             )
 

@@ -158,6 +158,49 @@ def test_session_stream_matches_batch_counts(spark, stream_dir, tmp_path):
     assert got_map == exp_map
 
 
+def test_session_dynamic_gap_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.streaming import session_agg_dynamic
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, session_agg_dynamic(ev, watermark="30 minutes"), "dynsess_out", tmp_path
+    )
+    got = {
+        (r["user_id"], r["sess_start_us"], r["sess_end_us"], r["n_events"])
+        for r in out.filter(
+            (F.col("user_id") != SENTINEL_USER) & (F.col("user_id") < 50)
+        ).collect()
+    }
+    exp = {
+        (r["user_id"], r["sess_start_us"], r["sess_end_us"], r["n_events"])
+        for r in QUERIES["q_session_dynamic_gap"].builder(spark, SF_SMALL).collect()
+    }
+    missing = exp - got
+    assert not missing, f"sessions not emitted: {list(missing)[:5]}"
+    assert got == exp
+
+
+def test_cep_three_step_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.streaming import three_step_matches
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, three_step_matches(ev, watermark="40 days"), "cep3_out", tmp_path,
+        mode="update",
+    )
+    got = {
+        (r["user_id"], r["signup_us"], r["view_us"], r["purchase_us"])
+        for r in out.filter(F.col("user_id") != SENTINEL_USER).collect()
+    }
+    exp = {
+        (r["user_id"], r["signup_us"], r["view_us"], r["purchase_us"])
+        for r in QUERIES["q_cep_three_step"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+
+
 def test_stream_config_from_estimator(spark):
     from flink_estimator_spark.estimator import Scenario
     from flink_estimator_spark.streaming import (
