@@ -1,0 +1,146 @@
+"""Deterministic corpus sampling + benchmark-decontamination screens.
+
+Training-data pipelines need reproducible sampling (the same 10% subset on
+every run, on every cluster size) and contamination checks (does the corpus
+contain benchmark strings?).  Both are pure column expressions here — a
+hash-bucket filter and a conditional aggregate — so they scale to 100 TB as
+a single scan with a tiny (num-sources / num-phrases sized) aggregate, no
+Python, no join, no extra shuffle beyond the final group-by.
+
+Reference scope note: the reference models only workload taxonomy
+(`/root/reference/src/templates/estimation.html:199-246`); sampling and
+decontamination are part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+
+def hash_bucket(col: str | Column, buckets: int = 16) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of the key.
+
+    md5 (not ``hash()``) because the bucket must be stable across engines,
+    Spark versions, and partitionings — the property that makes a sample
+    reproducible and lets a held-out split stay held out forever.  Uses the
+    first 8 hex chars (32 bits) via conv(); buckets must divide evenly for
+    an exactly uniform split (any power of two up to 2^32 works).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    word = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (word % F.lit(buckets)).cast("int")
+
+
+def sample_flag(col: str | Column, keep: int = 2, buckets: int = 16) -> Column:
+    """True for rows in the first `keep` of `buckets` hash buckets."""
+    return hash_bucket(col, buckets) < F.lit(keep)
+
+
+def deterministic_sample(df: DataFrame, key: str, keep: int = 2,
+                         buckets: int = 16) -> DataFrame:
+    """Filter to a reproducible keep/buckets fraction keyed on `key`."""
+    return df.filter(sample_flag(key, keep, buckets))
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+        WITH flagged AS (
+            SELECT source,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 16 < 2
+                        THEN 1 ELSE 0 END AS sampled,
+                   doc_id
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sampled) AS BIGINT) AS n_sampled,
+               CAST(sum(sampled) AS DOUBLE) / count(*) AS sample_rate,
+               CAST(min(CASE WHEN sampled = 1 THEN doc_id END) AS BIGINT)
+                   AS first_sampled_id
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def q_hash_sample(spark, sf_dir):
+    """Reproducible ~12.5% (2/16 md5-bucket) sample of the document corpus,
+    audited per source: totals, sampled counts, realized rate, and the first
+    sampled id (value-verifies the membership itself, not just the counts)."""
+    d = t(spark, sf_dir, "documents")
+    flag = sample_flag("doc_id").cast("int")
+    return (
+        d.select("source", flag.alias("sampled"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("sampled").alias("n_sampled"),
+            (F.sum("sampled").cast("double") / F.count("*")).alias("sample_rate"),
+            F.min(F.when(F.col("sampled") == 1, F.col("doc_id"))).alias(
+                "first_sampled_id"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# Benchmark strings to screen for (stand-ins for eval-set n-grams; on a real
+# pipeline this list is the concatenation of every benchmark's test split).
+_SCREEN_PHRASES = (
+    "key agg row scan",
+    "window merge spark",
+    "held out benchmark string",  # absent on purpose: the zero row is the point
+)
+
+
+@query(
+    "q_contamination_screen",
+    oracle="""
+        SELECT 'key agg row scan' AS phrase,
+               CAST(sum(CASE WHEN contains(text, 'key agg row scan')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
+        FROM documents
+        UNION ALL
+        SELECT 'window merge spark',
+               CAST(sum(CASE WHEN contains(text, 'window merge spark')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'held out benchmark string',
+               CAST(sum(CASE WHEN contains(text, 'held out benchmark string')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        ORDER BY phrase
+    """,
+    tags=("llm", "decontamination"),
+)
+def q_contamination_screen(spark, sf_dir):
+    """Benchmark-decontamination screen: how many documents contain each
+    benchmark phrase.  The phrase list compiles to one conditional-aggregate
+    scan (phrases are broadcast literals inside the plan) and unpivots to one
+    row per phrase — at 100 TB this is exactly one pass over the corpus
+    regardless of phrase count."""
+    d = t(spark, sf_dir, "documents")
+    hits = d.agg(
+        *[
+            F.sum((F.instr(F.col("text"), F.lit(p)) > 0).cast("long")).alias(f"h{i}")
+            for i, p in enumerate(_SCREEN_PHRASES)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{p}', h{i}" for i, p in enumerate(_SCREEN_PHRASES)
+    )
+    return (
+        hits.select(
+            F.expr(
+                f"stack({len(_SCREEN_PHRASES)}, {stack_args}) AS (phrase, n_docs_hit)"
+            )
+        )
+        .orderBy("phrase")
+    )

@@ -214,3 +214,100 @@ def q_text_lang_guess(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_guess")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS rep_ratio
+        FROM documents
+        ORDER BY rep_ratio DESC, doc_id
+        LIMIT 25
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition score (1 - distinct/total tokens) — the
+    standard cheap screen for degenerate/boilerplate documents.  Pure scalar
+    array expressions (no explode), so at 100 TB it is a single scan plus a
+    top-k sort."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            (F.lit(1.0) - n_distinct.cast("double") / n_tokens).alias("rep_ratio"),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "q_text_tfidf_top",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ),
+        df AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT doc_id, w AS top_term,
+               CAST(tf AS DOUBLE) * n_docs / df AS score
+        FROM (
+            SELECT tf.doc_id, tf.w, tf.tf, df.df, n.n_docs,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                                tf.w
+                   ) AS rn
+            FROM tf JOIN df USING (w) CROSS JOIN n
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
+        LIMIT 100
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def q_text_tfidf_top(spark, sf_dir):
+    """Most characteristic term per document, scored tf x (N/df) — a
+    division-only idf proxy so both engines produce bit-identical doubles
+    (log() implementations may differ in the last ulp across runtimes,
+    which would flip row_number ties; N/df ranks identically for fixed tf).
+
+    Shape at scale: one explode shuffle keyed (doc_id, w), a re-aggregate to
+    doc-frequency on the same data, a broadcast of the (small) df side back
+    onto tf, and a per-doc top-1 window — no all-pairs stage anywhere."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(score.desc(), F.col("w"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), score.alias("score"))
+        .orderBy("doc_id")
+        .limit(100)
+    )

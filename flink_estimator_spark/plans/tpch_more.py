@@ -631,3 +631,187 @@ def q16_supplier_variety(spark, sf_dir):
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS unit_cost
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name AS supp_nation,
+               p.p_partkey, p.p_name
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+          AND c.unit_cost = (
+              SELECT min(c2.unit_cost) FROM cost c2
+              WHERE c2.l_partkey = p.p_partkey
+          )
+        ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+        LIMIT 25
+    """,
+    tags=("complex", "correlated-subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp in the fixture, so lineitem stands in as
+    the part-supplier catalog and min line price as the supply cost): for
+    each qualifying part, the European supplier(s) quoting the minimum cost.
+
+    The correlated min decorrelates into a per-part aggregate joined back
+    on (partkey, cost); supplier/nation/region dimensions broadcast, so the
+    only exchanges are the two lineitem-sized aggregations — both keyed on
+    l_partkey, reusing one partitioning at scale."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("supp_nation"))
+    )
+    cost = (
+        l.join(F.broadcast(eu_supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        cost.join(best, (cost.l_partkey == F.col("bp"))
+                  & (cost.unit_cost == F.col("best_cost")))
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), cost.l_suppkey == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "supp_nation", "p_partkey", "p_name",
+                "s_suppkey")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(25)
+        .drop("s_suppkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+        WITH val AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS part_value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM val
+        WHERE CAST(part_value AS DOUBLE) >
+              (SELECT CAST(sum(part_value) AS DOUBLE) * 0.001 FROM val)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("complex", "scalar-subquery", "having", "tpch"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem value standing in for partsupp stock):
+    parts whose shipped value from a 3-nation supplier group exceeds a
+    fraction of that group's total — HAVING against a global scalar.
+
+    The per-part value aggregate is computed once and reused for both the
+    threshold (1-row re-aggregate, broadcast) and the filtered output, so
+    the corpus is scanned and shuffled exactly once."""
+    l = t(spark, sf_dir, "lineitem")
+    grp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey")
+    )
+    val = (
+        l.join(F.broadcast(grp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("part_value_dec"))
+    )
+    total = val.agg(
+        (F.sum("part_value_dec").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("part_value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q20_majority_shippers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (
+            SELECT l_partkey, sum(supp_qty) AS part_qty
+            FROM shipped GROUP BY l_partkey
+        )
+        SELECT s.s_name, n.n_name AS supp_nation,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM shipped sh
+        JOIN tot ON tot.l_partkey = sh.l_partkey
+        JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_name LIKE 'small%'
+        JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE CAST(sh.supp_qty AS DOUBLE) > 0.5 * CAST(tot.part_qty AS DOUBLE)
+        GROUP BY s.s_name, n.n_name
+        ORDER BY s.s_name
+    """,
+    tags=("complex", "nested-subquery", "semi", "tpch"),
+)
+def q20_majority_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (shipped share standing in for availqty vs demand):
+    suppliers who shipped the majority of some 'small%' part's 1996 volume,
+    with how many such parts each dominates.
+
+    shipped→tot is a re-aggregation of the same keyed data (no second
+    lineitem scan); part/supplier/nation broadcast; both aggregates hash on
+    l_partkey so the heavy side shuffles once."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("supp_qty")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("tp"))
+        .filter(F.col("supp_qty").cast("double") > F.lit(0.5) * F.col("part_qty").cast("double"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("supp_nation"))
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("s_name")
+    )

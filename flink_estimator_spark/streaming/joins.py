@@ -52,3 +52,47 @@ def view_purchase_interval_join(
         F.col("p_ts").cast("long").alias("purchase_s"),
         F.col("v_ts").cast("long").alias("view_s"),
     )
+
+
+def view_purchase_left_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase, with its
+    preceding same-user views inside ``within`` — or a null view row when
+    none exists (the outer side Flink's "full left join" complex class
+    exercises, test_basic_estimation.py:317).
+
+    Outer stream-stream joins additionally require the watermark + time
+    bound so the engine knows when a purchase can never match again and the
+    null-padded row may be emitted; state stays bounded exactly as in the
+    inner variant.  Batch DataFrames run the same plan (no watermark), so
+    the batch run is the streaming test's oracle.
+    """
+    streaming = events.isStreaming
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if streaming:
+        v = v.withWatermark("v_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("p_ts").cast("long").alias("purchase_s"),
+        F.col("v_ts").cast("long").alias("view_s"),
+    )

@@ -90,3 +90,47 @@ def session_agg_dynamic(events: DataFrame, watermark: str = "1 hour") -> DataFra
             "n_events",
         )
     )
+
+
+def multistage_agg(
+    events: DataFrame,
+    inner: str = "1 minute",
+    outer: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Multi-level window pipeline — the reference's complex class names
+    "Multi-level window operations" (estimation.html:231-245): a fine
+    1-minute tumble aggregates raw events, then a second windowed aggregate
+    rolls the minute buckets into 10-minute totals with the peak minute.
+
+    Streaming uses Spark's chained time-window aggregation (grouping by
+    ``window(window_col, outer)`` over the first stage's window column),
+    i.e. two stateful operators in one query — supported in append mode
+    since multiple-stateful-operator support landed in Spark 3.4+.  The
+    map-side benefit at scale: the second stage consumes pre-aggregated
+    minute rows (~1/60th of the raw volume), so the wide-window state stays
+    tiny no matter the event rate.
+    """
+    streaming = events.isStreaming
+    src = events.withWatermark("ts", watermark) if streaming else events
+    minute = src.groupBy(
+        F.window("ts", inner).alias("mw"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("minute_value"),
+    )
+    return (
+        minute.groupBy(F.window(F.col("mw"), outer).alias("w"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("minute_value").cast("double").alias("sum_value"),
+            F.max("n").alias("peak_minute_events"),
+        )
+        .select(
+            F.col("w").start.cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "peak_minute_events",
+        )
+    )

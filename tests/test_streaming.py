@@ -295,3 +295,80 @@ def test_estimation_stream_matches_batch(spark, tmp_path, tmp_path_factory):
     exp_rows = {r["project_name"]: r.asDict(recursive=True) for r in exp.collect()}
     assert got_rows == exp_rows
     assert len(got_rows) == len(GOLDEN)
+
+
+def test_multistage_windows_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming import multistage_agg
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, multistage_agg(ev), "multistage_out", tmp_path)
+    got = {
+        (r["win_start"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["peak_minute_events"]
+        )
+        for r in out.collect()
+    }
+    exp = {
+        (r["win_start"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["peak_minute_events"]
+        )
+        for r in multistage_agg(_batch_events(spark)).collect()
+    }
+    # every real (non-sentinel) window must be emitted and identical
+    missing = {k: v for k, v in exp.items() if k not in got}
+    assert not missing, f"windows not emitted: {list(missing)[:5]}"
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_left_outer_interval_join_stream_matches_batch(
+    spark, stream_dir, tmp_path, tmp_path_factory
+):
+    from flink_estimator_spark.streaming import view_purchase_left_join
+
+    # Private copy of the stream dir: outer-join null rows are emitted in the
+    # micro-batch AFTER the watermark proves no match can arrive, so a second
+    # far-future sentinel batch is appended mid-run to flush them.
+    d = tmp_path_factory.mktemp("events_lojoin")
+    for f in sorted(os.listdir(stream_dir)):
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f))
+
+    ev = events_stream(spark, str(d))
+    q = (
+        view_purchase_left_join(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lojoin_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lojoin"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # The join watermark is the MIN across both sides; the shared view
+        # sentinel only advances the view side, so the purchase side would
+        # stay 2h behind the last real purchase and never expire it.  A
+        # far-future *purchase* sentinel advances the other side.
+        src = pq.read_table(os.path.join(str(d), "part-002-sentinel.parquet"))
+        pdf = src.to_pandas()
+        pdf["ts"] = pdf["ts"] + pd.Timedelta(days=10)
+        pdf["event_id"] = 10**12 + 1
+        pdf["event_type"] = "purchase"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(str(d), "part-003-sentinel2.parquet"))
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM lojoin_out")
+    got = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    exp = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in view_purchase_left_join(_batch_events(spark)).collect()
+    }
+    assert got == exp
+    # the outer side actually fires: some purchase has no preceding view
+    assert any(v is None for _, _, v in exp), "fixture lost its null-side rows"
