@@ -1,0 +1,104 @@
+"""Blocked fuzzy-match join (edit-distance self-join without the n² cross).
+
+The LLM-pipeline use case is entity/record fuzzy dedup: find all pairs of
+strings within a small edit distance.  All-pairs levenshtein is O(n²) and
+dead at corpus scale, so candidates come from *position-partitioned blocking*
+— a Hamming-style LSH:
+
+    split the 9 key digits of ``Customer#ddddddddd`` into the even-position
+    set {d1,d3,d5,d7,d9} and the odd-position set {d2,d4,d6,d8}.  A single
+    substitution falls in exactly one set, so any pair at distance <=1
+    agrees EXACTLY on the other set's digits — candidates are the union of
+    two equi-joins on those concatenated keys, never a cross join.
+
+The guarantee is the pigeonhole principle (k partitions catch k-1 edits), so
+recall is 1.0 by construction — unlike MinHash this blocking is exact for
+its distance bound.  Each equi-join shuffles on a short key; block sizes are
+bounded by key entropy (at sf0.1: ~200 blocks of ~75 → ~1M candidate pairs
+from 15k² = 225M possible).  For real-world strings the same scheme applies
+to any fixed-width normalized key; variable-length keys take the n-gram
+Jaccard path in ``operators/dedup.py`` instead.
+
+Reference scope note: the reference models only operator complexity classes
+(`/root/reference/src/templates/estimation.html:231-245`); fuzzy matching is
+part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+# digit positions (1-indexed within the string) for Customer#ddddddddd
+_EVEN_POS = (10, 12, 14, 16, 18)
+_ODD_POS = (11, 13, 15, 17)
+
+
+def _pos_key(col: Column, positions: tuple[int, ...]) -> Column:
+    return F.concat(*[F.substring(col, p, 1) for p in positions])
+
+
+def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
+    """All (a, b) string pairs with levenshtein(a,b) <= max_dist, a < b,
+    via the even/odd position blocking described in the module docstring."""
+    names = df.select(F.col(col).alias("name")).distinct()
+    with_keys = names.select(
+        "name",
+        _pos_key(F.col("name"), _EVEN_POS).alias("ka"),
+        _pos_key(F.col("name"), _ODD_POS).alias("kb"),
+    )
+    a = with_keys.select(
+        F.col("name").alias("name_a"),
+        F.col("ka").alias("ka_a"),
+        F.col("kb").alias("kb_a"),
+    )
+    b = with_keys.select(
+        F.col("name").alias("name_b"),
+        F.col("ka").alias("ka_b"),
+        F.col("kb").alias("kb_b"),
+    )
+    lt = F.col("name_a") < F.col("name_b")
+    cand_even = a.join(b, (F.col("ka_a") == F.col("ka_b")) & lt).select("name_a", "name_b")
+    cand_odd = a.join(b, (F.col("kb_a") == F.col("kb_b")) & lt).select("name_a", "name_b")
+    cand = cand_even.union(cand_odd).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+_SQL_KA = "substr({a}.c_name,10,1)||substr({a}.c_name,12,1)||substr({a}.c_name,14,1)||substr({a}.c_name,16,1)||substr({a}.c_name,18,1)"
+_SQL_KB = "substr({a}.c_name,11,1)||substr({a}.c_name,13,1)||substr({a}.c_name,15,1)||substr({a}.c_name,17,1)"
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    oracle=f"""
+        WITH cand AS (
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM customer a JOIN customer b
+              ON {_SQL_KA.format(a='a')} = {_SQL_KA.format(a='b')}
+             AND a.c_name < b.c_name
+            UNION
+            SELECT a.c_name, b.c_name
+            FROM customer a JOIN customer b
+              ON {_SQL_KB.format(a='a')} = {_SQL_KB.format(a='b')}
+             AND a.c_name < b.c_name
+        )
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= 1
+        ORDER BY name_a, name_b
+    """,
+    tags=("llm", "fuzzy", "join", "blocking"),
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Every customer-name pair within edit distance 1, found via exact
+    position-partitioned blocking (two equi-joins + union) instead of an
+    n² cross join — recall 1.0 by pigeonhole."""
+    c = t(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_name", max_dist=1).orderBy("name_a", "name_b")
