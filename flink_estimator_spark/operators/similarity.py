@@ -108,10 +108,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def adaptive_planes(n: int, target_bucket: int = 200) -> int:
+    """Hyperplanes per table sized so the expected bucket holds
+    ``target_bucket`` vectors: planes = log2(n / target_bucket), clamped to
+    [4, 16].  Fixed bucket capacity is what makes LSH sub-quadratic — the
+    per-table candidate volume stays ~n x target_bucket (linear in n) at any
+    corpus size, with recall recovered through OR-amplification over tables.
+    A fixed plane count (the round-1 defect) re-grows buckets linearly with
+    the corpus and quietly reverts to O(n²/2^planes)."""
+    if n <= target_bucket:
+        return 4
+    return min(16, max(4, math.ceil(math.log2(n / target_bucket))))
+
+
 def lsh_ann(
     df: DataFrame,
     k: int = 5,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -122,13 +135,21 @@ def lsh_ann(
     independent hash tables of ``planes`` hyperplanes each; vectors are
     candidates if they share a bucket in ANY table (OR-amplification — the
     standard recall lever: one 8-plane table gave recall@5 = 0.008 on the
-    fixture corpus, 8 tables of 4 planes give 0.67 at ~half the all-pairs
-    cost).  Deterministic given the seed.
+    fixture corpus, 8 tables of 4 planes give 0.67).  ``planes=None`` sizes
+    the bucket space from the corpus count (``adaptive_planes``) so bucket
+    capacity stays constant as the corpus grows.  Deterministic given the
+    seed.
 
-    Scale shape: explode per table (rows x tables), bucket-join inside
-    (table, bucket) — candidate volume is sum over buckets of bucket², never
-    corpus²; duplicates across tables are merged by a pair-key groupBy
-    before the per-query top-k window."""
+    Scale shape, in order: (1) the bucket join carries only (table, bucket,
+    id) — vectors do NOT flow through the candidate shuffle; (2) cross-table
+    duplicate candidates are merged by a pair-id distinct BEFORE scoring, so
+    each surviving pair pays the 64-element fold exactly once (with 8 tables
+    that is up to 8x less arithmetic than score-then-merge); (3) vectors are
+    re-attached by two broadcast hash joins (corpus x 64 floats ~ 13 MB at
+    sf0.1 — for corpora beyond broadcast size these become sort-merge joins
+    on the id, still linear)."""
+    if planes is None:
+        planes = adaptive_planes(df.count())
     all_pl = _projection_planes(dim, planes * tables, seed)
     table_buckets = F.array(
         *[
@@ -136,23 +157,31 @@ def lsh_ann(
             for t in range(tables)
         ]
     )
-    bucketed = df.select(
+    bucketed = spread(df, id_col).select(
         F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("nrm"),
         F.posexplode(table_buckets).alias("tbl", "bucket"),
     )
-    a = bucketed.select(
-        "tbl", "bucket", F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"), F.col("nrm").alias("q_nrm"),
-    )
-    b = bucketed.select(
-        "tbl", "bucket", F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"), F.col("nrm").alias("c_nrm"),
-    )
-    scored = (
+    a = bucketed.select("tbl", "bucket", F.col(id_col).alias("query_id"))
+    b = bucketed.select("tbl", "bucket", F.col(id_col).alias("neighbor_id"))
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_vecs = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    c_vecs = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_vecs), "query_id")
+        .join(F.broadcast(c_vecs), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -160,9 +189,6 @@ def lsh_ann(
                 F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
             ).alias("cos_sim"),
         )
-        # a pair found in several tables scores identically each time — merge
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -283,7 +309,8 @@ def q_emb_label_knn(spark, sf_dir):
     tags=("llm", "similarity", "lsh", "ann"),
 )
 def q_emb_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-5 neighbors (8 hyperplanes, seed 42)."""
+    """Multi-table LSH approximate top-5 neighbors (8 tables, plane count
+    adapted to the corpus so bucket capacity stays ~200, seed 42)."""
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann(emb, k=5).orderBy("query_id", "rk")
 
@@ -295,9 +322,14 @@ def q_emb_lsh_ann(spark, sf_dir):
 
 def ivf_centroids(df: DataFrame, n_centroids: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic IVF centroids: partition vectors by ``id % n_centroids``
-    and average element-wise (one k-means-style refinement of a deterministic
-    seed assignment).
+    """Deterministic IVF centroids = one Lloyd step from vector seeds.
+
+    Seeds are the first ``n_centroids`` vectors themselves (deterministic,
+    and spread like the data — unlike the round-1 ``id % k`` partition
+    means, which all converged on the global mean and made the assignment
+    nearly arbitrary).  Every vector is assigned to its nearest seed
+    (corpus x k broadcast scoring), then centroids are the element-wise
+    mean of each assignment group.
 
     The element-wise mean runs as posexplode -> groupBy(cid, pos) -> avg —
     linear in corpus size with a tiny (n_centroids x dim) key space, so it
@@ -305,9 +337,28 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 8,
     ``n_centroids``-row table.  The avg accumulates in DECIMAL so the result
     is independent of partial-aggregation order (run-to-run deterministic).
     """
+    seeds = F.broadcast(
+        df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("int").alias("seed_cid"),
+            F.col(vec_col).alias("seed_vec"),
+            norm(F.col(vec_col)).alias("seed_nrm"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("s_sim"), "seed_cid")
+    assigned = (
+        df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm"))
+        .crossJoin(seeds)
+        .withColumn(
+            "s_sim",
+            cosine_pre(F.col(vec_col), F.col("seed_vec"),
+                       F.col("nrm"), F.col("seed_nrm")),
+        )
+        .withColumn("s_rk", F.row_number().over(w))
+        .filter(F.col("s_rk") == 1)
+        .select(F.col("seed_cid").alias("cid"), F.col(vec_col))
+    )
     return (
-        df.withColumn("cid", (F.col(id_col) % n_centroids).cast("int"))
-        .select("cid", F.posexplode(vec_col).alias("pos", "v"))
+        assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg(F.col("v").cast("decimal(27,10)")).cast("double").alias("v"))
         .groupBy("cid")
@@ -316,11 +367,18 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 8,
     )
 
 
+def adaptive_nlist(n: int) -> int:
+    """IVF list count ~ sqrt(corpus): keeps per-list size and list count
+    balanced, so all-queries ANN costs ~n^1.5 x (nprobe) instead of the n²/c
+    a fixed list count degrades to as the corpus grows."""
+    return min(4096, max(8, int(math.isqrt(max(n, 1)))))
+
+
 def ivf_ann(
     df: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
-    nprobe: int = 2,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -330,9 +388,16 @@ def ivf_ann(
 
     Cost: corpus x n_centroids (broadcast) for assignment, then
     queries x (nprobe/n_centroids) x corpus for scoring — the classic IVF
-    recall/cost dial.  Both joins broadcast the tiny side; the big side never
-    shuffles except for the final per-query top-k window.
+    recall/cost dial.  ``n_centroids=None`` sizes the list count ~sqrt(n)
+    (``adaptive_nlist``) with ``nprobe`` an eighth of the lists, so the
+    scoring volume grows ~n^1.5, not n².  Both joins broadcast the tiny
+    side; the big side never shuffles except for the final per-query top-k
+    window.
     """
+    if n_centroids is None:
+        n_centroids = adaptive_nlist(df.count())
+    if nprobe is None:
+        nprobe = max(2, n_centroids // 8)
     cent = F.broadcast(
         ivf_centroids(df, n_centroids, id_col, vec_col).withColumn(
             "cent_nrm", norm(F.col("centroid"))
@@ -394,7 +459,8 @@ def ivf_ann(
     tags=("llm", "similarity", "ivf", "ann"),
 )
 def q_emb_ivf_ann(spark, sf_dir):
-    """IVF approximate top-5 neighbors (8 inverted lists, nprobe=2)."""
+    """IVF approximate top-5 neighbors (sqrt(n) inverted lists, nprobe =
+    lists/8 — the n^1.5 configuration)."""
     emb = t(spark, sf_dir, "embeddings")
     return ivf_ann(emb, k=5).orderBy("query_id", "rk")
 
@@ -480,13 +546,15 @@ def q_emb_lsh_recall(spark, sf_dir):
     """Recall@5 of the multi-table sign-LSH ANN path against the exact top-5
     (first 50 queries).  The oracle replays the *entire* LSH pipeline in SQL
     — the seeded hyperplanes are literal doubles — so the gate value-checks
-    the approximate path end-to-end, hits and recall included."""
+    the approximate path end-to-end, hits and recall included.  The plane /
+    table counts are PINNED to the oracle's constants (the production-path
+    default adapts them to corpus size, which the static SQL cannot)."""
     emb = t(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=5).select(
         "query_id", "neighbor_id"
     )
     ann = (
-        lsh_ann(emb, k=5)
+        lsh_ann(emb, k=5, planes=_LSH_PLANES, tables=_LSH_TABLES)
         .filter(F.col("query_id") < 50)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
@@ -533,7 +601,7 @@ def q_emb_ivf_recall(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = (
-        ivf_ann(emb, k=5)
+        ivf_ann(emb, k=5, n_centroids=8, nprobe=2)
         .filter(F.col("query_id") < 50)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )

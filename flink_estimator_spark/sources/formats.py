@@ -1,0 +1,65 @@
+"""Multi-format source/sink round-trips: CSV, JSON(L), and ORC.
+
+The reference's only sink is one pretty-printed JSON file per saved run
+(`/root/reference/src/flink_estimator/estimation.py:611-656`, covered by
+``estimator/persistence.py``); a real analytics engine also ingests and
+emits the common interchange formats.  The rule enforced here is
+**write-schema == read-schema**: every read uses the explicit schema of the
+DataFrame that was written (never inference), so a round-trip is lossless
+and a schema drift is an error at the scan, not a silent type change
+downstream.
+
+Format notes that matter at scale:
+
+* CSV/JSON carry no types — reads take the explicit ``StructType``;
+  timestamps go through an explicit format string so the text form is
+  engine-stable.
+* All three writers emit one file per partition (no coalesce(1)) — at
+  100 TB a single-file sink is a driver bottleneck; downstream readers
+  glob the directory.
+* ORC/parquet keep predicate pushdown and column pruning; CSV/JSON scans
+  read whole rows — they are interchange formats, not query formats, and
+  the round-trip tests document that asymmetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", TS_FMT)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", TS_FMT)
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

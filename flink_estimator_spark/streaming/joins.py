@@ -96,3 +96,30 @@ def view_purchase_left_join(
         F.col("p_ts").cast("long").alias("purchase_s"),
         F.col("v_ts").cast("long").alias("view_s"),
     )
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with customer dimension
+    attributes.  The static side is broadcast — each micro-batch probes an
+    executor-local hash table, so the join adds zero shuffles and no state
+    (stream-static joins need no watermark: the static side never expires).
+
+    At scale the dimension is re-broadcast per query start, not per batch;
+    a slowly-changing dimension takes the SCD2 path (operators/scd.py) and
+    joins on the event-time validity interval instead.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "customer_name",
+        "segment",
+        F.col("ts").cast("long").alias("ts_s"),
+    )

@@ -372,3 +372,24 @@ def test_left_outer_interval_join_stream_matches_batch(
     assert got == exp
     # the outer side actually fires: some purchase has no preceding view
     assert any(v is None for _, _, v in exp), "fixture lost its null-side rows"
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.sources.tables import read_table
+    from flink_estimator_spark.streaming import enrich_with_customers
+
+    cust = read_table(spark, os.path.join(SF_SMALL, "customer.parquet"))
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, enrich_with_customers(ev, cust), "enrich_out", tmp_path
+    )
+    got = {
+        (r["event_id"], r["customer_name"], r["segment"])
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    exp = {
+        (r["event_id"], r["customer_name"], r["segment"])
+        for r in enrich_with_customers(_batch_events(spark), cust).collect()
+    }
+    assert got == exp
