@@ -99,26 +99,46 @@ def _projection_planes(dim: int, planes: int, seed: int = 42) -> list[list[float
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id from random hyperplane projections."""
+    """Sign-pattern bucket id from random hyperplane projections.
+
+    Each plane enters the plan as ONE array literal (``F.lit(list)``), not
+    64 ``F.lit`` scalars wrapped in ``F.array`` — runtime-identical after
+    constant folding, but the expression tree shrinks ~64x, cutting the
+    first-run analysis cost.  Deliberately NOT a single nested-matrix
+    literal with a ``transform`` over planes: higher-order lambdas nested
+    inside another HOF fall off Spark's efficient evaluation path (measured
+    5x slower end-to-end at sf0.1 than per-plane folds).
+    """
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        s = dot(vec, lit_plane)
-        bucket = bucket + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        s = dot(vec, F.lit([float(v) for v in plane]))
+        bucket = bucket + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket
 
 
-def adaptive_planes(n: int, target_bucket: int = 200) -> int:
-    """Hyperplanes per table sized so the expected bucket holds
-    ``target_bucket`` vectors: planes = log2(n / target_bucket), clamped to
-    [4, 16].  Fixed bucket capacity is what makes LSH sub-quadratic — the
-    per-table candidate volume stays ~n x target_bucket (linear in n) at any
-    corpus size, with recall recovered through OR-amplification over tables.
-    A fixed plane count (the round-1 defect) re-grows buckets linearly with
-    the corpus and quietly reverts to O(n²/2^planes)."""
-    if n <= target_bucket:
+def adaptive_planes(n: int, tables: int = 8, target_bucket: int = 200) -> int:
+    """Hyperplanes per table sized so the UNION of all tables' candidate
+    pairs stays ~n x target_bucket: planes = log2(n * tables / target),
+    clamped to [4, 16].  Sizing per-table only (the first attempt) ignores
+    that OR-ing ``tables`` bucket spaces multiplies candidate volume by up
+    to ``tables`` — measured 8 tables x 4 planes at n=2000 produced 1.64M
+    unique candidate pairs, 82% of all-pairs, i.e. brute force with extra
+    shuffles.  Fixed bucket capacity is what makes LSH sub-quadratic; recall
+    is then bought back with more tables (whose cost this formula accounts
+    for).
+
+    Honesty note, measured on the synthetic fixture: recall@5 tracks the
+    candidate-coverage fraction almost exactly (near-isotropic vectors have
+    no cluster structure for the hyperplanes to exploit), so recall here is
+    the cost dial, not a free lunch.  On real embedding corpora — which are
+    strongly clustered — sign-LSH recall at fixed coverage is far higher.
+    """
+    if n * tables <= target_bucket:
         return 4
-    return min(16, max(4, math.ceil(math.log2(n / target_bucket))))
+    raw = round(math.log2(n * tables / target_bucket))
+    return min(16, max(4, raw))
 
 
 def lsh_ann(
@@ -149,7 +169,7 @@ def lsh_ann(
     sf0.1 — for corpora beyond broadcast size these become sort-merge joins
     on the id, still linear)."""
     if planes is None:
-        planes = adaptive_planes(df.count())
+        planes = adaptive_planes(df.count(), tables)
     all_pl = _projection_planes(dim, planes * tables, seed)
     table_buckets = F.array(
         *[
