@@ -92,6 +92,50 @@ def session_agg_dynamic(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def cumulate_agg(
+    events: DataFrame,
+    step_s: int = 600,
+    size_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """CUMULATE windows (Flink window TVF with no Spark built-in): every
+    ``size_s`` window emits expanding partials at each ``step_s`` boundary —
+    [start, start+step), [start, start+2*step), ... [start, start+size).
+
+    Implementation: explode each event into the sub-window indices that
+    contain it, then run ONE standard windowed aggregate grouped by
+    (window(ts, size), j).  The event-time column survives the explode, so
+    the watermark bounds state exactly as for a tumble — a cumulate is just
+    a tumble whose groups are (window, step) pairs.  Append-mode caveat,
+    honestly: Spark emits all of a window's partials when the watermark
+    passes the window END; Flink fires each partial at its own step
+    boundary.  The VALUES are identical (the batch shadow
+    plans.window_tvf.q_cumulate_window is the oracle); the firing schedule
+    is Spark's.
+    """
+    steps = size_s // step_s
+    e = F.unix_timestamp("ts")
+    ws = F.floor(e / size_s) * size_s
+    jmin = (F.floor((e - ws) / step_s) + 1).cast("int")
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.select(
+            "ts", "value", F.explode(F.sequence(jmin, F.lit(steps))).alias("j")
+        )
+        .groupBy(F.window("ts", f"{size_s} seconds").alias("w"), "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w").start.cast("long").alias("win_start"),
+            (F.col("w").start.cast("long") + F.col("j") * step_s).alias("win_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def multistage_agg(
     events: DataFrame,
     inner: str = "1 minute",

@@ -393,3 +393,27 @@ def test_stream_static_join_matches_batch(spark, stream_dir, tmp_path):
         for r in enrich_with_customers(_batch_events(spark), cust).collect()
     }
     assert got == exp
+
+
+def test_cumulate_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming import cumulate_agg
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, cumulate_agg(ev), "cumulate_out", tmp_path)
+    # the sentinel row contributes real groups in its own far-future window;
+    # both sides include it, so no filtering is needed — compare everything
+    got = {
+        (r["win_start"], r["win_end"]): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    exp = {
+        (r["win_start"], r["win_end"]): (r["n"], r["sum_value"])
+        for r in cumulate_agg(_batch_events(spark)).collect()
+    }
+    assert got == exp
+    # expanding partials really expand: a window's j=3 partial covers >= j=1
+    starts = {ws for ws, _ in got}
+    assert any(
+        got.get((ws, ws + 1800), (0,))[0] > got.get((ws, ws + 600), (0,))[0]
+        for ws in starts
+    )
