@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 
 # digit positions (1-indexed within the string) for Customer#ddddddddd
@@ -63,10 +63,20 @@ def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
     lt = F.col("name_a") < F.col("name_b")
     cand_even = a.join(b, (F.col("ka_a") == F.col("ka_b")) & lt).select("name_a", "name_b")
     cand_odd = a.join(b, (F.col("kb_a") == F.col("kb_b")) & lt).select("name_a", "name_b")
-    cand = cand_even.union(cand_odd).distinct()
+    # AQE coalesces the ~75 MB distinct output to one or two partitions,
+    # which would serialize the edit-distance stage — spread it back out
+    # (the compute-heavy-narrow-bytes rule, SCALE.md §4)
+    cand = spread(cand_even.union(cand_odd).distinct(), "name_a")
+    # banded early-exit DP (Spark 3.5+): with a threshold, levenshtein
+    # explores an O(len * max_dist) band and bails at the first row whose
+    # minimum exceeds it, returning -1 — ~10x cheaper than the full
+    # O(len²) table when max_dist << len, which is the whole point of a
+    # blocked fuzzy join.  The returned value below the threshold is the
+    # true distance, so the output column is unchanged.
+    dist = F.levenshtein("name_a", "name_b", max_dist)
     return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") >= 0)
     )
 
 
