@@ -487,3 +487,57 @@ def q_dedup_clusters(spark, sf_dir):
     Oracle: DuckDB recursive-CTE transitive closure."""
     pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
     return connected_components(pairs.select("id_a", "id_b")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact substring dedup (shared n-gram spans across documents)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_shared_spans",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(tk[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS span
+            FROM toks, LATERAL unnest(generate_series(0, len(tk) - 3)) AS s(i)
+        )
+        SELECT span, count(*) AS n_docs
+        FROM grams
+        GROUP BY span
+        HAVING count(*) >= 2
+        ORDER BY n_docs DESC, span
+        LIMIT 100
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def q_shared_spans(spark, sf_dir):
+    """Span-level exact substring duplication: token 3-gram spans appearing
+    in >= 2 distinct documents, top-100 by document frequency (the
+    repeated-span detection behind exact-substring training-data dedup).
+
+    Scale shape: spans stay distributed end-to-end — per-doc DISTINCT
+    before the corpus groupBy caps each document's contribution at its
+    span vocabulary, and the final aggregate shuffles (span, count) pairs
+    only.  At 100 TB the span string itself would be replaced by its
+    xxhash64 (the text is only needed for reporting)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # guard the short-doc case: Spark's sequence(0, n) with n < 0 produces a
+    # DESCENDING sequence, where DuckDB's generate_series is empty
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    return (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(grams).alias("span"))
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "span")
+        .limit(100)
+    )

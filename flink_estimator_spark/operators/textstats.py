@@ -311,3 +311,114 @@ def q_text_tfidf_top(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+_SQL_LANG_GUESS = r"""
+            SELECT doc_id, lang, text,
+                   CASE WHEN en >= greatest(en, es, de, fr) AND greatest(en, es, de, fr) > 0 THEN 'en'
+                        WHEN es >= greatest(es, de, fr) AND greatest(es, de, fr) > 0 THEN 'es'
+                        WHEN de >= greatest(de, fr) AND greatest(de, fr) > 0 THEN 'de'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'unknown' END AS lang_guess
+            FROM (
+                SELECT doc_id, lang, text,
+                       len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS en,
+                       len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|es)\b')) AS es,
+                       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|zu)\b')) AS de,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est)\b')) AS fr
+                FROM documents
+            )
+"""
+
+
+@query(
+    "q_lang_mismatch",
+    oracle=f"""
+        WITH guessed AS ({_SQL_LANG_GUESS})
+        SELECT lang AS declared, lang_guess, count(*) AS n_docs
+        FROM guessed
+        WHERE lang <> lang_guess
+        GROUP BY 1, 2
+        ORDER BY declared, lang_guess
+    """,
+    tags=("llm", "text", "langid", "screen"),
+)
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language disagreement — the metadata-trust
+    screen a crawl pipeline runs before routing documents to per-language
+    processing (mislabeled docs poison per-language models downstream).
+    Counts per (declared, guessed) pair; pure column expressions."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_guess", lang_guess("text"))
+        .filter(F.col("lang") != F.col("lang_guess"))
+        .groupBy(F.col("lang").alias("declared"), "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("declared", "lang_guess")
+    )
+
+
+@query(
+    "q_quality_funnel",
+    oracle=r"""
+        WITH flagged AS (
+            SELECT doc_id,
+                   length(text) >= 100 AS len_ok,
+                   len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))
+                       >= 0.08 * len(string_split_regex(trim(text), '\s+')) AS quality_ok,
+                   row_number() OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       ORDER BY doc_id) = 1 AS first_copy
+            FROM documents
+        )
+        SELECT stage, n_docs FROM (
+            SELECT '0_all' AS stage, count(*) AS n_docs FROM flagged
+            UNION ALL
+            SELECT '1_min_length', count(*) FROM flagged WHERE len_ok
+            UNION ALL
+            SELECT '2_stopword_quality', count(*) FROM flagged WHERE len_ok AND quality_ok
+            UNION ALL
+            SELECT '3_exact_dedup', count(*) FROM flagged
+            WHERE len_ok AND quality_ok AND first_copy
+        )
+        ORDER BY stage
+    """,
+    tags=("llm", "text", "quality", "funnel"),
+)
+def q_quality_funnel(spark, sf_dir):
+    """Survivor counts through a chained cleaning funnel — min length ->
+    stopword-density quality -> exact dedup (first copy wins by doc_id).
+    One pass computes all flags; the stage counts are conditional
+    aggregates, so the funnel costs one window (dedup rank) plus one
+    aggregate regardless of stage count."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    len_ok = F.length("text") >= 100
+    quality_ok = (
+        stopword_hits("text").cast("double")
+        >= 0.08 * token_count("text").cast("double")
+    )
+    first_copy = (
+        F.row_number().over(W.partitionBy(fingerprint("text")).orderBy("doc_id")) == 1
+    )
+    flagged = d.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        quality_ok.alias("quality_ok"),
+        first_copy.alias("first_copy"),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("0_all"),
+        F.count_if(F.col("len_ok")).alias("1_min_length"),
+        F.count_if(F.col("len_ok") & F.col("quality_ok")).alias("2_stopword_quality"),
+        F.count_if(
+            F.col("len_ok") & F.col("quality_ok") & F.col("first_copy")
+        ).alias("3_exact_dedup"),
+    )
+    stages = ["0_all", "1_min_length", "2_stopword_quality", "3_exact_dedup"]
+    stack = ", ".join(f"'{s}', `{s}`" for s in stages)
+    return (
+        agg.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_docs)")
+        .orderBy("stage")
+    )
