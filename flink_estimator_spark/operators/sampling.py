@@ -144,3 +144,43 @@ def q_contamination_screen(spark, sf_dir):
         )
         .orderBy("phrase")
     )
+
+
+@query(
+    "q_reservoir_per_group",
+    oracle="""
+        SELECT event_type, rn, event_id, user_id
+        FROM (
+            SELECT event_type, event_id, user_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= 5
+        ORDER BY event_type, rn
+    """,
+    tags=("llm", "sampling", "reservoir"),
+)
+def q_reservoir_per_group(spark, sf_dir):
+    """Deterministic k-per-group reservoir: rank rows inside each group by
+    the md5 of their unique id and keep the first k — the distributed,
+    re-runnable equivalent of reservoir sampling (a uniform hash order is a
+    uniform random order, but stable across runs and engines).  One shuffle
+    on the group key; at scale the rank prunes with a per-partition top-k
+    before the shuffle (Spark's WindowGroupLimit pushdown)."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    return (
+        ev.select("event_type", "event_id", "user_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "rn", "event_id", "user_id")
+        .orderBy("event_type", "rn")
+    )

@@ -148,22 +148,53 @@ def q_percentiles(spark, sf_dir):
 
 @query(
     "q_approx_sketches",
-    oracle=None,  # HLL/KLL sketches are engine-specific -> rows-only check
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS orders_ok,
+               TRUE AS parts_ok,
+               TRUE AS median_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     tags=("complex", "approx", "sketch"),
 )
 def q_approx_sketches(spark, sf_dir):
-    """Approximate sketches (HyperLogLog distinct, KLL quantiles) — the
-    100 TB substitutes for exact distincts/percentiles."""
+    """Approximate sketches (HyperLogLog distinct, KLL-style quantiles) —
+    the 100 TB substitutes for exact distincts/percentiles — emitted as an
+    error-bound CERTIFICATE rather than raw sketch values (which are
+    engine-specific and not oracle-able): each group asserts the HLL
+    estimates land within 10% of the exact distinct counts and the approx
+    median within 2% of the exact median.  The oracle states the contract
+    with literal TRUEs; if a sketch ever drifts past its bound, the Spark
+    side emits FALSE and the gate row goes red — a green row certifies the
+    accuracy, not just that the query ran."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+
+    def _within(approx, exact, rel):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= rel * exact.cast("double")
         )
-        .orderBy("l_returnflag")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_median"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        _within(F.col("approx_orders"), F.col("exact_orders"), 0.10).alias("orders_ok"),
+        _within(F.col("approx_parts"), F.col("exact_parts"), 0.10).alias("parts_ok"),
+        _within(F.col("approx_median"), F.col("exact_median"), 0.02).alias("median_ok"),
+    ).orderBy("l_returnflag")
 
 
 @query(

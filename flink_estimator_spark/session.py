@@ -31,12 +31,14 @@ def get_spark(
     # through the builder is ignored once the JVM is up, so pass it to the
     # launcher instead (only effective for the first session in the process).
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        # 48g on the 128 GiB box: a 16g heap makes a ~100-query bench run
-        # GC-bound from accumulated broadcast/shuffle bookkeeping — measured
-        # 187s -> 105s at sf0.01 (late queries inflated up to 30x) just from
-        # raising this.  On a real cluster the equivalent knob is executor
-        # memory sized so broadcast cleanup never dominates GC.
-        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        # 24g, chosen from whole-bench totals on the 128 GiB box (sf0.1,
+        # ~100 queries, one JVM): 16g G1 136s / 24g G1 115s / 48g G1 156s /
+        # 48g ParallelGC 185s.  Too small goes GC-bound from accumulated
+        # broadcast/shuffle bookkeeping; too large stretches G1 evacuation
+        # pauses, taxing allocation-heavy interpreted stages (SCALE.md §7b).
+        # On a real cluster the same trade sizes executor heaps to the
+        # working set rather than the machine.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -52,7 +54,7 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns — read as long, convert in sources
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # keep stdout machine-parseable: the console progress bar writes
         # carriage-return frames that can interleave with bench.py's single

@@ -63,3 +63,26 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partition-keyed parquet layout (``key=value`` directories).
+
+    The scale contract this layout buys: a filter on a partition key becomes
+    directory pruning — the scan never opens non-matching files, so a
+    day-partitioned 100 TB table answers a one-day query by reading ~1/365th
+    of the bytes.  ``tests/test_formats.py`` asserts the pruning actually
+    happens (PartitionFilters in the scan node, matched file count drops),
+    not just that the layout round-trips.
+
+    Partition keys should be low-cardinality (day, source, language —
+    thousands of values, not millions): each value is a directory, and
+    millions of tiny files kill the scan's file-listing phase long before
+    query time."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partition-keyed layout; partition columns come back typed by
+    directory-name inference, and filters on them prune at planning time."""
+    return spark.read.parquet(path)

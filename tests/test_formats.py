@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from flink_estimator_spark.sources.formats import (
     read_csv,
     read_jsonl,
@@ -70,3 +72,39 @@ def test_orc_round_trip_embeddings(spark, tmp_path):
     p = str(tmp_path / "emb_orc")
     write_orc(src, p)
     _assert_same(src, read_orc(spark, p))
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    from flink_estimator_spark.sources.formats import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from flink_estimator_spark.sources.tables import read_table
+
+    orders = read_table(spark, os.path.join(SF_SMALL, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_by_priority")
+    write_partitioned(orders, path, "o_orderpriority")
+
+    back = read_partitioned(spark, path)
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+
+    # value parity with the unpartitioned filter
+    exp = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert sorted(r["o_orderkey"] for r in one.collect()) == sorted(
+        r["o_orderkey"] for r in exp.collect()
+    )
+
+    # the filter must prune at the scan, not post-filter: the physical scan
+    # advertises PartitionFilters on the key and reads only that directory
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    # and the partition column is NOT materialized in the data files: a
+    # pruned read touches strictly fewer files than the full table
+    n_all = back.select(F.input_file_name()).distinct().count()
+    n_pruned = one.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all
