@@ -17,3 +17,12 @@ from ..operators.textstats import (  # noqa: F401
     word_count,
 )
 from ..plans._helpers import as_double, dec, revenue_expr, spread  # noqa: F401
+
+
+from ..operators.sampling import hash_bucket, sample_flag  # noqa: F401
+from ..operators.similarity import (  # noqa: F401
+    adaptive_nlist,
+    adaptive_planes,
+    lsh_bucket,
+)
+from ..operators.skew import with_salt  # noqa: F401

@@ -401,6 +401,8 @@ def ivf_ann(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_lists: bool = True,
+    n_salts: int = 8,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: every vector lives in the inverted
     list of its nearest centroid; a query only scans the ``nprobe`` lists
@@ -449,14 +451,30 @@ def ivf_ann(
                   norm(F.col(vec_col)).alias("q_nrm")),
         "query_id", "q_vec", "q_nrm", nprobe,
     )
-    # join probes->lists on cid: only n_centroids distinct keys, so a shuffle
-    # join would bottleneck on n_centroids tasks.  Broadcasting the inverted
-    # lists keeps the probe side's query_id partitioning (full parallelism);
-    # at corpora beyond broadcast size, salt the cid key instead
-    # (operators/skew.py::salted_broadcast_join).
+    # join probes->lists on cid: only n_centroids distinct keys, so a plain
+    # shuffle join would bottleneck on n_centroids tasks.  Two scale modes:
+    # * broadcast_lists=True — broadcast the inverted lists, keeping the
+    #   probe side's partitioning (full parallelism); right while the corpus
+    #   fits an executor (the lists ARE the corpus).
+    # * broadcast_lists=False — the beyond-broadcast path: salt the cid key.
+    #   Each list row lands in one (cid, salt) shard by a hash of its id;
+    #   each probe replicates across all n_salts shards of its probed cid,
+    #   so the join fans out to n_centroids x n_salts tasks.  Replication
+    #   cost is nprobe x n_salts rows per query of (id, vec) — bounded and
+    #   linear, vs. a hard executor OOM for an unbroadcastable build side.
+    if broadcast_lists:
+        cand = probes.join(F.broadcast(inv), "cid")
+    else:
+        from .skew import with_salt
+
+        inv_s = with_salt(inv, n_salts, from_col="neighbor_id")
+        probes_s = probes.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        )
+        cand = probes_s.join(inv_s, ["cid", "_salt"]).drop("_salt")
     scored = (
-        probes.join(F.broadcast(inv), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -123,3 +123,38 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
         "segment",
         F.col("ts").cast("long").alias("ts_s"),
     )
+
+
+def window_join(
+    events: DataFrame,
+    size: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream WINDOW join (Flink window-TVF join): views and
+    purchases of the same user inside the same tumble window.
+
+    Structured Streaming admits this with bounded state because the equi
+    condition includes the time-window column itself — window equality gives
+    the engine the same state-expiry guarantee as an explicit time-range
+    predicate: once the watermark passes a window's end, both sides' state
+    for that window is droppable.  The batch shadow is
+    plans.window_tvf.q_window_join (same output schema).
+    """
+    streaming = events.isStreaming
+    src = events.withWatermark("ts", watermark) if streaming else events
+    v = src.filter(F.col("event_type") == "view").select(
+        F.window("ts", size).alias("w"),
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = src.filter(F.col("event_type") == "purchase").select(
+        F.window("ts", size).alias("w"),
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return v.join(p, ["w", "user_id"]).select(
+        F.col("w").start.cast("long").alias("win_start"),
+        "user_id",
+        "view_id",
+        "purchase_id",
+    )

@@ -1,0 +1,120 @@
+"""Streaming window top-N as a custom stateful operator.
+
+Flink SQL's window top-N (rank over a window TVF) has no Structured
+Streaming equivalent — ``row_number`` is not allowed on a stream.  The
+standard Spark recipe is a keyed stateful operator: key by the tumble
+window, accumulate per-user aggregates in state, and emit the ranked top-k
+exactly once when the watermark passes the window's end (an event-time
+timeout).  The batch shadow is ``plans.window_tvf.q_window_topn``.
+
+Scale notes: state per window is one (user -> count, cents) map bounded by
+the window's active-user cardinality, and is freed on emission; values
+accumulate in integer cents so the result is batch-order independent and
+matches the batch DECIMAL(18,2) sums bit-for-bit after the final /100
+double division.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WINDOW_S = 600
+TOP_K = 3
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("rk", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_ids", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _emit_topk(key: Any, state: GroupState) -> Iterator[pd.DataFrame]:
+    user_ids, counts, cents = state.get
+    ranked = sorted(zip(user_ids, counts, cents), key=lambda t: (-t[2], t[0]))[:TOP_K]
+    state.remove()
+    if not ranked:
+        return
+    yield pd.DataFrame(
+        {
+            "win_start": [int(key[0])] * len(ranked),
+            "user_id": [u for u, _, _ in ranked],
+            "n": [n for _, n, _ in ranked],
+            "sum_value": [c / 100.0 for _, _, c in ranked],
+            "rk": list(range(1, len(ranked) + 1)),
+        }
+    )
+
+
+def _topn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        yield from _emit_topk(key, state)
+        return
+    totals: dict[int, list[int]] = {}
+    if state.exists:
+        user_ids, counts, cents = state.get
+        for u, n, c in zip(user_ids, counts, cents):
+            totals[int(u)] = [int(n), int(c)]
+    for pdf in pdfs:
+        cents_col = (
+            pdf["value"].round(2).mul(100).round().astype("int64")
+        )  # decimal(18,2)-equivalent exact cents
+        for u, (n, c) in (
+            pd.DataFrame({"u": pdf["user_id"], "c": cents_col})
+            .groupby("u")
+            .agg(n=("c", "size"), c=("c", "sum"))
+            .iterrows()
+        ):
+            acc = totals.setdefault(int(u), [0, 0])
+            acc[0] += int(n)
+            acc[1] += int(c)
+    users = sorted(totals)
+    state.update(
+        (
+            [int(u) for u in users],
+            [totals[u][0] for u in users],
+            [totals[u][1] for u in users],
+        )
+    )
+    # fire when the watermark passes this window's end (key arrives as a
+    # numpy scalar — cast, or the JSON state serializer rejects int64)
+    state.setTimeoutTimestamp((int(key[0]) + WINDOW_S) * 1000)
+    return
+
+
+def window_topn(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Top-3 users by windowed value sum per 10-minute tumble, emitted once
+    per window when its watermark expires (exactly Flink's window top-N
+    firing semantics, unlike append-mode rank which Spark disallows)."""
+    win_start = (F.floor(F.unix_timestamp("ts") / WINDOW_S) * WINDOW_S).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("win_start", win_start)
+        .groupBy("win_start")
+        .applyInPandasWithState(
+            func=_topn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -126,3 +126,48 @@ def test_hot_aggregates_use_codegen(spark, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert re.search(r"\*\(\d+\)", p), p
+
+
+def test_ivf_salted_shuffle_path_matches_broadcast(spark):
+    """The beyond-broadcast IVF mode (salted cid shuffle join) must produce
+    exactly the broadcast path's results, and must actually plan a shuffle
+    join on the salted key (no broadcast of the inverted lists)."""
+    import os
+
+    from flink_estimator_spark.operators.similarity import ivf_ann
+    from flink_estimator_spark.sources.tables import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, os.path.join(SF_SMALL, "embeddings.parquet"))
+    bc = ivf_ann(emb, k=5, n_centroids=8, nprobe=2)
+    salted = ivf_ann(emb, k=5, n_centroids=8, nprobe=2, broadcast_lists=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, salted.collect()))
+
+    # at fixture scale AQE rewrites any small build side to broadcast, which
+    # would make the no-broadcast assertion vacuous — pin the thresholds off
+    # (exactly the beyond-broadcast regime this mode exists for)
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        salted = ivf_ann(
+            emb, k=5, n_centroids=8, nprobe=2, broadcast_lists=False
+        )
+        salted.collect()
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # the probe->lists join must not broadcast: its join keys are (cid, _salt)
+    joins = [seg for seg in plan.split("\n") if "_salt" in seg and "Join" in seg]
+    assert joins, plan
+    assert all("Broadcast" not in seg for seg in joins), plan

@@ -417,3 +417,59 @@ def test_cumulate_stream_matches_batch(spark, stream_dir, tmp_path):
         got.get((ws, ws + 1800), (0,))[0] > got.get((ws, ws + 600), (0,))[0]
         for ws in starts
     )
+
+
+def test_window_join_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming import window_join
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, window_join(ev), "winjoin_out", tmp_path)
+    got = {
+        (r["win_start"], r["user_id"], r["view_id"], r["purchase_id"])
+        for r in out.collect()
+    }
+    exp = {
+        (r["win_start"], r["user_id"], r["view_id"], r["purchase_id"])
+        for r in window_join(_batch_events(spark)).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_window_topn_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming import window_topn_stream
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, window_topn_stream(ev), "wintopn_out", tmp_path)
+    got = {
+        (r["win_start"], r["user_id"], r["n"], r["sum_value"], r["rk"])
+        for r in out.collect()
+    }
+    # batch shadow: same ranking (cents-exact sums, ties by user_id)
+    batch = _batch_events(spark)
+    from pyspark.sql import Window as W
+
+    ws = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long")
+    agg = (
+        batch.groupBy(ws.alias("win_start"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.desc("sv"), "user_id")
+    )
+    exp_df = (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("win_start", "user_id", "n", F.col("sv").cast("double").alias("sum_value"), "rk")
+    )
+    exp = {
+        (r["win_start"], r["user_id"], r["n"], r["sum_value"], r["rk"])
+        for r in exp_df.collect()
+    }
+    # the sentinel's own far-future window never expires (nothing later moves
+    # the watermark past it) — exclude it from the expectation
+    max_emitted = max(w for w, *_ in got) if got else 0
+    exp = {t for t in exp if t[0] <= max_emitted}
+    assert got == exp and len(got) > 0
