@@ -541,3 +541,110 @@ def q_shared_spans(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "span")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-recall certificates: value-oracle the *contract* of the non-SQL-
+# portable candidate generators (same pattern as the ANN recall queries)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_minhash_recall",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT 'minhash_vs_exact' AS method,
+               CAST(count(*) AS BIGINT) AS n_high_pairs,
+               TRUE AS recall_ok
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "recall"),
+)
+def q_minhash_recall(spark, sf_dir):
+    """Recall certificate for MinHash-LSH: every exact-Jaccard >= 0.5 pair
+    must be produced as an LSH candidate at rate >= 0.9 (measured 1.0 at
+    sf0.001/0.01/0.1 — near-dup pairs in the fixture are band-certain).
+    The oracle computes n_high_pairs exactly in SQL and states the contract
+    TRUE; a recall drop flips the Spark boolean and reddens the gate row."""
+    d = t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(d).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count("*").alias("n_high_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            F.lit("minhash_vs_exact").alias("method"),
+            F.col("n_high_pairs").cast("long").alias("n_high_pairs"),
+            (
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_high_pairs"), F.lit(1)).cast("double")
+                >= 0.9
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "q_simhash_recall",
+    oracle="""
+        SELECT 'simhash_pigeonhole' AS method,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS pigeonhole_ok
+        FROM documents
+    """,
+    tags=("llm", "dedup", "simhash", "recall"),
+)
+def q_simhash_recall(spark, sf_dir):
+    """Pigeonhole certificate for SimHash banding: with 4 bands over 48
+    bits, ANY pair at Hamming distance <= 3 shares an untouched band and so
+    MUST surface as a candidate — recall 1.0 by construction, not sampling.
+    The Spark side verifies the theorem against the all-pairs truth (fine at
+    fixture scale; the point of the certificate is that banding stays
+    correct as the implementation evolves)."""
+    d = t(spark, sf_dir, "documents")
+    sig = simhash(d)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    close = (
+        spread(a, "id_a")
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hd"),
+        )
+        .filter(F.col("hd") <= 3)
+        .select("id_a", "id_b")
+    )
+    cand = simhash_candidates(d).select("id_a", "id_b", F.lit(1).alias("hit"))
+    missed = close.join(cand, ["id_a", "id_b"], "left_anti")
+    n_docs = d.count()
+    return (
+        missed.agg(F.count("*").alias("n_missed"))
+        .select(
+            F.lit("simhash_pigeonhole").alias("method"),
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            (F.col("n_missed") == 0).alias("pigeonhole_ok"),
+        )
+    )
