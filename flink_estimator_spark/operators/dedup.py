@@ -235,12 +235,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal band of the simhash (Hamming-LSH) then exact
-    Hamming distance via bit_count(xor)."""
+    Hamming distance via bit_count(xor).  Pass a precomputed ``sig`` to share
+    the fingerprint table with other consumers (e.g. the recall certificate)."""
     width = SIMHASH_BITS // bands
-    sig = simhash(df, id_col, text_col)
+    if sig is None:
+        sig = simhash(df, id_col, text_col)
     banded = sig.withColumn(
         "bk",
         F.explode(
@@ -584,9 +587,15 @@ def q_minhash_recall(spark, sf_dir):
     The oracle computes n_high_pairs exactly in SQL and states the contract
     TRUE; a recall drop flips the Spark boolean and reddens the gate row."""
     d = t(spark, sf_dir, "documents")
-    exact = jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
-    cand = lsh_candidate_pairs(d).select(
-        "id_a", "id_b", F.lit(1).alias("hit")
+    # materialize each side eagerly: fusing both shingle pipelines into one
+    # action makes their cached sub-plans race and recompute (measured 49 s
+    # fused vs 14 s staged at sf0.1) — localCheckpoint pins the small pair
+    # sets and truncates the lineage before the tiny certificate join
+    exact = jaccard_pairs(d, threshold=0.5).select("id_a", "id_b").localCheckpoint()
+    cand = (
+        lsh_candidate_pairs(d)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+        .localCheckpoint()
     )
     return (
         exact.join(cand, ["id_a", "id_b"], "left")
@@ -624,7 +633,9 @@ def q_simhash_recall(spark, sf_dir):
     fixture scale; the point of the certificate is that banding stays
     correct as the implementation evolves)."""
     d = t(spark, sf_dir, "documents")
-    sig = simhash(d)
+    # one simhash pass feeds both the all-pairs truth and the banded
+    # candidates (localCheckpoint: n_docs rows of (id, long))
+    sig = simhash(d).localCheckpoint()
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     close = (
@@ -637,7 +648,9 @@ def q_simhash_recall(spark, sf_dir):
         .filter(F.col("hd") <= 3)
         .select("id_a", "id_b")
     )
-    cand = simhash_candidates(d).select("id_a", "id_b", F.lit(1).alias("hit"))
+    cand = simhash_candidates(d, sig=sig).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
     missed = close.join(cand, ["id_a", "id_b"], "left_anti")
     n_docs = d.count()
     return (
