@@ -473,3 +473,30 @@ def test_window_topn_stream_matches_batch(spark, stream_dir, tmp_path):
     max_emitted = max(w for w, *_ in got) if got else 0
     exp = {t for t in exp if t[0] <= max_emitted}
     assert got == exp and len(got) > 0
+
+
+def test_cumulate_degenerates_to_tumble_when_step_equals_size(spark):
+    """CUMULATE(step == size) is definitionally TUMBLE — the explode adds
+    exactly one sub-window per event and the partials are the full windows."""
+    from flink_estimator_spark.streaming import cumulate_agg, tumble_agg
+
+    batch = _batch_events(spark)
+    cum = {
+        (r["win_start"], r["n"], r["sum_value"])
+        for r in cumulate_agg(batch, step_s=600, size_s=600).collect()
+    }
+    tum = {
+        (r["win_start"], r["n"], r["sum_value"])
+        for r in (
+            batch.groupBy(
+                F.window("ts", "10 minutes").start.cast("long").alias("win_start")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        ).collect()
+    }
+    assert cum == tum
