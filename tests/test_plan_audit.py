@@ -171,3 +171,67 @@ def test_ivf_salted_shuffle_path_matches_broadcast(spark):
     joins = [seg for seg in plan.split("\n") if "_salt" in seg and "Join" in seg]
     assert joins, plan
     assert all("Broadcast" not in seg for seg in joins), plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom filter (the dynamic-filtering analogue for
+    shuffle joins): a selective dimension filter is turned into a bloom
+    predicate on the fact side's scan, cutting shuffled bytes before the
+    join.  Size thresholds are lowered to fire at fixture scale — at 100 TB
+    the defaults fire on their own; the assertion is that the optimizer
+    actually injects might_contain over the fact scan."""
+    import os
+
+    from flink_estimator_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # broadcast would bypass the shuffle join the bloom filter protects
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        li = read_table(spark, os.path.join(SF_SMALL, "lineitem.parquet"))
+        orders = read_table(spark, os.path.join(SF_SMALL, "orders.parquet")).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the result is still correct
+        n = joined.count()
+        exp = (
+            li.join(
+                read_table(spark, os.path.join(SF_SMALL, "orders.parquet"))
+                .filter(F.col("o_orderpriority") == "1-URGENT")
+                .select(F.col("o_orderkey").alias("k")),
+                F.col("l_orderkey") == F.col("k"),
+            ).count()
+        )
+        assert n == exp
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
