@@ -171,8 +171,8 @@ def sample_frames(media: DataFrame, stride: int = 10) -> DataFrame:
     "q_multimodal_resize",
     oracle="""
         SELECT media_id, width, height,
-               greatest(1, CAST(floor(width  * 256.0 / greatest(width, height)) AS INT)) AS out_width,
-               greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INT)) AS out_height
+               CAST(greatest(1, CAST(floor(width  * 256.0 / greatest(width, height)) AS INT)) AS INT) AS out_width,
+               CAST(greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INT)) AS INT) AS out_height
         FROM (
             SELECT doc_id AS media_id,
                    ('0x' || substr(md5(text), 1, 4))::INT % 1920 + 1 AS width,

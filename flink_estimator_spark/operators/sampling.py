@@ -176,7 +176,7 @@ def q_reservoir_per_group(spark, sf_dir):
         W.partitionBy("event_type").orderBy(
             F.md5(F.col("event_id").cast("string")), "event_id"
         )
-    )
+    ).cast("long")
     return (
         ev.select("event_type", "event_id", "user_id")
         .withColumn("rn", rn)

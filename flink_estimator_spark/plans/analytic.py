@@ -40,7 +40,7 @@ def q_topk_per_group(spark, sf_dir):
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("c_mktsegment", "rk", "o_orderkey", F.col("o_totalprice").cast("double"))
         .orderBy("c_mktsegment", "rk")
@@ -482,8 +482,10 @@ def q_ntile_rank(spark, sf_dir):
         .filter(F.col("o_orderkey") <= 2000)
         .select(
             "o_orderkey",
-            F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
-            F.rank().over(W.orderBy("o_orderpriority")).alias("prio_rank"),
+            # ranks surface as BIGINT everywhere (repo dtype-parity rule:
+            # DuckDB window ranks are int64)
+            F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).cast("long").alias("quartile"),
+            F.rank().over(W.orderBy("o_orderpriority")).cast("long").alias("prio_rank"),
         )
         .orderBy("o_orderkey")
     )

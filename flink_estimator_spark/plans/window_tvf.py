@@ -117,7 +117,7 @@ def q_window_topn(spark, sf_dir):
     )
     rk = F.row_number().over(
         W.partitionBy("win_start").orderBy(F.desc("sv"), "user_id")
-    )
+    ).cast("long")
     return (
         agg.withColumn("rk", rk)
         .filter(F.col("rk") <= 3)

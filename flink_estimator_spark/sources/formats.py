@@ -29,11 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+# TIMESTAMP and TIMESTAMP_NTZ columns are formatted by *different* options
+# (timestampFormat vs timestampNTZFormat); setting only the first silently
+# writes NTZ columns with the millis-only default and truncates micros.
+_TS_OPTS = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     (
         df.write.mode("overwrite")
         .option("header", True)
-        .option("timestampFormat", TS_FMT)
+        .options(**_TS_OPTS)
         .csv(path)
     )
 
@@ -42,19 +48,17 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     return (
         spark.read.schema(schema)
         .option("header", True)
-        .option("timestampFormat", TS_FMT)
+        .options(**_TS_OPTS)
         .csv(path)
     )
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+    df.write.mode("overwrite").options(**_TS_OPTS).json(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
-    return (
-        spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
-    )
+    return spark.read.schema(schema).options(**_TS_OPTS).json(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:

@@ -44,21 +44,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read one parquet table, normalizing nanosecond timestamp columns.
+    """Read one parquet table, normalizing the timestamp column's encoding.
 
-    Parquet TIMESTAMP(NANOS) is read as a nanos-since-epoch long (see
-    session.py); convert to Spark's native microsecond TimestampType here —
-    the fixture's values are microsecond-aligned, so this is lossless.
+    The fixture generator has shipped ``ts`` as parquet TIMESTAMP(NANOS) in
+    one round and TIMESTAMP(MICROS, isAdjustedToUTC=false) in another, so
+    this reader accepts all three encodings and lands every one on Spark's
+    session-zoned microsecond TimestampType (session tz is pinned UTC, so
+    wall-clock values match DuckDB's naive TIMESTAMP reads bit-for-bit):
+
+    * TIMESTAMP(NANOS) — Spark 4 refuses it unless read as a nanos long
+      (see session.py's ``nanosAsLong``); converted here by integer div.
+    * TIMESTAMP_NTZ — parquet micros with isAdjustedToUTC=false; cast to
+      TimestampType reinterprets the wall clock in UTC, lossless, and keeps
+      ``unix_micros`` / ``window()`` / ``session_window`` applicable.
+    * TimestampType — already native, untouched.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in df.schema.fields:
-        meta_ok = field.name == "ts" and isinstance(field.dataType, T.LongType)
-        if meta_ok:
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
             # integer division — float division would lose precision at 1e18 ns
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
