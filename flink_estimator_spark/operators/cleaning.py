@@ -1,0 +1,309 @@
+"""Corpus-cleaning operators: PII redaction, deterministic training order,
+canonical dedup survivors, and label-balance weights.
+
+These close the loop from "scored corpus" to "training-ready corpus":
+
+* **PII redaction** — regex scrub of emails / IPv4s / phone numbers with a
+  leak-check aggregate.  Pure column expressions (``regexp_replace`` /
+  ``regexp_count``) — JVM-side, whole-stage codegen, no UDF; at 100 TB this
+  is a map-only pass with no shuffle except the final per-source rollup.
+  The fixture corpus contains no PII, so the query *synthesizes* a
+  deterministic PII suffix per document from its own columns before
+  scrubbing — honest about the data while still exercising (and
+  oracle-verifying) every pattern end-to-end, including nonzero counts.
+* **training order** — the per-epoch document shuffle: a seeded hash order
+  is an unbiased shuffle that every engine reproduces.  Sharded (hash %
+  n_shards) so ordering windows are per-shard, never a global single-task
+  sort; at scale each shard is one writer task's worth of data.
+* **dedup keep-list** — the "so what" of near-dup clustering: per cluster
+  keep the canonical survivor (min doc id), drop the rest; reported as
+  per-source kept/dropped counts.
+* **class weights** — inverse-frequency label weights over the embedding
+  table, the standard imbalance correction for a labeled training set.
+
+Reference scope note: the reference models workload taxonomy only
+(`/root/reference/src/flink_estimator/estimation.py`); these operators are
+part of the round-2 extension surface (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+from .dedup import connected_components, jaccard_pairs
+
+# Patterns restricted to the RE2-compatible subset (no lookaround, no
+# backrefs) so Spark's Java regex and DuckDB's RE2 match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+
+_PII = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chain of global regexp_replace passes, one per pattern class.
+
+    Order matters: emails before IPv4 (an email's domain can contain a
+    dotted quad; scrubbing emails first keeps the classes disjoint)."""
+    out = col
+    for pat, token in _PII:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {
+        "emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+        "ips": F.regexp_count(col, F.lit(IPV4_RE)).cast("long"),
+        "phones": F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+@query(
+    "q_pii_redaction",
+    oracle=rf"""
+        WITH synth AS (
+            SELECT doc_id, source,
+                   text || ' contact ' || source || '@example.com from 10.0.'
+                        || CAST(doc_id % 200 AS VARCHAR) || '.7 call +1-555-'
+                        || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                        AS text
+            FROM documents
+        ),
+        scrubbed AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS emails,
+                   len(regexp_extract_all(text, '{IPV4_RE}')) AS ips,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS phones,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{IPV4_RE}', '<IP>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM synth
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(emails) AS BIGINT) AS n_emails,
+               CAST(sum(ips) AS BIGINT) AS n_ips,
+               CAST(sum(phones) AS BIGINT) AS n_phones,
+               CAST(sum(len(regexp_extract_all(redacted, '{EMAIL_RE}'))
+                        + len(regexp_extract_all(redacted, '{IPV4_RE}'))
+                        + len(regexp_extract_all(redacted, '{PHONE_RE}')))
+                    AS BIGINT) AS n_leaks
+        FROM scrubbed
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "cleaning", "pii"),
+)
+def q_pii_redaction(spark, sf_dir):
+    """Per-source PII redaction counts with a leak check (must be 0 after
+    the scrub).  The PII is synthesized deterministically from each doc's
+    own columns — the fixture has none — so every pattern class is
+    exercised with nonzero counts and the whole scrub is oracle-verified."""
+    d = spread(t(spark, sf_dir, "documents"), "doc_id")
+    synth = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "), F.col("source"), F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".7 call +1-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    scrubbed = synth.select(
+        "source",
+        counts["emails"].alias("emails"),
+        counts["ips"].alias("ips"),
+        counts["phones"].alias("phones"),
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+    leak = pii_counts(F.col("redacted"))
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("emails").alias("n_emails"),
+            F.sum("ips").alias("n_ips"),
+            F.sum("phones").alias("n_phones"),
+            F.sum(leak["emails"] + leak["ips"] + leak["phones"]).alias("n_leaks"),
+        )
+        .orderBy("source")
+    )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "q_training_order",
+    oracle=f"""
+        SELECT shard, pos, doc_id FROM (
+            SELECT CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                        % {N_SHARDS} AS BIGINT) AS shard,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % {N_SHARDS}
+                       ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+                   doc_id
+            FROM documents
+        )
+        WHERE pos <= 5
+        ORDER BY shard, pos
+    """,
+    tags=("llm", "mixing", "shuffle"),
+)
+def q_training_order(spark, sf_dir):
+    """Deterministic per-epoch training order: shard by a seeded hash, order
+    within each shard by the same hash — an unbiased, engine-reproducible
+    shuffle of the corpus.  Changing the epoch seed reshuffles; the window
+    is per-shard, so no global single-task sort exists at any corpus size
+    (each shard is one writer task's slice).  First 5 docs per shard."""
+    d = spread(t(spark, sf_dir, "documents"), "doc_id")
+    h = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % N_SHARDS)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select(F.col("doc_id"), h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 5)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "q_dedup_keep_list",
+    oracle=r"""
+        WITH pairs AS (
+            SELECT id_a, id_b FROM (
+                WITH sh AS (
+                    SELECT DISTINCT doc_id, shingle FROM (
+                        SELECT doc_id,
+                               array_to_string(words[i:i+4], ' ') AS shingle
+                        FROM (
+                            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                            FROM documents
+                        ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+                    )
+                ),
+                sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+                inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                )
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            )
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+            ) SELECT * FROM r
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster
+            FROM reach GROUP BY src
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clustered,
+               CAST(sum(CASE WHEN l.doc_id IS NOT NULL AND l.cluster != d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN l.doc_id IS NULL OR l.cluster = d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    tags=("llm", "dedup", "keep-list", "iterative"),
+)
+def q_dedup_keep_list(spark, sf_dir):
+    """Canonical-survivor selection over the near-dup clusters: per source,
+    how many docs survive dedup (cluster minimum or unclustered singleton)
+    and how many are dropped.  This is the keep-list a 100 TB dedup pass
+    actually materializes; the cluster labels come from the same iterative
+    connected-components pass as ``q_dedup_clusters``, joined back to the
+    corpus with the labels side broadcast (cluster membership is always a
+    small fraction of the corpus)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    keep = F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("cluster").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clustered"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_class_weights",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+                   / ((SELECT count(DISTINCT label) FROM embeddings) * count(*))
+                   AS weight
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("llm", "labels", "weights"),
+)
+def q_class_weights(spark, sf_dir):
+    """Inverse-frequency class weights over the labeled embedding table
+    (weight = N / (n_classes * n_label), mean-1 normalized) — the standard
+    imbalance correction computed as one aggregate plus two broadcast
+    scalar subqueries; integer-exact inputs make the double division
+    engine-identical."""
+    emb = t(spark, sf_dir, "embeddings")
+    totals = emb.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("label").alias("n_classes"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            "n",
+            (
+                F.col("n_total").cast("double")
+                / (F.col("n_classes") * F.col("n"))
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )
