@@ -11,27 +11,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (as stored in parquet)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """File-based event stream with the fixture's schema; ns -> timestamp."""
+    """File-based event stream with the fixture's schema.
+
+    ``readStream`` needs an explicit schema that matches the files' physical
+    encoding, and the fixture generator has shipped ``ts`` as TIMESTAMP(NANOS)
+    (→ long under ``nanosAsLong``) in one round and TIMESTAMP(MICROS, ntz) in
+    another — so peek the batch reader's inferred schema once (footer-only,
+    no data scan) and normalize the same way ``sources.tables.read_table``
+    does.  Everything downstream sees session-zoned TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(directory).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", 1)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = physical["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:

@@ -41,7 +41,10 @@ def stream_dir(tmp_path_factory):
     pq.write_table(pa.Table.from_pandas(pdf.iloc[half:], preserve_index=False),
                    str(d / "part-001.parquet"))
     sentinel = pdf.iloc[[-1]].copy()
-    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=10)
+    # keep the source resolution: us-resolution ts + a (ns-default) Timedelta
+    # promotes to ns, which would give the sentinel file a different parquet
+    # encoding than the other parts and break the single-schema stream read
+    sentinel["ts"] = (sentinel["ts"] + pd.Timedelta(days=10)).astype(pdf["ts"].dtype)
     sentinel["event_id"] = 10**12
     sentinel["user_id"] = SENTINEL_USER
     sentinel["event_type"] = "view"
@@ -350,7 +353,8 @@ def test_left_outer_interval_join_stream_matches_batch(
         # far-future *purchase* sentinel advances the other side.
         src = pq.read_table(os.path.join(str(d), "part-002-sentinel.parquet"))
         pdf = src.to_pandas()
-        pdf["ts"] = pdf["ts"] + pd.Timedelta(days=10)
+        # same resolution trap as the stream_dir sentinel: keep the dtype
+        pdf["ts"] = (pdf["ts"] + pd.Timedelta(days=10)).astype(pdf["ts"].dtype)
         pdf["event_id"] = 10**12 + 1
         pdf["event_type"] = "purchase"
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
