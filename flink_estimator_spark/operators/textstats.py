@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 
 # Tiny stopword inventories for the language heuristic.  The guess is a
@@ -421,4 +421,45 @@ def q_quality_funnel(spark, sf_dir):
     return (
         agg.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_docs)")
         .orderBy("stage")
+    )
+
+
+@query(
+    "q_vocab_growth",
+    oracle=r"""
+        SELECT source,
+               CAST(count(w) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT w) AS DOUBLE) / count(w) AS type_token_ratio
+        FROM (
+            SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth per source: token count, distinct types, and the
+    type/token ratio (the Heaps'-law observable that tells a pipeline how
+    fast new vocabulary appears per source).  Explode + two aggregates; at
+    scale the distinct-count shuffle moves (source, word) pairs, which
+    partial aggregation collapses to the per-source vocabulary first."""
+    d = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("source")
+        .agg(
+            F.count("w").alias("n_tokens"),
+            F.countDistinct("w").alias("n_types"),
+            (F.countDistinct("w").cast("double") / F.count("w")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
     )

@@ -90,3 +90,36 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partition-keyed layout; partition columns come back typed by
     directory-name inference, and filters on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def compact(spark: SparkSession, src: str, dst: str,
+            target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each; returns the output file count.
+
+    Streaming sinks, partitioned writes, and incremental loads all shed
+    small files; at 100 TB the file-listing and per-file open cost of a
+    million 1 MB files dominates scan time long before the bytes do, and
+    HDFS/object-store metadata strains first.  The rewrite sizes the
+    partition count from the *source bytes on disk* (cheap file-status sum,
+    no data read) rather than a row count, then round-robins rows into
+    exactly that many writer tasks.  Compression ratios shift the exact
+    output size; the invariant that matters is O(bytes/target) files, not
+    O(input files).
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(src)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst)
+    return len([
+        f for f in os.listdir(dst)
+        if f.startswith("part-") and not f.endswith(".crc")
+    ])

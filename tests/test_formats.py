@@ -108,3 +108,20 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     n_all = back.select(F.input_file_name()).distinct().count()
     n_pruned = one.select(F.input_file_name()).distinct().count()
     assert 0 < n_pruned < n_all
+
+
+def test_compaction_collapses_small_files(spark, tmp_path):
+    from flink_estimator_spark.sources.formats import compact
+
+    src = _table(spark, "events")
+    many = str(tmp_path / "many_small")
+    src.repartition(64).write.parquet(many)  # 64 tiny files
+    n_in = len([f for f in os.listdir(many) if f.startswith("part-")])
+    assert n_in >= 64
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact(spark, many, dst, target_file_bytes=1 * 1024 * 1024)
+    assert n_out < n_in / 8, f"{n_in} -> {n_out}: not compacted"
+    back = spark.read.parquet(dst)
+    assert back.count() == src.count()
+    assert back.exceptAll(spark.read.parquet(many)).count() == 0
