@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import spread, t
+from ..plans._helpers import t
 from ..plans.registry import query
 
 # digit positions (1-indexed within the string) for Customer#ddddddddd
@@ -61,21 +61,31 @@ def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
         F.col("kb").alias("kb_b"),
     )
     lt = F.col("name_a") < F.col("name_b")
-    cand_even = a.join(b, (F.col("ka_a") == F.col("ka_b")) & lt).select("name_a", "name_b")
-    cand_odd = a.join(b, (F.col("kb_a") == F.col("kb_b")) & lt).select("name_a", "name_b")
-    # AQE coalesces the ~75 MB distinct output to one or two partitions,
-    # which would serialize the edit-distance stage — spread it back out
-    # (the compute-heavy-narrow-bytes rule, SCALE.md §4)
-    cand = spread(cand_even.union(cand_odd).distinct(), "name_a")
     # banded early-exit DP (Spark 3.5+): with a threshold, levenshtein
     # explores an O(len * max_dist) band and bails at the first row whose
     # minimum exceeds it, returning -1 — ~10x cheaper than the full
     # O(len²) table when max_dist << len, which is the whole point of a
     # blocked fuzzy join.  The returned value below the threshold is the
     # true distance, so the output column is unchanged.
-    dist = F.levenshtein("name_a", "name_b", max_dist)
+    dist = F.levenshtein("name_a", "name_b", max_dist).cast("long")
+    # The two branches are made disjoint by construction — the odd-key
+    # branch additionally requires the even keys to DIFFER, so a pair that
+    # agrees on both key sets surfaces exactly once.  That removes the
+    # union+distinct a naive multi-block scheme needs: at sf0.1 the distinct
+    # was a 1.9M-row shuffle of 18-char string pairs and the single most
+    # expensive stage of the query (measured 6.2 s of an 8.7 s total).  The
+    # edit distance now runs pipelined inside each join's output stage —
+    # candidates never hit a shuffle at all.
+    cand_even = a.join(b, (F.col("ka_a") == F.col("ka_b")) & lt)
+    cand_odd = a.join(
+        b,
+        (F.col("kb_a") == F.col("kb_b"))
+        & (F.col("ka_a") != F.col("ka_b"))
+        & lt,
+    )
     return (
-        cand.withColumn("dist", dist.cast("long"))
+        cand_even.unionByName(cand_odd)
+        .select("name_a", "name_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
 
