@@ -1,0 +1,158 @@
+"""Operator-level invariants the DuckDB oracle cannot express.
+
+The gate replica checks value equality against SQL; these tests check the
+*semantic contracts* of the pipeline operators — properties that must hold
+at any scale factor and that would survive a rewrite of the oracle SQL:
+packing covers every doc exactly once, a training order is a permutation,
+redaction is idempotent and leak-free, the keep-list keeps exactly one doc
+per cluster, compaction preserves multisets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_estimator_spark.sources.tables import read_table
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return read_table(spark, os.path.join(SF_SMALL, "documents.parquet"))
+
+
+def test_sequence_packing_partitions_the_corpus(spark):
+    """Every doc lands in exactly one pack; pack ids are dense from 0; every
+    pack except possibly the last stays within budget + one-doc overflow."""
+    from flink_estimator_spark.operators.mixing import pack_sequences
+
+    docs = _docs(spark)
+    budget = 2048
+    packed = pack_sequences(docs, budget_tokens=budget).cache()
+    try:
+        n_docs = docs.count()
+        assert packed.count() == n_docs
+        assert packed.select("doc_id").distinct().count() == n_docs
+
+        stats = (
+            packed.groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("pack_tokens"))
+            .orderBy("pack_id")
+            .collect()
+        )
+        ids = [r["pack_id"] for r in stats]
+        assert ids == list(range(len(ids))), "pack ids must be dense from 0"
+        max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+        for r in stats:
+            # greedy sequential packing admits at most one straddling doc
+            assert r["pack_tokens"] <= budget + max_doc
+    finally:
+        packed.unpersist()
+
+
+def test_training_order_is_a_permutation_and_seed_sensitive(spark):
+    """The full (unlimited) training order visits every doc exactly once,
+    and per-shard positions are dense 1..n_shard."""
+    from flink_estimator_spark.operators.cleaning import N_SHARDS
+
+    docs = _docs(spark)
+    h = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % N_SHARDS
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    full = (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    ).cache()
+    try:
+        n = docs.count()
+        assert full.count() == n
+        assert full.select("doc_id").distinct().count() == n
+        per_shard = full.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max("pos").alias("max_pos")
+        )
+        for r in per_shard.collect():
+            assert r["n"] == r["max_pos"], "positions must be dense per shard"
+        # a different epoch seed produces a different order somewhere
+        h2 = F.md5(F.concat(F.lit("epoch2:"), F.col("doc_id").cast("string")))
+        changed = (
+            docs.select("doc_id", h.alias("h1"), h2.alias("h2"))
+            .filter(F.col("h1") != F.col("h2"))
+            .count()
+        )
+        assert changed > 0
+    finally:
+        full.unpersist()
+
+
+def test_pii_redaction_is_idempotent_and_leak_free(spark):
+    from flink_estimator_spark.operators.cleaning import pii_counts, redact_pii
+
+    docs = _docs(spark)
+    synth = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" mail a.b-c@test-site.org ip 192.168.1.254 tel +44-123-456-7890"),
+        ).alias("text")
+    )
+    once = synth.select(redact_pii(F.col("text")).alias("r1"))
+    twice = once.select(
+        "r1", redact_pii(F.col("r1")).alias("r2")
+    ).filter(F.col("r1") != F.col("r2"))
+    assert twice.count() == 0, "redaction must be a fixpoint"
+    leaks = once.select(
+        sum(pii_counts(F.col("r1")).values()).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert leaks == 0
+
+
+def test_keep_list_keeps_exactly_one_doc_per_cluster(spark):
+    from flink_estimator_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    labels = connected_components(
+        jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    ).cache()
+    try:
+        clusters = labels.groupBy("cluster").agg(
+            F.count("*").alias("sz"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster"), 1).otherwise(0)
+            ).alias("n_survivors"),
+            F.min("doc_id").alias("min_id"),
+        )
+        bad = clusters.filter(
+            (F.col("n_survivors") != 1) | (F.col("min_id") != F.col("cluster"))
+        )
+        assert clusters.count() > 0, "fixture must produce near-dup clusters"
+        assert bad.count() == 0, "each cluster keeps exactly its min doc id"
+    finally:
+        labels.unpersist()
+
+
+def test_rollup_merge_equals_full_recompute_any_split(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) for several split
+    points — the monoid contract incremental refresh rests on."""
+    from flink_estimator_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+    full = {
+        tuple(r) for r in partial_rollup(ev).collect()
+    }
+    for frac in (0.1, 0.5, 0.9):
+        cut = ev.approxQuantile("event_id", [frac], 0.0)[0]
+        a = ev.filter(F.col("event_id") <= cut)
+        b = ev.filter(F.col("event_id") > cut)
+        merged = {
+            tuple(r)
+            for r in merge_rollups(partial_rollup(a), partial_rollup(b)).collect()
+        }
+        assert merged == full, f"split at q{frac} lost or double-counted state"
