@@ -26,3 +26,8 @@ from ..operators.similarity import (  # noqa: F401
     lsh_bucket,
 )
 from ..operators.skew import with_salt  # noqa: F401
+from ..operators.cleaning import pii_counts, redact_pii  # noqa: F401
+from ..operators.incremental import merge_rollups, partial_rollup  # noqa: F401
+from ..operators.mixing import stratified_mix, pack_sequences  # noqa: F401
+from ..sources.formats import compact  # noqa: F401
+from ..streaming.sinks import batch_writer, idempotent_parquet_sink  # noqa: F401
