@@ -46,3 +46,62 @@ def idempotent_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str):
         stream_df.writeStream.foreachBatch(batch_writer(path))
         .option("checkpointLocation", checkpoint)
     )
+
+
+def rollup_maintenance_sink(stream_df: DataFrame, state_path: str,
+                            checkpoint: str):
+    """Exactly-once incremental state maintenance on plain parquet: each
+    micro-batch's partial rollup (``operators.incremental``) is monoid-merged
+    into a versioned state table.
+
+    foreachBatch delivery is at-least-once, and a merge is NOT naturally
+    idempotent (re-folding a replayed batch double-counts), so the sink uses
+    the version-pointer commit protocol non-transactional stores need:
+
+    1. read the current version pointer (``_current``); if it already names
+       this ``batch_id`` or later, the batch is a replay — skip it;
+    2. merge the previous state (if any) with this batch's partial rollup
+       and write it to a NEW directory ``state_v<batch_id>``;
+    3. last, atomically repoint ``_current`` at the new version.
+
+    A crash between (2) and (3) leaves the pointer on the old version, so
+    the engine's replay of the same batch redoes the merge against the OLD
+    state — no loss, no double count.  Readers always go through the
+    pointer.  (Transactional table formats bake exactly this into their
+    commit log; this is the minimal file-layout equivalent.)
+    """
+    import os
+
+    from ..operators.incremental import merge_rollups, partial_rollup
+
+    def current_state(spark):
+        ptr = os.path.join(state_path, "_current")
+        if not os.path.exists(ptr):
+            return None, -1
+        with open(ptr) as fh:
+            v = int(fh.read().strip())
+        return spark.read.parquet(os.path.join(state_path, f"state_v{v}")), v
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev, last = current_state(spark)
+        if batch_id <= last:
+            return  # replayed micro-batch: already folded into the state
+        delta = partial_rollup(batch_df)
+        merged = delta if prev is None else merge_rollups(prev, delta)
+        os.makedirs(state_path, exist_ok=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"state_v{batch_id}")
+        )
+        tmp = os.path.join(state_path, "_current.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_path, "_current"))
+
+    # old state_v* directories are retained for in-flight readers; pruning
+    # them is a retention policy (keep last k versions), out of scope here
+    sink = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    return sink, current_state, upsert

@@ -544,3 +544,48 @@ def test_idempotent_sink_replay_writes_no_duplicates(spark, stream_dir, tmp_path
     # a NEW batch id appends (append semantics across batches still hold)
     batch_writer(out)(replay_df.limit(5), 9999)
     assert spark.read.parquet(out).count() == rows_before + 5
+
+
+def test_rollup_maintenance_state_equals_full_recompute(spark, stream_dir, tmp_path):
+    """Streaming incremental rollup: after the stream drains, the versioned
+    state equals a from-scratch batch rollup of the same rows, and a
+    replayed micro-batch (simulated restart) leaves the state byte-equal."""
+    from flink_estimator_spark.operators.incremental import partial_rollup
+    from flink_estimator_spark.streaming.sinks import rollup_maintenance_sink
+
+    from flink_estimator_spark.sources.tables import read_table
+
+    ev = events_stream(spark, stream_dir)
+    state = str(tmp_path / "rollup_state")
+    sink, current_state, upsert = rollup_maintenance_sink(
+        ev, state, str(tmp_path / "ckpt_rollup")
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_df, version = current_state(spark)
+    assert version >= 1, "stream must have committed multiple versions"
+    got = {tuple(r) for r in got_df.collect()}
+
+    full_src = read_table(spark, stream_dir)  # all rows incl. sentinel
+    exp = {tuple(r) for r in partial_rollup(full_src).collect()}
+    assert got == exp, "incremental state diverged from full recompute"
+
+    # explicit at-least-once replay: re-deliver a stale batch_id — the
+    # version-pointer guard must skip the merge, leaving the state unchanged
+    upsert(full_src.limit(7), 0)
+    got2_df, v_after = current_state(spark)
+    assert v_after == version, "stale batch must not advance the pointer"
+    assert {tuple(r) for r in got2_df.collect()} == exp
+
+    # restarting the stream on the SAME checkpoint replays nothing either
+    q2 = sink.start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert current_state(spark)[1] == version
+    assert {tuple(r) for r in current_state(spark)[0].collect()} == exp
