@@ -108,6 +108,8 @@ _SF001_SEC = {
     "q_emb_ivf_ann": 2.5, "q_dedup_simhash": 2.7, "q_dedup_clusters": 2.9,
     "q_emb_lsh_recall": 3.8, "q_emb_lsh_ann": 4.5,
     "q_dedup_jaccard_pairs": 5.0,
+    "q_vocab_growth": 0.46, "q_incremental_rollup": 0.8,
+    "q_whatif_capacity_grid": 1.7,
 }
 
 
