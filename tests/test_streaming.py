@@ -50,6 +50,15 @@ def stream_dir(tmp_path_factory):
     sentinel["event_type"] = "view"
     pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False),
                    str(d / "part-002-sentinel.parquet"))
+    # FileStreamSource orders micro-batches by millisecond mtime; writes of
+    # small files can tie within one tick, which would let the far-future
+    # sentinel randomly become batch 0 and turn every real event late.
+    # Strictly ascending mtimes make batch order deterministic.
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(str(d)))):
+        os.utime(str(d / f), (now + i, now + i))
     return str(d)
 
 
@@ -101,10 +110,17 @@ def test_tumble_stream_matches_batch(spark, stream_dir, tmp_path):
 def test_dedup_within_watermark_drops_duplicates(spark, stream_dir, tmp_path, tmp_path_factory):
     # duplicate both event files -> every event arrives twice across batches
     d = tmp_path_factory.mktemp("events_dup")
+    import time as _time
+
+    now = _time.time()
+    i = 0
     for f in sorted(os.listdir(stream_dir)):
-        shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f))
-        if "sentinel" not in f:
-            shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f.replace("part-", "dup-")))
+        for dst_name in ([f] if "sentinel" in f else [f, f.replace("part-", "dup-")]):
+            dst = os.path.join(str(d), dst_name)
+            shutil.copy(os.path.join(stream_dir, f), dst)
+            # deterministic batch order (see stream_dir fixture note)
+            os.utime(dst, (now + i, now + i))
+            i += 1
     ev = events_stream(spark, str(d))
     out = _run_stream(
         spark, dedup_within_watermark(ev, ["event_id"], watermark="40 days"),
@@ -333,8 +349,18 @@ def test_left_outer_interval_join_stream_matches_batch(
     # micro-batch AFTER the watermark proves no match can arrive, so a second
     # far-future sentinel batch is appended mid-run to flush them.
     d = tmp_path_factory.mktemp("events_lojoin")
-    for f in sorted(os.listdir(stream_dir)):
-        shutil.copy(os.path.join(stream_dir, f), os.path.join(str(d), f))
+    # FileStreamSource orders micro-batches by file MODIFICATION time, and
+    # shutil.copy can land all three copies in the same mtime tick — when
+    # the +10d sentinel then randomly sorts first, the watermark jumps past
+    # every real event and the stateful join drops them as late.  Pin
+    # strictly ascending mtimes to make batch order deterministic.
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(stream_dir))):
+        dst = os.path.join(str(d), f)
+        shutil.copy(os.path.join(stream_dir, f), dst)
+        os.utime(dst, (now + i, now + i))
 
     ev = events_stream(spark, str(d))
     q = (
@@ -360,7 +386,25 @@ def test_left_outer_interval_join_stream_matches_batch(
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        os.path.join(str(d), "part-003-sentinel2.parquet"))
         q.processAllAvailable()
-        q.processAllAvailable()
+        # Null-extended rows flush in a batch that runs AFTER the watermark
+        # advance committed, and processAllAvailable does not wait for
+        # Spark's asynchronous no-data batch — keep appending even-later
+        # purchase sentinels (each one forces a DATA batch that evicts with
+        # the previously committed watermark) until the outer rows appear.
+        for attempt in range(4, 9):
+            n_nulls = (
+                spark.sql("SELECT * FROM lojoin_out")
+                .filter(F.col("view_id").isNull()).count()
+            )
+            if n_nulls > 0:
+                break
+            pdf["ts"] = (pdf["ts"] + pd.Timedelta(days=1)).astype(pdf["ts"].dtype)
+            pdf["event_id"] = 10**12 + attempt
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(str(d), f"part-00{attempt}-sentinel.parquet"),
+            )
+            q.processAllAvailable()
     finally:
         q.stop()
     out = spark.sql("SELECT * FROM lojoin_out")
@@ -589,3 +633,29 @@ def test_rollup_maintenance_state_equals_full_recompute(spark, stream_dir, tmp_p
         q2.stop()
     assert current_state(spark)[1] == version
     assert {tuple(r) for r in current_state(spark)[0].collect()} == exp
+
+
+def test_pii_scrub_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Stateless map operators (the PII scrub) apply to streams unchanged:
+    the streamed scrub of the event props column equals the batch scrub of
+    the same rows — no watermark, no state, pure per-row codegen."""
+    from flink_estimator_spark.operators.cleaning import redact_pii
+
+    def scrub(df):
+        return df.select(
+            "event_id",
+            redact_pii(
+                F.concat(F.col("props"), F.lit(" by "), F.col("user_id").cast("string"),
+                         F.lit("@host.example.net"))
+            ).alias("clean"),
+        )
+
+    from flink_estimator_spark.sources.tables import read_table
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, scrub(ev), "pii_out", tmp_path)
+    got = {(r["event_id"], r["clean"]) for r in out.collect()}
+    batch = read_table(spark, stream_dir)  # same rows incl. sentinel
+    exp = {(r["event_id"], r["clean"]) for r in scrub(batch).collect()}
+    assert got == exp
+    assert all("@" not in c for _, c in got), "scrub must remove every address"
