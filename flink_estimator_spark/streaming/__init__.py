@@ -6,4 +6,5 @@ from .joins import enrich_with_customers, view_purchase_interval_join, view_purc
 from .stateful import running_totals  # noqa: F401
 from .topn import window_topn as window_topn_stream  # noqa: F401
 from .runner import stream_config_from_estimate, apply_stream_config  # noqa: F401
-from .sinks import batch_writer, idempotent_parquet_sink  # noqa: F401
+from .sinks import batch_writer, idempotent_parquet_sink, rollup_maintenance_sink  # noqa: F401
+from .metrics import observed, with_ingest_metrics  # noqa: F401

@@ -659,3 +659,34 @@ def test_pii_scrub_stream_matches_batch(spark, stream_dir, tmp_path):
     exp = {(r["event_id"], r["clean"]) for r in scrub(batch).collect()}
     assert got == exp
     assert all("@" not in c for _, c in got), "scrub must remove every address"
+
+
+def test_observe_metrics_account_for_every_ingested_row(spark, stream_dir, tmp_path):
+    """Per-micro-batch observedMetrics: summed `rows` equals the source row
+    count exactly, event-time bounds are sane, and the null-id canary stays
+    zero — observability without a second pass over the data."""
+    from flink_estimator_spark.streaming.metrics import observed, with_ingest_metrics
+
+    ev = with_ingest_metrics(events_stream(spark, stream_dir))
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    rows = observed(progress)
+    assert rows, "no observedMetrics surfaced in progress"
+    total = sum(m["rows"] for m in rows)
+    n_src = _batch_events(spark).count() + 1  # + sentinel
+    assert total == n_src
+    assert all(m["null_ids"] == 0 for m in rows)
+    assert all(
+        m["min_ts_s"] <= m["max_ts_s"] for m in rows if m["rows"] > 0
+    )
