@@ -156,3 +156,31 @@ def test_rollup_merge_equals_full_recompute_any_split(spark):
             for r in merge_rollups(partial_rollup(a), partial_rollup(b)).collect()
         }
         assert merged == full, f"split at q{frac} lost or double-counted state"
+
+
+def test_match_sequence_generalizes_the_three_step_cep(spark):
+    """match_sequence at k=3 (same steps/bound/negation) must select exactly
+    the users of the hand-built q_cep_three_step — the generalized compiler
+    and the fixed-shape query are the same pattern."""
+    from flink_estimator_spark.operators.sequence import match_sequence
+    from flink_estimator_spark.plans import QUERIES
+
+    ev = read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+    et = F.col("event_type")
+    gen = match_sequence(
+        ev,
+        steps=[et == "signup", et == "view", et == "purchase"],
+        within_s=7200,
+        absent=et == "error",
+    )
+    got = {r["user_id"] for r in gen.collect()}
+    exp = {
+        r["user_id"]
+        for r in QUERIES["q_cep_three_step"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+    # and k=1 degenerates to "keys having any such event"
+    one = match_sequence(ev, steps=[et == "signup"])
+    assert one.count() == (
+        ev.filter(et == "signup").select("user_id").distinct().count()
+    )
