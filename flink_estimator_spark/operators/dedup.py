@@ -615,6 +615,50 @@ def q_minhash_recall(spark, sf_dir):
     )
 
 
+def _interleaved_close_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
+    """Hamming<=bands-1 pairs found via an INDEPENDENT banding layout.
+
+    Band ``b`` takes bits {b, b+bands, b+2*bands, ...} (bit-interleaved)
+    instead of the production scheme's contiguous ranges.  Pigeonhole holds
+    for ANY partition of the 48 bits into 4 bands, so every Hamming<=3 pair
+    shares an untouched band under BOTH layouts — this is a complete truth
+    side computed at banded-join cost (sum of bucket^2), never corpus^2."""
+    width = SIMHASH_BITS // bands
+    keys = []
+    for b in range(bands):
+        key = None
+        for j in range(width):
+            bit = F.shiftright(F.col("simhash"), b + bands * j).bitwiseAND(
+                F.lit(1)
+            )
+            term = F.shiftleft(bit.cast("long"), j)
+            key = term if key is None else key + term
+        keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    banded = sig.withColumn("bk", F.explode(F.array(*keys))).select(
+        "doc_id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    left = banded.select(
+        "band", "key",
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    right = banded.select(
+        "band", "key",
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hd"),
+        )
+        .filter(F.col("hd") <= bands - 1)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 @query(
     "q_simhash_recall",
     oracle="""
@@ -629,25 +673,18 @@ def q_simhash_recall(spark, sf_dir):
     """Pigeonhole certificate for SimHash banding: with 4 bands over 48
     bits, ANY pair at Hamming distance <= 3 shares an untouched band and so
     MUST surface as a candidate — recall 1.0 by construction, not sampling.
-    The Spark side verifies the theorem against the all-pairs truth (fine at
-    fixture scale; the point of the certificate is that banding stays
-    correct as the implementation evolves)."""
+
+    The truth side is computed with a bit-INTERLEAVED banding layout (an
+    independent implementation of the same theorem), so both sides are
+    banded equi-joins and the certificate runs at sum(bucket^2) cost at any
+    corpus scale — the r2 all-pairs corpus^2 truth scan is gone.  A bug in
+    the production contiguous banding (wrong shift/mask/width) would make
+    the two candidate sets disagree and fail the left-anti check."""
     d = t(spark, sf_dir, "documents")
-    # one simhash pass feeds both the all-pairs truth and the banded
-    # candidates (localCheckpoint: n_docs rows of (id, long))
+    # one simhash pass feeds both banding layouts (localCheckpoint: n_docs
+    # rows of (id, long))
     sig = simhash(d).localCheckpoint()
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    close = (
-        spread(a, "id_a")
-        .join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hd"),
-        )
-        .filter(F.col("hd") <= 3)
-        .select("id_a", "id_b")
-    )
+    close = _interleaved_close_pairs(spread(sig, "doc_id"))
     cand = simhash_candidates(d, sig=sig).select(
         "id_a", "id_b", F.lit(1).alias("hit")
     )

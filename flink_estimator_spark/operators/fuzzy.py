@@ -54,7 +54,19 @@ def _pos_key(col: Column, positions: tuple[int, ...]) -> Column:
 
 def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
     """All (a, b) string pairs with levenshtein(a,b) <= max_dist, a < b,
-    via the 3-set position blocking described in the module docstring."""
+    via the 3-set position blocking described in the module docstring.
+
+    Contract: the pair-of-sets join form bounds the pigeonhole guarantee to
+    ``max_dist=1`` — a distance-2 pair can disagree with both sets of every
+    branch, so larger distances would silently lose recall.  For
+    variable-length strings or ``max_dist`` up to 2, use
+    :func:`fuzzy_pairs_general` (deletion-neighborhood blocking).
+    """
+    if max_dist > 1:
+        raise ValueError(
+            "pair-of-sets position blocking guarantees recall only for "
+            "max_dist <= 1; use fuzzy_pairs_general for larger distances"
+        )
     names = df.select(F.col(col).alias("name")).distinct()
     with_keys = names.select(
         "name",
@@ -92,6 +104,102 @@ def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
     return (
         cand.select("name_a", "name_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
+    )
+
+
+def _one_deletion_variants(v: Column) -> Column:
+    """array<string> of every single-character deletion of ``v``."""
+    return F.when(F.length(v) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(
+                v.substr(F.lit(1), i - 1), v.substr(i + 1, F.length(v))
+            ),
+        )
+    )
+
+
+def fuzzy_pairs_general(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
+    """All (a, b) string pairs with levenshtein(a,b) <= max_dist, a < b, for
+    ARBITRARY variable-length strings — deletion-neighborhood blocking.
+
+    Candidates come from the symmetric-delete scheme (public algorithm,
+    SymSpell/FastSS family): each string emits every variant reachable by up
+    to ``max_dist`` character deletions; two strings within edit distance d
+    always share a common member of their d-deletion neighborhoods (each
+    edit — substitution, insertion, or deletion — is undone by at most one
+    deletion on each side), so joining on a shared variant has recall 1.0 by
+    construction, then the banded ``levenshtein`` prunes false candidates.
+
+    Scale shape: a length-L string emits O(L^d) variants, but the join key
+    is ``xxhash64(variant)`` — 8 bytes — so the candidate shuffle never
+    carries variant text, only (key, name); hash collisions can only ADD
+    candidates (removed by the distance filter), never lose them.  Block
+    sizes follow true near-dup cluster sizes, the same sum(bucket^2) cost
+    profile as the MinHash/SimHash banded joins.  Unlike
+    :func:`fuzzy_pairs`, no fixed-width key format is assumed and indel
+    edits (which shift every later position) are handled.
+    """
+    if max_dist < 1 or max_dist > 2:
+        raise ValueError("deletion-neighborhood blocking supports max_dist in {1, 2}")
+    names = df.select(F.col(col).alias("name")).distinct()
+    nb = names.withColumn("_vars", F.array("name"))
+    for _ in range(max_dist):
+        nb = nb.withColumn(
+            "_vars",
+            F.array_distinct(
+                F.concat(
+                    "_vars",
+                    F.flatten(F.transform("_vars", _one_deletion_variants)),
+                )
+            ),
+        )
+    keyed = nb.select(
+        "name", F.explode("_vars").alias("_v")
+    ).select("name", F.xxhash64("_v").alias("k"))
+    a = keyed.select("k", F.col("name").alias("name_a"))
+    b = keyed.select("k", F.col("name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b", max_dist).cast("long")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .select("name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
+@query(
+    "q_fuzzy_digit_pairs",
+    oracle="""
+        WITH n AS (
+            SELECT DISTINCT ltrim(replace(c_name, 'Customer#', ''), '0') AS name
+            FROM customer
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1
+        ORDER BY name_a, name_b
+    """,
+    tags=("llm", "fuzzy", "join", "blocking", "symmetric-delete"),
+)
+def q_fuzzy_digit_pairs(spark, sf_dir):
+    """Edit-distance-1 pairs over VARIABLE-LENGTH strings (customer ids with
+    prefix and leading zeros stripped — lengths 0..5, where insertions and
+    deletions genuinely occur, e.g. '123' vs '1234').  Spark side blocks via
+    deletion neighborhoods; the DuckDB oracle brute-forces all pairs, so a
+    green row certifies the blocking's recall-1.0 claim against exhaustive
+    truth, not a mirrored plan."""
+    c = t(spark, sf_dir, "customer")
+    stripped = c.select(
+        F.expr("trim(LEADING '0' FROM replace(c_name, 'Customer#', ''))").alias(
+            "name"
+        )
+    )
+    return fuzzy_pairs_general(stripped, "name", max_dist=1).orderBy(
+        "name_a", "name_b"
     )
 
 

@@ -74,9 +74,10 @@ def match_sequence(
     # FLOORS sub-second fractions while DuckDB's epoch() double ROUNDS —
     # micros are exact integers in both engines (repo dtype-parity rule)
     if within_s is not None:
+        # round, don't truncate: within_s=0.5 must bound at 500_000 us, not 0
         matched = matched & (
             F.unix_micros(last) - F.unix_micros(first)
-            <= int(within_s) * 1_000_000
+            <= int(round(within_s * 1_000_000))
         )
     if absent is not None:
         matched = matched & (F.col("_n_absent") == 0)

@@ -56,21 +56,43 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
 # gated ones (below — all green or value-verified in r1) last, so every
 # registered query accumulates a driver-verified row across rounds.
 _GATED_PRIOR_ROUNDS = frozenset({
+    # --- round 1 greens (CORRECTNESS_r01) ---
+    # q_sessionization and q12_priority_shipping are deliberately ABSENT:
+    # their oracles were CAST-fixed after r1's hash mismatch and they must
+    # re-enter the gate front to earn a green row (VERDICT r2 item 1).
     "q_scan_filter_project", "q_filter_compound", "q_scalar_math",
     "q_string_funcs", "q_date_parts", "q_case_when", "q1_pricing_summary",
     "q3_shipping_priority", "q5_region_revenue", "q10_returned_items",
     "q_join_left_order_counts", "q_join_full_nation_coverage", "q_semi_join",
     "q_anti_join", "q_supplier_stats", "q_tumble_window", "q_hop_window",
     "q_dedup_by_key", "q_distinct_pairs", "q_topk_per_group",
-    "q_running_revenue", "q_lag_delta", "q_sessionization", "q_rollup",
+    "q_running_revenue", "q_lag_delta", "q_rollup",
     "q_cube", "q_grouping_sets", "q_json_extract", "q_set_ops",
     "q_scalar_subquery", "q_moving_avg", "q_ntile_rank", "q_pivot_status",
     "q_cep_funnel", "q6_forecast_revenue", "q4_late_orders",
     "q7_nation_trade", "q13_order_histogram", "q14_promo_share",
     "q18_large_orders", "q22_idle_balances", "q8_market_share",
     "q15_top_supplier", "q17_small_quantity", "q19_disjunctive_predicates",
-    "q21_sole_late_shipper", "q9_nation_profit", "q12_priority_shipping",
+    "q21_sole_late_shipper", "q9_nation_profit",
     "q16_supplier_variety", "q_asof_join", "q_range_join_bands",
+    # --- round 2 greens (CORRECTNESS_r02, 50/50) ---
+    "q_approx_sketches", "q_cep_four_step", "q_cep_three_step",
+    "q_class_weights", "q_contamination_screen", "q_cumulate_window",
+    "q_data_mixing", "q_dedup_embedding", "q_dedup_exact_docs",
+    "q_dedup_keep_list", "q_emb_cosine_topk", "q_emb_label_knn",
+    "q_hash_sample", "q_incremental_rollup", "q_interval_join",
+    "q_join_right_customer_coverage", "q_lang_mismatch",
+    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
+    "q_multistage_windows", "q_ngram_lm", "q_pandas_grouped_agg",
+    "q_pandas_udf_score", "q_percentiles", "q_pii_redaction",
+    "q_quality_funnel", "q_resample_ffill", "q_reservoir_per_group",
+    "q_scd2_history", "q_sequence_packing", "q_session_dynamic_gap",
+    "q_shared_spans", "q_skew_salted_agg", "q_temporal_join",
+    "q_text_fingerprint", "q_text_lang_guess", "q_text_quality",
+    "q_text_repetition", "q_text_tfidf_top", "q_text_token_stats",
+    "q_time_range_frame", "q_training_order", "q_udtf_tokens", "q_unpivot",
+    "q_value_outliers", "q_vocab_growth", "q_window_dedup", "q_window_join",
+    "q_window_topn",
 })
 
 
@@ -79,38 +101,44 @@ _GATED_PRIOR_ROUNDS = frozenset({
 # stronger-signal oracle'd checks first; if it is a time budget, fast-first
 # maximizes how many fit.  Sorting (has_oracle desc, measured runtime asc)
 # optimizes both without knowing which budget the driver applies.
-_SF001_SEC = {
-    "q_pandas_udf_score": 0.11, "q_unpivot": 0.15, "q_dedup_exact_docs": 0.17,
-    "q_time_range_frame": 0.19, "q_percentiles": 0.2, "q_scd2_history": 0.22,
-    "q_pandas_grouped_agg": 0.24, "q_hash_sample": 0.25, "q_text_quality": 0.26,
-    "q_multistage_windows": 0.27, "q_text_repetition": 0.28,
-    "q_skew_salted_agg": 0.29, "q_contamination_screen": 0.3,
-    "q_window_dedup": 0.31, "q_multimodal_resize": 0.33, "q_window_join": 0.34,
-    "q_join_right_customer_coverage": 0.35, "q_class_weights": 0.36,
-    "q_multimodal_frames": 0.37, "q_interval_join": 0.38,
-    "q_reservoir_per_group": 0.39, "q_training_order": 0.4,
-    "q_data_mixing": 0.41, "q_text_fingerprint": 0.42,
-    "q_multimodal_features": 0.43, "q_text_lang_guess": 0.44,
-    "q_approx_sketches": 0.45, "q_cumulate_window": 0.46,
-    "q_text_token_stats": 0.47, "q_pii_redaction": 0.48,
-    "q_session_dynamic_gap": 0.49, "q_window_topn": 0.5,
-    "q_quality_funnel": 0.52, "q_udtf_tokens": 0.54, "q_value_outliers": 0.56,
-    "q_temporal_join": 0.58, "q_lang_mismatch": 0.6, "q_dedup_embedding": 0.62,
-    "q_shared_spans": 0.64, "q_whatif_capacity_grid": 0.66,
-    "q_vocab_growth": 0.68, "q_cep_three_step": 0.7, "q_resample_ffill": 0.72,
-    "q_text_tfidf_top": 0.75, "q_emb_label_knn": 0.8,
-    "q_sequence_packing": 0.85, "q_ngram_lm": 0.95, "q_dedup_keep_list": 1.1,
-    "q_emb_cosine_topk": 1.2, "q_fuzzy_name_pairs": 1.3,
-    "q11_important_parts": 1.4, "q20_majority_shippers": 1.5,
-    "q2_min_cost_supplier": 1.6, "q_emb_ivf_recall": 1.7,
-    "q_dedup_minhash_lsh": 1.9, "q_minhash_recall": 2.0,
-    "q_grouped_pandas_minmax": 2.2, "q_simhash_recall": 2.4,
-    "q_emb_ivf_ann": 2.5, "q_dedup_simhash": 2.7, "q_dedup_clusters": 2.9,
-    "q_emb_lsh_recall": 3.8, "q_emb_lsh_ann": 4.5,
-    "q_dedup_jaccard_pairs": 5.0,
-    "q_vocab_growth": 0.46, "q_incremental_rollup": 0.8,
-    "q_whatif_capacity_grid": 1.7,
-}
+_SF001_SEC_PAIRS = [
+    ("q_pandas_udf_score", 0.11), ("q_unpivot", 0.15),
+    ("q_dedup_exact_docs", 0.17), ("q_time_range_frame", 0.19),
+    ("q_percentiles", 0.2), ("q_scd2_history", 0.22),
+    ("q_pandas_grouped_agg", 0.24), ("q_hash_sample", 0.25),
+    ("q_text_quality", 0.26), ("q_multistage_windows", 0.27),
+    ("q_text_repetition", 0.28), ("q_skew_salted_agg", 0.29),
+    ("q_contamination_screen", 0.3), ("q_window_dedup", 0.31),
+    ("q_multimodal_resize", 0.33), ("q_window_join", 0.34),
+    ("q_join_right_customer_coverage", 0.35), ("q_class_weights", 0.36),
+    ("q_multimodal_frames", 0.37), ("q_interval_join", 0.38),
+    ("q_reservoir_per_group", 0.39), ("q_training_order", 0.4),
+    ("q_data_mixing", 0.41), ("q_text_fingerprint", 0.42),
+    ("q_multimodal_features", 0.43), ("q_text_lang_guess", 0.44),
+    ("q_approx_sketches", 0.45), ("q_cumulate_window", 0.46),
+    ("q_vocab_growth", 0.46), ("q_text_token_stats", 0.47),
+    ("q_pii_redaction", 0.48), ("q_session_dynamic_gap", 0.49),
+    ("q_window_topn", 0.5), ("q_quality_funnel", 0.52),
+    ("q_udtf_tokens", 0.54), ("q_value_outliers", 0.56),
+    ("q_temporal_join", 0.58), ("q_lang_mismatch", 0.6),
+    ("q_dedup_embedding", 0.62), ("q_shared_spans", 0.64),
+    ("q_cep_three_step", 0.7), ("q_resample_ffill", 0.72),
+    ("q_text_tfidf_top", 0.75), ("q_emb_label_knn", 0.8),
+    ("q_incremental_rollup", 0.8), ("q_sequence_packing", 0.85),
+    ("q_ngram_lm", 0.95), ("q_dedup_keep_list", 1.1),
+    ("q_emb_cosine_topk", 1.2), ("q_fuzzy_name_pairs", 1.3),
+    ("q11_important_parts", 1.4), ("q20_majority_shippers", 1.5),
+    ("q2_min_cost_supplier", 1.6), ("q_emb_ivf_recall", 1.7),
+    ("q_whatif_capacity_grid", 1.7), ("q_dedup_minhash_lsh", 1.9),
+    ("q_minhash_recall", 2.0), ("q_grouped_pandas_minmax", 2.2),
+    ("q_simhash_recall", 2.4), ("q_emb_ivf_ann", 2.5),
+    ("q_dedup_simhash", 2.7), ("q_dedup_clusters", 2.9),
+    ("q_emb_lsh_recall", 3.8), ("q_emb_lsh_ann", 4.5),
+    ("q_dedup_jaccard_pairs", 5.0),
+]
+assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
+    "duplicate key in _SF001_SEC_PAIRS"
+_SF001_SEC = dict(_SF001_SEC_PAIRS)
 
 
 def _gate_order() -> list[str]:

@@ -69,6 +69,20 @@ def rollup_maintenance_sink(stream_df: DataFrame, state_path: str,
     state — no loss, no double count.  Readers always go through the
     pointer.  (Transactional table formats bake exactly this into their
     commit log; this is the minimal file-layout equivalent.)
+
+    Assumptions — stated so this isn't mistaken for an object-store sink:
+
+    * The pointer protocol uses LOCAL-POSIX primitives (``os.path.exists`` /
+      ``open`` / ``os.replace``); ``os.replace`` is atomic on one POSIX
+      filesystem but those calls don't resolve ``hdfs://``/``s3a://`` paths
+      at all.  Porting to a cluster store means routing the pointer
+      read/rename through the Hadoop ``FileSystem`` API (atomic rename on
+      HDFS) or, on S3 where rename isn't atomic, a conditional-put object —
+      at which point a transactional table format is the better answer.
+    * Read-check-write on the pointer is single-writer-safe only.  That
+      matches Structured Streaming's model — one query per checkpoint
+      directory owns the sink — but two concurrent queries pointed at the
+      same ``state_path`` could interleave (1) and (3) and lose a merge.
     """
     import os
 

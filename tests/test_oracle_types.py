@@ -5,8 +5,12 @@ The driver's value hash is type-sensitive: round 1 lost two gate rows to
 value-identical results where DuckDB's integer ``SUM`` returned HUGEINT
 (int128) against Spark's BIGINT.  The local value-parity test compares
 ``str(v)`` and cannot see that class of defect, so this sweep checks the
-*types* head-on — metadata only (DuckDB ``DESCRIBE`` + Spark schema
-derivation), no query execution, so the whole registry sweeps in seconds.
+*types* head-on.  The DuckDB side is metadata-only (``DESCRIBE``); the Spark
+side calls each ``spec.builder`` for its schema, and a handful of builders
+run real jobs during *construction* (connected-components' convergence
+loop, LSH's adaptive-plane ``count()``, the incremental rollup's percentile
+collection), so the sweep is cheap-but-not-free — schemas are derived once
+per query in a module-scoped cache shared by both tests.
 """
 
 from __future__ import annotations
@@ -63,11 +67,22 @@ def _expected_duck(spark_dtype: str) -> set[str]:
     return set()  # unmapped -> always flagged; extend the map deliberately
 
 
+_SCHEMA_CACHE: dict[str, list] = {}
+
+
+def _spark_fields(spark, name: str) -> list:
+    if name not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[name] = list(
+            QUERIES[name].builder(spark, SF_DIR).schema.fields
+        )
+    return _SCHEMA_CACHE[name]
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_types_match_spark(spark, ddb, name):
     spec = QUERIES[name]
     spark_types = {f.name: f.dataType.simpleString()
-                   for f in spec.builder(spark, SF_DIR).schema.fields}
+                   for f in _spark_fields(spark, name)}
     duck_types = {
         r[0]: r[1] for r in ddb.execute(f"DESCRIBE {spec.oracle}").fetchall()
     }
@@ -89,7 +104,7 @@ def test_no_timestamp_outputs(spark):
     """Repo rule: no raw timestamps in query output (epoch BIGINT or string)."""
     offenders = []
     for name in ORACLED:
-        for f in QUERIES[name].builder(spark, SF_DIR).schema.fields:
+        for f in _spark_fields(spark, name):
             if "timestamp" in f.dataType.simpleString():
                 offenders.append(f"{name}.{f.name}")
     assert not offenders, offenders
