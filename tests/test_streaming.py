@@ -220,6 +220,67 @@ def test_cep_three_step_stream_matches_batch(spark, stream_dir, tmp_path):
     assert got == exp
 
 
+def test_sequence_matches_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming k-step matcher vs the gated batch q_cep_four_step: same
+    steps/bound/negation config must yield identical match rows."""
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.streaming import sequence_matches
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark,
+        sequence_matches(
+            ev,
+            steps=["signup", "view", "click", "purchase"],
+            within_s=172800,
+            absent="error",
+            watermark="40 days",
+        ),
+        "seq_out",
+        tmp_path,
+        mode="update",
+    )
+    cols = ["user_id", "t0_us", "t1_us", "t2_us", "t3_us", "span_s"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in out.filter(F.col("user_id") != SENTINEL_USER).collect()
+    }
+    exp = {
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_cep_four_step"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+    assert exp, "batch shadow is vacuous at this fixture"
+
+
+def test_sequence_matches_k2_matches_batch_match_sequence(spark, stream_dir, tmp_path):
+    """k is genuinely generic: a 2-step config must equal the batch
+    match_sequence with the same 2-step pattern (no within/absent)."""
+    from flink_estimator_spark.operators.sequence import match_sequence
+    from flink_estimator_spark.streaming import sequence_matches
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark,
+        sequence_matches(ev, steps=["signup", "purchase"], watermark="40 days"),
+        "seq2_out",
+        tmp_path,
+        mode="update",
+    )
+    cols = ["user_id", "t0_us", "t1_us", "span_s"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in out.filter(F.col("user_id") != SENTINEL_USER).collect()
+    }
+    et = F.col("event_type")
+    batch = match_sequence(
+        _batch_events(spark), steps=[et == "signup", et == "purchase"]
+    )
+    exp = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert got == exp
+    assert exp
+
+
 def test_stream_config_from_estimator(spark):
     from flink_estimator_spark.estimator import Scenario
     from flink_estimator_spark.streaming import (
