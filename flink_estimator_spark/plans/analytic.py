@@ -656,3 +656,76 @@ def q_cep_three_step(spark, sf_dir):
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, pr, o_orderkey
+    """,
+    tags=("complex", "window-analytic", "distribution"),
+)
+def q_percent_rank(spark, sf_dir):
+    """Relative-standing analytics: percent_rank + cume_dist of each order's
+    price within its priority class.  The (o_totalprice, o_orderkey) sort
+    key is unique, so ranks are tie-free and the (rank-1)/(n-1) ratio is the
+    same IEEE division in both engines.  One shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_orderpriority", "pr", "o_orderkey")
+    )
+
+
+@query(
+    "q_grouped_concat",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               string_agg(CAST(l_partkey AS VARCHAR), ','
+                          ORDER BY l_linenumber, l_partkey) AS part_seq
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(*) >= 7
+        ORDER BY l_orderkey
+    """,
+    tags=("medium", "aggregate", "ordered-concat"),
+)
+def q_grouped_concat(spark, sf_dir):
+    """Ordered grouped concatenation (SQL LISTAGG / string_agg): the part
+    sequence of every 7-plus-line order, in (line-number, partkey) order —
+    the fixture reuses line numbers within an order, so the tiebreak is part
+    of the contract.  Spark has no ordered collect, so the deterministic
+    idiom is collect_list of (linenumber, partkey) structs -> array_sort
+    (lexicographic over fields) -> project + join — all built-ins, one
+    aggregation shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s.getField("l_partkey").cast("string"),
+                ),
+                ",",
+            ).alias("part_seq"),
+        )
+        .filter(F.col("n_lines") >= 7)
+        .orderBy("l_orderkey")
+    )
