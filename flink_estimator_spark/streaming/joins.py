@@ -98,6 +98,52 @@ def view_purchase_left_join(
     )
 
 
+def view_purchase_full_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: every (purchase, preceding
+    same-user view) pair inside ``within``, plus null-padded rows for
+    purchases with no view AND for views with no following purchase —
+    Flink's "full left join between two streams" complex class
+    (`/root/reference/tests/ut/test_basic_estimation.py:317`) taken to its
+    symmetric completion.
+
+    Same bounded-state machinery as the left variant: watermarks on both
+    sides plus the time-range predicate tell the engine when EITHER side's
+    row can never match again, at which point its null-padded result is
+    emittable and its state droppable.  Batch DataFrames run the same plan
+    (no watermark), so the batch run is the streaming test's oracle.
+    """
+    streaming = events.isStreaming
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if streaming:
+        v = v.withWatermark("v_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(v, cond, "full_outer").select(
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("p_ts").cast("long").alias("purchase_s"),
+        F.col("v_ts").cast("long").alias("view_s"),
+    )
+
+
 def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with customer dimension
     attributes.  The static side is broadcast — each micro-batch probes an

@@ -483,6 +483,73 @@ def test_left_outer_interval_join_stream_matches_batch(
     assert any(v is None for _, _, v in exp), "fixture lost its null-side rows"
 
 
+def test_full_outer_interval_join_stream_matches_batch(
+    spark, stream_dir, tmp_path, tmp_path_factory
+):
+    from flink_estimator_spark.streaming import view_purchase_full_join
+
+    # Same harness as the left-outer test, but BOTH sides' null-padded rows
+    # must flush: view-null rows need the view-side watermark to pass the
+    # purchase, purchase-null rows need the purchase-side watermark to pass
+    # the view — so the flush loop alternates view and purchase sentinels.
+    d = tmp_path_factory.mktemp("events_fojoin")
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(stream_dir))):
+        dst = os.path.join(str(d), f)
+        shutil.copy(os.path.join(stream_dir, f), dst)
+        os.utime(dst, (now + i, now + i))
+
+    ev = events_stream(spark, str(d))
+    q = (
+        view_purchase_full_join(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fojoin_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fojoin"))
+        .start()
+    )
+    exp = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in view_purchase_full_join(_batch_events(spark)).collect()
+    }
+    want_vnull = sum(1 for _, _, v in exp if v is None)
+    want_pnull = sum(1 for _, p, _ in exp if p is None)
+    try:
+        q.processAllAvailable()
+        src = pq.read_table(os.path.join(str(d), "part-002-sentinel.parquet"))
+        pdf = src.to_pandas()
+        for attempt in range(3, 15):
+            out_now = spark.sql(
+                "SELECT * FROM fojoin_out"
+            ).filter(F.col("user_id") != SENTINEL_USER)
+            n_vnull = out_now.filter(F.col("view_id").isNull()).count()
+            n_pnull = out_now.filter(F.col("purchase_id").isNull()).count()
+            if n_vnull >= want_vnull and n_pnull >= want_pnull:
+                break
+            pdf["ts"] = (pdf["ts"] + pd.Timedelta(days=1)).astype(pdf["ts"].dtype)
+            pdf["event_id"] = 10**12 + attempt
+            pdf["event_type"] = "purchase" if attempt % 2 else "view"
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(str(d), f"part-0{attempt:02d}-sentinel.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM fojoin_out")
+    got = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    assert got == exp
+    # both outer directions actually fire in the fixture
+    assert want_vnull, "no purchase-without-view rows"
+    assert want_pnull, "no view-without-purchase rows"
+
+
 def test_stream_static_join_matches_batch(spark, stream_dir, tmp_path):
     from flink_estimator_spark.sources.tables import read_table
     from flink_estimator_spark.streaming import enrich_with_customers
