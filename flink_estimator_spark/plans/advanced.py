@@ -492,3 +492,56 @@ def q_multistage_windows(spark, sf_dir):
         )
         .orderBy("day_start")
     )
+
+
+@query(
+    "q_hll_rollup",
+    oracle="""
+        SELECT etype, n_exact, est_ok FROM (
+            SELECT event_type AS etype,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS est_ok
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+            FROM events
+        )
+        ORDER BY etype
+    """,
+    tags=("complex", "approx", "sketch", "mergeable", "rollup"),
+)
+def q_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch hierarchy: per-event-type HLL sketches of distinct
+    users, then an 'ALL' row whose sketch is the UNION of the per-type
+    sketches — never a re-scan of the raw data.  This is the 100 TB shape
+    for hierarchical distinct counts (daily sketches -> monthly rollup):
+    partial sketch states are small, associative, and order-independent,
+    so every level after the first costs only a sketch merge.  Emitted as
+    an accuracy certificate (estimate within 5% of the exact distinct,
+    which the oracle recomputes exactly): a green row certifies both the
+    merge algebra and the accuracy bound."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    # the ALL level: union of the per-type sketches; exact side needs one
+    # global distinct (the certificate's truth), the sketch side does NOT
+    all_exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    all_row = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(all_exact))
+        .select(F.lit("ALL").alias("etype"), "n_exact", "sk")
+    )
+    per_rows = per.select(F.col("event_type").alias("etype"), "n_exact", "sk")
+    est = F.hll_sketch_estimate("sk").cast("double")
+    exact_d = F.col("n_exact").cast("double")
+    return (
+        per_rows.unionByName(all_row)
+        .select(
+            "etype",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.abs(est - exact_d) <= 0.05 * exact_d).alias("est_ok"),
+        )
+        .orderBy("etype")
+    )
