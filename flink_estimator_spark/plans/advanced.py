@@ -545,3 +545,73 @@ def q_hll_rollup(spark, sf_dir):
         )
         .orderBy("etype")
     )
+
+
+@query(
+    "q_kll_rollup",
+    oracle="""
+        SELECT etype, p50_exact, rank_ok FROM (
+            SELECT event_type AS etype,
+                   quantile_cont(value, 0.5) AS p50_exact,
+                   TRUE AS rank_ok
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', quantile_cont(value, 0.5), TRUE FROM events
+        )
+        ORDER BY etype
+    """,
+    tags=("complex", "approx", "sketch", "mergeable", "quantile"),
+)
+def q_kll_rollup(spark, sf_dir):
+    """Mergeable-quantile hierarchy (KLL sketches), the percentile dual of
+    q_hll_rollup: per-event-type KLL sketches of ``value``, with the ALL
+    row's sketch produced by ``kll_sketch_merge_double`` over the per-type
+    sketches — no re-scan.  KLL guarantees RANK error (~1.7% at the default
+    k), not value error, so the certificate asserts the estimated median
+    lands between the exact 40th and 60th percentiles of the same group —
+    a rank-window check that is meaningful for any value distribution.
+    The oracle recomputes the exact medians (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) and states the certificate as literal TRUE."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.4)).alias("_lo"),
+        F.percentile("value", F.lit(0.6)).alias("_hi"),
+    )
+    # kll_sketch_merge_double is a binary scalar (no union-agg form): fold
+    # the handful of per-group sketches with a HOF reduce — the rollup
+    # level always has far fewer rows than the base level, so a
+    # collect_list + fold at the top of the hierarchy is bounded
+    sks = F.collect_list("sk")
+    merged = F.aggregate(
+        F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
+        F.element_at(sks, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    all_row = (
+        per.agg(merged.alias("sk"))
+        .crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+                    F.percentile("value", F.lit(0.4)).alias("_lo"),
+                    F.percentile("value", F.lit(0.6)).alias("_hi"),
+                )
+            )
+        )
+        .select(F.lit("ALL").alias("etype"), "p50_exact", "_lo", "_hi", "sk")
+    )
+    per_rows = per.select(
+        F.col("event_type").alias("etype"), "p50_exact", "_lo", "_hi", "sk"
+    )
+    est = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    return (
+        per_rows.unionByName(all_row)
+        .select(
+            "etype",
+            "p50_exact",
+            ((est >= F.col("_lo")) & (est <= F.col("_hi"))).alias("rank_ok"),
+        )
+        .orderBy("etype")
+    )
