@@ -92,6 +92,34 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_clustered(df: DataFrame, path: str, *sort_keys: str,
+                    block_bytes: int = 128 * 1024 * 1024) -> None:
+    """Sort-clustered parquet write: rows sorted on ``sort_keys`` WITHIN
+    each output file, with bounded row-group size — the data-skipping
+    layout for high-cardinality keys that are too fine for hive
+    partitioning (timestamps, numeric ranges).
+
+    Parquet footers carry per-row-group min/max statistics for every
+    column; engines (Spark parquet filter pushdown, DuckDB zone maps) skip
+    any row group whose [min, max] cannot satisfy the predicate.  On
+    unsorted data every group spans nearly the full key range and nothing
+    skips; sorting within files makes the ranges disjoint, so a range
+    predicate touches O(selectivity) groups — the poor man's z-order, at
+    zero read-side cost.  ``sortWithinPartitions`` (not a global ``sort``)
+    keeps the write embarrassingly parallel: clustering is per-file, which
+    is exactly the granularity footer stats operate at.
+
+    ``tests/test_formats.py`` asserts the row-group min/max ranges are
+    near-disjoint and that a range predicate could skip the expected
+    fraction of groups — the footer-level truth, not just a round-trip."""
+    (
+        df.sortWithinPartitions(*sort_keys)
+        .write.mode("overwrite")
+        .option("parquet.block.size", block_bytes)
+        .parquet(path)
+    )
+
+
 def compact(spark: SparkSession, src: str, dst: str,
             target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-files compaction: rewrite a parquet directory into files of

@@ -125,3 +125,53 @@ def test_compaction_collapses_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == src.count()
     assert back.exceptAll(spark.read.parquet(many)).count() == 0
+
+
+def test_clustered_write_enables_row_group_skipping(spark, tmp_path):
+    """write_clustered's footer-level contract: sorting within files makes
+    per-row-group min/max ranges near-disjoint, so a range predicate can
+    skip most groups; the same data written unsorted cannot skip."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from flink_estimator_spark.sources.formats import write_clustered
+
+    li = _table(spark, "lineitem").select("l_shipdate", "l_orderkey", "l_quantity")
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    write_clustered(li, clustered, "l_shipdate", block_bytes=16 * 1024)
+    # control: identical rows, identical block size, no clustering
+    li.write.mode("overwrite").option("parquet.block.size", 16 * 1024).parquet(unsorted)
+
+    def group_ranges(path):
+        ranges = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                ranges.append((st.min, st.max))
+        return ranges
+
+    cr, ur = group_ranges(clustered), group_ranges(unsorted)
+    assert len(cr) >= 4, f"fixture too small to form row groups: {len(cr)}"
+    assert len(ur) >= 4
+
+    # a one-quarter probe in the middle of the fixture's shipdate range
+    # (footer stats for this column surface as naive datetimes)
+    lo = datetime.datetime(1999, 1, 1)
+    hi = datetime.datetime(1999, 3, 31)
+
+    def candidates(ranges):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    c_hit, u_hit = candidates(cr), candidates(ur)
+    # unsorted groups all span ~the full range -> nothing skips
+    assert u_hit == len(ur), (u_hit, len(ur))
+    # clustered groups are near-disjoint -> most skip (selectivity ~4%)
+    assert c_hit <= max(2, len(cr) // 2), (c_hit, len(cr))
+    # and the data still round-trips
+    assert spark.read.parquet(clustered).count() == li.count()
