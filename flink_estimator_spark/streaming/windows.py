@@ -51,6 +51,32 @@ def hop_agg(
     )
 
 
+def tumble_distinct_users(
+    events: DataFrame, size: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Approximate distinct users per tumbling window — the streaming face
+    of the mergeable-sketch family (q_hll_rollup).  An EXACT streaming
+    count-distinct would hold every key seen per open window; the HLL++
+    state behind ``approx_count_distinct`` is a few KB per window
+    regardless of cardinality, which is the only shape that survives
+    billion-user windows.  The estimator is deterministic for a given
+    input set (hash-based, order-independent), so the batch run of this
+    same function is an exact-equality shadow, not an approximate one."""
+    wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.window("ts", size).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w").start.cast("long").alias("win_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
     """SESSION: dynamic-width windows closed by a gap of inactivity, keyed by
     user (the streaming dual of batch gaps-and-islands sessionization)."""

@@ -818,3 +818,36 @@ def test_observe_metrics_account_for_every_ingested_row(spark, stream_dir, tmp_p
     assert all(
         m["min_ts_s"] <= m["max_ts_s"] for m in rows if m["rows"] > 0
     )
+
+
+def test_tumble_distinct_users_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming approx-distinct per window vs the identical batch plan:
+    HLL++ is deterministic for a given input set, so equality is exact."""
+    from flink_estimator_spark.streaming import tumble_distinct_users
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark,
+        tumble_distinct_users(ev, watermark="30 minutes"),
+        "adist_out",
+        tmp_path,
+    )
+    batch = tumble_distinct_users(_batch_events(spark))
+    sentinel_wins = {
+        r["win_start"]
+        for r in tumble_distinct_users(
+            _batch_events(spark).filter(F.col("user_id") == SENTINEL_USER)
+        ).collect()
+    }
+    got = {
+        (r["win_start"], r["approx_users"], r["n_events"])
+        for r in out.collect()
+        if r["win_start"] not in sentinel_wins
+    }
+    exp = {
+        (r["win_start"], r["approx_users"], r["n_events"])
+        for r in batch.collect()
+        if r["win_start"] not in sentinel_wins
+    }
+    assert got == exp
+    assert len(exp) > 3
