@@ -184,3 +184,56 @@ def q_reservoir_per_group(spark, sf_dir):
         .select("event_type", "rn", "event_id", "user_id")
         .orderBy("event_type", "rn")
     )
+
+
+def ares_key(id_col: str | Column, weight_col: str | Column) -> Column:
+    """A-Res weighted-reservoir rank key: ln(u)/w for a deterministic
+    uniform u derived from the row id (Efraimidis-Spirakis: keeping the
+    top-k rows by u^(1/w) — equivalently ln(u)/w, same ordering — draws a
+    weighted sample without replacement).  The md5-based u makes the
+    sample reproducible across engines, cluster sizes, and partitionings,
+    like every other sampler in this module."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    x = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    u = (x.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.log(u) / w.cast("double")
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+        SELECT source, rk, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                     AS BIGINT) + 0.5) / 4294967296.0)
+                                / CAST(n_chars AS DOUBLE) DESC,
+                                doc_id) AS BIGINT) AS rk
+            FROM documents
+        )
+        WHERE rk <= 3
+        ORDER BY source, rk
+    """,
+    tags=("llm", "sampling", "weighted", "reservoir"),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted sample without replacement: per source, the 3
+    documents drawn by A-Res with weight = n_chars (longer docs
+    proportionally likelier).  One window shuffle on the group key — the
+    distributed form of a weighted reservoir: each partition keeps its
+    top-k by the key, merge keeps the global top-k (the window computes
+    exactly that), so the same sample falls out on any cluster size."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.desc(ares_key("doc_id", "n_chars")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    )
