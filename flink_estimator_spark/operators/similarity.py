@@ -738,3 +738,53 @@ def q_dedup_embedding(spark, sf_dir):
     buckets), turning O(n^2) into O(sum(bucket^2))."""
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.40).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_emb_centroids",
+    oracle="""
+        WITH ex AS (
+            SELECT label, i, embedding[i] AS v FROM (
+                SELECT label, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+        )
+        SELECT label,
+               CAST(i - 1 AS INT) AS pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1000000.0 AS centroid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex
+        GROUP BY label, i
+        ORDER BY label, pos
+    """,
+    tags=("llm", "similarity", "centroid", "kmeans"),
+)
+def q_emb_centroids(spark, sf_dir):
+    """Per-label embedding centroids — the k-means / class-prototype
+    building block: posexplode each vector to (label, pos, component),
+    aggregate per (label, pos), one shuffle keyed on (label, pos) with
+    map-side partial sums (the distributed centroid shape: explode cost is
+    map-local, the shuffle carries dim x labels partial aggregates, not
+    vectors).  Float components are floor-quantized to 1e-6 and summed as
+    exact BIGINTs so the mean is order-independent across engines and
+    partitionings — the repo's DECIMAL-sum rule adapted to float data
+    (floor, not round: Spark rounds half-up, DuckDB/Python half-even)."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    scaled = F.floor(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.sum(scaled).alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("s").cast("double") / F.col("n").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("centroid"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
