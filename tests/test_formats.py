@@ -175,3 +175,34 @@ def test_clustered_write_enables_row_group_skipping(spark, tmp_path):
     assert c_hit <= max(2, len(cr) // 2), (c_hit, len(cr))
     # and the data still round-trips
     assert spark.read.parquet(clustered).count() == li.count()
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact to a filtered
+    dimension prunes fact partitions at RUNTIME from the dim's join keys —
+    the plan must carry a dynamicpruning subquery on the partition column.
+    At 100 TB this is the difference between scanning a year and scanning
+    the three days a dim filter selects, without any literal date filter
+    on the fact side."""
+    import contextlib
+    import io
+
+    ev = _table(spark, "events")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("error", 2), ("view", 3)],
+        "event_type string, code int",
+    ).filter(F.col("code") == 1)
+
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+    rows = {r["event_type"]: r["count"] for r in joined.collect()}
+    exp = ev.filter(F.col("event_type") == "purchase").count()
+    assert rows == {"purchase": exp}
