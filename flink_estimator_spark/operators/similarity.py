@@ -788,3 +788,98 @@ def q_emb_centroids(spark, sf_dir):
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (
+                SELECT vec_id, label, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+        ),
+        cent AS (
+            SELECT label AS clabel, pos,
+                   CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / 1000000.0 AS c
+            FROM ex GROUP BY label, pos
+        ),
+        d AS (
+            SELECT ex.vec_id, ex.label, cent.clabel,
+                   sum(CAST(floor((ex.v - cent.c) * (ex.v - cent.c)
+                                  * 1000000000000) AS BIGINT)) AS d2
+            FROM ex JOIN cent ON ex.pos = cent.pos
+            GROUP BY ex.vec_id, ex.label, cent.clabel
+        ),
+        best AS (
+            SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rk
+            FROM d
+        )
+        SELECT clabel AS cluster,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true
+        FROM best WHERE rk = 1
+        GROUP BY clabel
+        ORDER BY cluster
+    """,
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def q_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step, fully oracle'd: per-label centroids (the
+    q_emb_centroids computation) seed k=10 clusters, every vector is
+    assigned to its nearest centroid by squared L2, and the output audits
+    cluster sizes + agreement with the true labels.
+
+    Cross-engine exactness for an order-dependent float reduction: each
+    (component - centroid)^2 term is floor-quantized to 1e-12 and summed
+    as exact BIGINTs, so the argmin (ties broken by cluster id) is
+    identical on any engine and partitioning — the trick that makes an
+    iterative-ML step gate-able at value level.  Plan shape: centroids are
+    a dim x k aggregate (broadcastable), the distance fan-out partially
+    aggregates map-side before one (vec, cluster) shuffle, then a per-vec
+    argmin window.  At production scale the same step runs as the numpy
+    matmul bucketing used by lsh_ann; this query is the exact-arithmetic
+    reference for it."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("clabel").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum((F.col("label") == F.col("clabel")).cast("int"))
+            .cast("bigint")
+            .alias("n_true"),
+        )
+        .orderBy("cluster")
+    )
