@@ -883,3 +883,126 @@ def q_kmeans_assign(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+def kmeans_iterate(
+    vectors: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 3,
+) -> tuple[DataFrame, list[int]]:
+    """Lloyd's k-means as a distributed DataFrame loop — the iterative-
+    algorithm pattern (cf. ``dedup.connected_components``): per iteration
+    one broadcast join (centroids are dim x k rows), map-side partial
+    distance sums, a (vec, cluster) shuffle, an argmin window, and a
+    centroid re-aggregate.  The driver sees only a per-iteration inertia
+    scalar (the convergence signal); vectors never leave the cluster.
+
+    Exactness discipline: distances AND centroid updates use the
+    floor-quantized BIGINT sums from ``q_emb_centroids``/
+    ``q_kmeans_assign``, so every iteration is deterministic on any
+    engine/partitioning, and the returned inertia trace is reproducible
+    bit-for-bit.  Lloyd guarantees non-increasing TRUE inertia; the 1e-12
+    quantization perturbs each step by < 1e-10 relative, which the
+    invariant test budgets for.
+
+    ``vectors``: (vec_id, pos, v double).  ``init_centroids``:
+    (clabel, pos, c double).  Returns (assignments (vec_id, cluster),
+    [inertia per iteration]).
+    """
+    from pyspark.sql import Window as W
+
+    cent = init_centroids
+    inertias: list[int] = []
+    assign = None
+    for _ in range(iters):
+        diff = F.col("v") - F.col("c")
+        term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+        d2 = (
+            vectors.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "clabel")
+            .agg(F.sum(term).alias("d2"))
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+        assign = (
+            d2.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("clabel").alias("cluster"), "d2")
+            .localCheckpoint()  # pin: feeds inertia, next centroids, result
+        )
+        inertias.append(assign.agg(F.sum("d2")).collect()[0][0])
+        cent = (
+            vectors.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy(F.col("cluster").alias("clabel"), "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                    .cast("double")
+                    / F.count("*").cast("double")
+                    / F.lit(1_000_000.0)
+                ).alias("c")
+            )
+        )
+    return assign.select("vec_id", "cluster"), inertias
+
+
+@query(
+    "q_kmeans_iterate",
+    oracle=None,  # iterative algorithm: driver-loop with per-round scalars
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def q_kmeans_iterate(spark, sf_dir):
+    """Three Lloyd iterations from the per-label seed centroids; output is
+    the final cluster census (size + quantized within-cluster inertia per
+    cluster) — deterministic at any parallelism thanks to the quantized
+    arithmetic, so the rows-only check is stable across rounds."""
+    e = t(spark, sf_dir, "embeddings")
+    vectors = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    seed = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    assign, _inertias = kmeans_iterate(vectors, seed, iters=3)
+    # recompute final per-cluster inertia from the last assignment
+    final_cent = (
+        vectors.join(assign, "vec_id")
+        .groupBy(F.col("cluster").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+    per_vec = (
+        vectors.join(assign, "vec_id")
+        .join(
+            F.broadcast(final_cent),
+            (F.col("cluster") == F.col("clabel")) & (vectors.pos == final_cent.pos),
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(term).alias("d2"))
+    )
+    return (
+        per_vec.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d2").alias("inertia_q"),
+        )
+        .orderBy("cluster")
+    )

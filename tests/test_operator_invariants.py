@@ -184,3 +184,39 @@ def test_match_sequence_generalizes_the_three_step_cep(spark):
     assert one.count() == (
         ev.filter(et == "signup").select("user_id").distinct().count()
     )
+
+
+def test_kmeans_inertia_is_nonincreasing(spark):
+    """Lloyd's guarantee under quantization: the per-iteration inertia
+    trace must be non-increasing within a relative budget for the 1e-12
+    term quantization, and assignments must cover every vector exactly
+    once."""
+    from flink_estimator_spark.operators.similarity import kmeans_iterate
+
+    emb = read_table(spark, os.path.join(SF_SMALL, "embeddings.parquet"))
+    vectors = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    seed = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    assign, inertias = kmeans_iterate(vectors, seed, iters=4)
+    assert len(inertias) == 4
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * (1 + 1e-9), inertias
+    # strict improvement somewhere: the seed is not already a fixpoint
+    assert inertias[-1] < inertias[0], inertias
+    n_vecs = emb.count()
+    assert assign.count() == n_vecs
+    assert assign.select("vec_id").distinct().count() == n_vecs
