@@ -729,3 +729,41 @@ def q_grouped_concat(spark, sf_dir):
         .filter(F.col("n_lines") >= 7)
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY op
+    """,
+    tags=("medium", "set-ops", "bag-semantics"),
+)
+def q_set_ops_all(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    multiplicity-preserving, a different operator from the DISTINCT
+    variants in q_set_ops): customer-key multisets of open vs urgent
+    orders.  Spark implements both as a single aggregate computing
+    per-key min/deficit multiplicities — one shuffle, no join."""
+    o = t(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    urgent_k = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    rows = [
+        ("intersect_all", open_k.intersectAll(urgent_k)),
+        ("except_all", open_k.exceptAll(urgent_k)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")
