@@ -463,3 +463,62 @@ def q_vocab_growth(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_doc_nll",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        lm AS (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT count(*) AS total FROM toks),
+        scored AS (
+            SELECT toks.doc_id,
+                   CAST(floor(-ln(CAST(lm.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                              * 1000000) AS BIGINT) AS nll_q
+            FROM toks JOIN lm USING (tok) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(nll_q) AS BIGINT) AS nll_sum_q
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "language-model"),
+)
+def q_doc_nll(spark, sf_dir):
+    """Per-document negative log-likelihood under the corpus's own unigram
+    LM — the statistical quality filter (high NLL = out-of-distribution
+    text; the unigram form of a perplexity screen).  Two passes over the
+    token stream: one builds the LM (vocab-sized aggregate, broadcast
+    back), one scores — token instances never shuffle, only (tok, count)
+    partials do.  Per-token -ln(p) is floor-quantized to 1e-6 and summed
+    as exact BIGINTs so the doc score is order-independent (quantization
+    also absorbs any last-ulp libm ln() divergence between engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = toks.agg(F.count("*").alias("total"))
+    nll_q = F.floor(
+        -F.log(F.col("n").cast("double") / F.col("total").cast("double"))
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(nll_q).alias("nll_sum_q"),
+        )
+        .orderBy("doc_id")
+    )
