@@ -19,7 +19,11 @@ from ..operators.textstats import (  # noqa: F401
 from ..plans._helpers import as_double, dec, revenue_expr, spread  # noqa: F401
 
 
-from ..operators.sampling import hash_bucket, sample_flag  # noqa: F401
+from ..operators.chunking import chunk_documents  # noqa: F401
+from ..operators.fuzzy import fuzzy_pairs, fuzzy_pairs_general  # noqa: F401
+from ..operators.sampling import ares_key, hash_bucket, sample_flag  # noqa: F401
+from ..operators.sequence import match_sequence  # noqa: F401
+from ..operators.similarity import kmeans_iterate  # noqa: F401
 from ..operators.similarity import (  # noqa: F401
     adaptive_nlist,
     adaptive_planes,
