@@ -615,3 +615,196 @@ def q_kll_rollup(spark, sf_dir):
         )
         .orderBy("etype")
     )
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, side,
+                   min(CASE WHEN side = 0 THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_purchase_us
+            FROM tagged
+        )
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us,
+               next_purchase_us
+        FROM carried
+        WHERE side = 1
+        ORDER BY user_id, view_us, view_id
+    """,
+    tags=("complex", "asof-join", "forward"),
+)
+def q_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — each view picks the user's NEXT purchase (at or
+    after it): the attribution-window dual of q_asof_join's backward
+    carry.  Same single-shuffle union+window shape, with a forward frame
+    (CURRENT ROW .. UNBOUNDED FOLLOWING) carrying the minimum future
+    right-side time; sorting purchases before ties (side 0 first) makes
+    the 'at or after' inclusivity explicit in both engines."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "next_purchase_us",
+        F.min(F.when(F.col("side") == 0, F.unix_micros("ts"))).over(w),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.unix_micros("ts").alias("view_us"),
+            "next_purchase_us",
+        )
+        .orderBy("user_id", "view_us", "view_id")
+    )
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(min(ts)) / 3600000000) + 1 AS BIGINT) AS h_lo,
+                   CAST(floor(epoch_us(max(ts)) / 3600000000) AS BIGINT) AS h_hi
+            FROM events WHERE user_id < 100
+            GROUP BY user_id HAVING count(*) >= 20
+        ),
+        grid AS (
+            SELECT user_id, unnest(range(h_lo, h_hi + 1)) * 3600000000 AS grid_us
+            FROM bounds
+        ),
+        tagged AS (
+            SELECT user_id, grid_us AS t_us, NULL AS v, 1 AS is_grid,
+                   grid_us AS tie
+            FROM grid
+            UNION ALL
+            SELECT e.user_id, epoch_us(e.ts), CAST(e.value AS DOUBLE), 0,
+                   epoch_us(e.ts)
+            FROM events e JOIN bounds b ON e.user_id = b.user_id
+        ),
+        carried AS (
+            SELECT user_id, t_us, is_grid,
+                   max(CASE WHEN is_grid = 0 THEN t_us END)
+                       OVER wb AS prev_t_us,
+                   last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+                       OVER wb AS prev_v,
+                   min(CASE WHEN is_grid = 0 THEN t_us END)
+                       OVER wf AS next_t_us,
+                   first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+                       OVER wf AS next_v
+            FROM tagged
+            WINDOW wb AS (PARTITION BY user_id ORDER BY t_us, is_grid, tie
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY t_us, is_grid, tie
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, t_us AS grid_us,
+               prev_v + (next_v - prev_v)
+                      * (CAST(t_us - prev_t_us AS DOUBLE)
+                         / CAST(next_t_us - prev_t_us AS DOUBLE)) AS v_interp
+        FROM carried
+        WHERE is_grid = 1 AND prev_t_us IS NOT NULL AND next_t_us IS NOT NULL
+          AND next_t_us > prev_t_us
+        ORDER BY user_id, grid_us
+    """,
+    tags=("complex", "timeseries", "interpolation"),
+)
+def q_resample_interp(spark, sf_dir):
+    """Linear interpolation onto an hourly grid — the two-sided dual of
+    q_resample_ffill: every grid instant takes
+    prev + (next-prev) * (t-t0)/(t1-t0) between its neighboring samples.
+    Union grid+samples, ONE shuffle, two frames over the same sort (a
+    backward carry for the previous sample, a forward carry for the
+    next); the interpolation itself is a single fixed-shape IEEE
+    expression, identical in both engines.  Only users with >= 20 events
+    keep the output bounded at fixture scale (users < 100, >= 20 events)."""
+    ev = t(spark, sf_dir, "events")
+    bounds = (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.unix_micros(F.min("ts")) / 3_600_000_000) + 1).alias("h_lo"),
+            F.floor(F.unix_micros(F.max("ts")) / 3_600_000_000).alias("h_hi"),
+        )
+        .filter(F.col("n") >= 20)
+        .select("user_id", "h_lo", "h_hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h_lo", "h_hi")).alias("h")
+    ).select(
+        "user_id", (F.col("h") * 3_600_000_000).alias("t_us")
+    ).select(
+        "user_id",
+        "t_us",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.col("t_us").alias("tie"),
+    )
+    samples = ev.join(bounds.select("user_id"), "user_id").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("double").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.unix_micros("ts").alias("tie"),
+    )
+    tagged = grid.unionByName(samples)
+    order = [F.col("t_us"), F.col("is_grid"), F.col("tie")]
+    wb = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    sample_t = F.when(F.col("is_grid") == 0, F.col("t_us"))
+    sample_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    carried = tagged.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        F.max(sample_t).over(wb).alias("prev_t_us"),
+        F.last(sample_v, ignorenulls=True).over(wb).alias("prev_v"),
+        F.min(sample_t).over(wf).alias("next_t_us"),
+        F.first(sample_v, ignorenulls=True).over(wf).alias("next_v"),
+    )
+    frac = (
+        (F.col("t_us") - F.col("prev_t_us")).cast("double")
+        / (F.col("next_t_us") - F.col("prev_t_us")).cast("double")
+    )
+    return (
+        carried.filter(
+            (F.col("is_grid") == 1)
+            & F.col("prev_t_us").isNotNull()
+            & F.col("next_t_us").isNotNull()
+            & (F.col("next_t_us") > F.col("prev_t_us"))
+        )
+        .select(
+            "user_id",
+            F.col("t_us").alias("grid_us"),
+            (
+                F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+            ).alias("v_interp"),
+        )
+        .orderBy("user_id", "grid_us")
+    )
