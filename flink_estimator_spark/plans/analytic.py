@@ -767,3 +767,102 @@ def q_set_ops_all(spark, sf_dir):
         one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
         out = one if out is None else out.unionByName(one)
     return out.orderBy("op")
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi
+        FROM events
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    tags=("medium", "aggregate", "histogram"),
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values (bin = floor(v/10)): the
+    map-side-combinable distribution profile — one shuffle of bin partials
+    regardless of row count."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_corr_qty_price",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   sum(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0))
+                            * CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        FROM s
+        ORDER BY l_returnflag
+    """,
+    tags=("complex", "statistics", "exact-aggregation"),
+)
+def q_corr_qty_price(spark, sf_dir):
+    """Pearson correlation of quantity vs price per return flag, computed
+    EXACTLY: built-in corr() accumulates doubles in partition order (not
+    reproducible across engines/partitionings), so the five raw moments
+    are summed as exact DECIMAL(38,0) over integer-scaled inputs
+    (quantity integral; price has 2 decimals, x100 is exact), then one
+    fixed-shape double expression produces the coefficient — the same
+    order-independence discipline as the DECIMAL revenue sums, extended
+    to second moments."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = (F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x.cast(d38)).alias("sx"),
+        F.sum(y.cast(d38)).alias("sy"),
+        F.sum((x * x).cast(d38)).alias("sxx"),
+        F.sum((y * y).cast(d38)).alias("syy"),
+        F.sum((x * y).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        corr.alias("corr"),
+    ).orderBy("l_returnflag")
