@@ -1,0 +1,377 @@
+"""Profiling + edge-semantics relational operators.
+
+The operators a production engine needs beyond the headline query shapes:
+null-aware NOT IN (the anti-join variant with three-valued logic), CDC-style
+snapshot diffing, one-pass table profiling (the ANALYZE/data-quality
+primitive), deterministic mode, inverse-order window navigation
+(first/last/nth), and an exact rolling median — each expressed so the same
+value comes out of any engine at any partitioning.
+
+Reference scope note: the reference models workload taxonomy only
+(`/root/reference/src/templates/estimation.html:199-246`); these are part of
+the engine-completeness surface a user migrating real SQL workloads needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._helpers import dec, t
+from .registry import query
+
+
+@query(
+    "q_null_aware_anti",
+    oracle="""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END)
+              NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 3)
+        ORDER BY c_custkey
+    """,
+    tags=("medium", "join", "null-semantics"),
+)
+def q_null_aware_anti(spark, sf_dir):
+    """Null-aware anti join — SQL NOT IN under three-valued logic.  A NULL
+    probe key can never satisfy NOT IN against a non-empty subquery (the
+    comparison is UNKNOWN), so negative-balance customers (whose key is
+    NULLed by the CASE) drop out even though no nation matches them.  This
+    is a *different operator* from q_anti_join's NOT EXISTS: a plain
+    left-anti join would wrongly keep the NULL rows.  Spark plans the
+    single-key form as a null-aware BroadcastHashJoin build over the (tiny,
+    broadcast) subquery side — same scan+broadcast shape as any dimension
+    semi join, no extra shuffle."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("naa_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("naa_nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM naa_customer
+        WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END)
+              NOT IN (SELECT n_nationkey FROM naa_nation WHERE n_regionkey = 3)
+        ORDER BY c_custkey
+        """
+    )
+
+
+_SNAP_A = ("1997-01-01", "1998-01-01")
+_SNAP_B = ("1998-01-01", "1999-01-01")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+        WITH a AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_a,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_a
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_SNAP_A[0]}'
+              AND o_orderdate < TIMESTAMP '{_SNAP_A[1]}'
+            GROUP BY o_custkey),
+        b AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_b
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_SNAP_B[0]}'
+              AND o_orderdate < TIMESTAMP '{_SNAP_B[1]}'
+            GROUP BY o_custkey),
+        j AS (
+            SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   n_a, total_a, n_b, total_b,
+                   CASE WHEN a.o_custkey IS NULL THEN 'added'
+                        WHEN b.o_custkey IS NULL THEN 'removed'
+                        WHEN n_a <> n_b OR total_a <> total_b THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        SELECT o_custkey, change, n_a, total_a, n_b, total_b
+        FROM j WHERE change <> 'unchanged'
+        ORDER BY change, o_custkey
+    """,
+    tags=("medium", "join", "cdc"),
+)
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot compare: per-customer order activity in 1997 vs
+    1998, classified added / removed / changed (unchanged rows suppressed) —
+    the keyed diff that drives incremental syncs and reconciliation jobs.
+    One aggregate per snapshot (shared scan, partial-combined) and one
+    full-outer shuffle join on the customer key; totals are DECIMAL-exact
+    before the DOUBLE cast so 'changed' is partitioning-independent."""
+    o = t(spark, sf_dir, "orders")
+
+    def snap(lo: str, hi: str, n_name: str, t_name: str):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias(n_name),
+                F.sum(dec("o_totalprice")).cast("double").alias(t_name),
+            )
+        )
+
+    a = snap(*_SNAP_A, "n_a", "total_a").withColumnRenamed("o_custkey", "ck_a")
+    b = snap(*_SNAP_B, "n_b", "total_b").withColumnRenamed("o_custkey", "ck_b")
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer")
+    change = (
+        F.when(F.col("ck_a").isNull(), "added")
+        .when(F.col("ck_b").isNull(), "removed")
+        .when(
+            (F.col("n_a") != F.col("n_b")) | (F.col("total_a") != F.col("total_b")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce("ck_a", "ck_b").alias("o_custkey"),
+            change.alias("change"),
+            "n_a",
+            "total_a",
+            "n_b",
+            "total_b",
+        )
+        .filter(F.col("change") != "unchanged")
+        .orderBy("change", "o_custkey")
+    )
+
+
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS DOUBLE) AS min_d,
+                   CAST(max({c}) AS DOUBLE) AS max_d,
+                   CAST(NULL AS VARCHAR) AS min_s,
+                   CAST(NULL AS VARCHAR) AS max_s
+            FROM lineitem""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_d,
+                   CAST(NULL AS DOUBLE) AS max_d,
+                   min({c}) AS min_s,
+                   max({c}) AS max_s
+            FROM lineitem""")
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY col_name"
+
+
+@query(
+    "q_table_profile",
+    oracle=_profile_oracle(),
+    tags=("medium", "profiling", "data-quality"),
+)
+def q_table_profile(spark, sf_dir):
+    """One-pass table profiling (the ANALYZE TABLE / data-quality primitive):
+    per-column row count, null count, exact distinct count, and typed
+    min/max, pivoted to one row per column.  Spark computes every statistic
+    in a SINGLE aggregate over one scan (the multi-count-distinct expands
+    map-side, still one shuffle of partial states), then explodes the 1-row
+    result into the per-column layout — vs the oracle's five separate scans.
+    At 100 TB the exact-ndv expand is the costly term; the documented scale
+    relaxation is approx_count_distinct per column (same plan, no expand)."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(F.col(c)).alias(f"cnt_{c}"),
+            F.countDistinct(F.col(c)).alias(f"ndv_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+        ]
+    row = li.agg(*aggs)
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    structs = []
+    for c in _PROFILE_NUM:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+                F.col(f"ndv_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").cast("double").alias("min_d"),
+                F.col(f"max_{c}").cast("double").alias("max_d"),
+                null_s.alias("min_s"),
+                null_s.alias("max_s"),
+            )
+        )
+    for c in _PROFILE_STR:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+                F.col(f"ndv_{c}").alias("n_distinct"),
+                null_d.alias("min_d"),
+                null_d.alias("max_d"),
+                F.col(f"min_{c}").alias("min_s"),
+                F.col(f"max_{c}").alias("max_s"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_quantity, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_quantity),
+        r AS (
+            SELECT l_returnflag, l_quantity, n,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY n DESC, l_quantity ASC) AS rn
+            FROM c)
+        SELECT l_returnflag, l_quantity AS mode_qty, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1
+        ORDER BY l_returnflag
+    """,
+    tags=("medium", "aggregate", "mode"),
+)
+def q_mode_per_group(spark, sf_dir):
+    """Deterministic per-group mode: the most frequent quantity per return
+    flag, ties broken toward the smallest value.  The built-in mode() breaks
+    ties by accumulation order (not reproducible across engines or
+    partitionings), so the portable idiom is count-per-(group,value) then a
+    row_number pick over (count DESC, value ASC) — two shuffles, the second
+    over distinct (group,value) pairs only."""
+    li = t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_quantity"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_first_last_window",
+    oracle="""
+        WITH w AS (
+            SELECT o_custkey,
+                   row_number() OVER win AS rn,
+                   CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+                   first_value(o_orderkey) OVER win AS first_ok,
+                   nth_value(o_orderkey, 2) OVER winf AS second_ok,
+                   last_value(o_orderkey) OVER winf AS last_ok
+            FROM orders
+            WINDOW win AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                   winf AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_custkey, n_orders, first_ok, second_ok, last_ok
+        FROM w WHERE rn = 1
+        ORDER BY o_custkey
+    """,
+    tags=("medium", "window-analytic", "navigation"),
+)
+def q_first_last_window(spark, sf_dir):
+    """Window navigation family — first_value / nth_value(2) / last_value of
+    each customer's order history in (date, key) order, one row per
+    customer.  last_value and nth_value require the explicit full frame
+    (the default frame ends at CURRENT ROW, a classic silent-wrong-answer);
+    the unique (o_orderdate, o_orderkey) sort makes every navigator
+    deterministic.  One shuffle on the partition key serves all five window
+    functions."""
+    o = t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    winf = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    winp = W.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            F.row_number().over(win).alias("rn"),
+            F.count("*").over(winp).alias("n_orders"),
+            F.first("o_orderkey").over(win).alias("first_ok"),
+            F.nth_value("o_orderkey", 2).over(winf).alias("second_ok"),
+            F.last("o_orderkey").over(winf).alias("last_ok"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "n_orders", "first_ok", "second_ok", "last_ok")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(o_orderdate) AS day_us,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY o_orderdate),
+        num AS (
+            SELECT day_us, rev_cents,
+                   row_number() OVER (ORDER BY day_us) AS rn
+            FROM daily),
+        frames AS (
+            SELECT a.day_us, a.rn, b.rev_cents,
+                   row_number() OVER (PARTITION BY a.rn
+                                      ORDER BY b.rev_cents, b.rn) AS vr,
+                   count(*) OVER (PARTITION BY a.rn) AS n_win
+            FROM num a JOIN num b ON b.rn BETWEEN a.rn - 6 AND a.rn)
+        SELECT day_us, CAST(n_win AS BIGINT) AS n_win,
+               CAST(max(CASE WHEN vr = (n_win + 1) // 2 THEN rev_cents END)
+                    AS BIGINT) AS med_lo_cents,
+               CAST(max(CASE WHEN vr = n_win // 2 + 1 THEN rev_cents END)
+                    AS BIGINT) AS med_hi_cents
+        FROM frames GROUP BY day_us, n_win
+        ORDER BY day_us
+    """,
+    tags=("complex", "window-analytic", "median"),
+)
+def q_rolling_median(spark, sf_dir):
+    """Exact trailing-7-row median of daily order revenue (lower and upper
+    middle, in integer cents — engine-exact; averaging the two would
+    reintroduce doubles).  No engine gives exact percentiles over a moving
+    frame, so the Spark idiom is collect_list over the row frame ->
+    array_sort -> element_at, while the oracle re-derives the same values
+    relationally (frame self-join + in-frame rank).  The global sort window
+    is legitimate here and only here: the input is ONE ROW PER CALENDAR DAY
+    (bounded ~2.4k forever, invariant to SF — the daily aggregate upstream
+    already did the distributed work)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents")
+    )
+    w = W.orderBy("o_orderdate").rowsBetween(-6, 0)
+    framed = daily.select(
+        # o_orderdate is TIMESTAMP_NTZ; the UTC session timezone makes the
+        # cast an identity re-tag, matching the oracle's epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("day_us"),
+        F.array_sort(F.collect_list("rev_cents").over(w)).alias("arr"),
+    )
+    n = F.size("arr")
+    return framed.select(
+        "day_us",
+        n.cast("bigint").alias("n_win"),
+        F.element_at("arr", F.floor((n + 1) / 2).cast("int")).alias("med_lo_cents"),
+        F.element_at("arr", (F.floor(n / 2) + 1).cast("int")).alias("med_hi_cents"),
+    ).orderBy("day_us")
