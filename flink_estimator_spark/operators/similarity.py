@@ -1006,3 +1006,133 @@ def q_kmeans_iterate(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 compression) + exact search over quantized codes
+# ---------------------------------------------------------------------------
+
+def quantization_bounds(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus min/max, packed into one broadcastable row of
+    two aligned arrays (``mn_arr``, ``mx_arr``).  One explode + grouped
+    min/max (shuffle of dim-count partials), then a bounded collect into
+    sorted arrays — dims are a constant (64), never data-scaled."""
+    dims = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    )
+    bounds = dims.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    return bounds.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s.getField("mn"),
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s.getField("mx"),
+        ).alias("mx_arr"),
+    )
+
+
+def quantize_int8(vec: Column, mn_arr: Column, mx_arr: Column) -> Column:
+    """uint8 scalar quantization: code = clamp(floor((x-mn)*256/(mx-mn))).
+
+    The expression shape — ``floor(((x - mn) * 256.0) / (mx - mn))`` — is
+    fixed IEEE double arithmetic both engines evaluate identically, so the
+    codes (and everything computed from them, in exact BIGINT) hash-match
+    cross-engine.  Degenerate dimensions (mx == mn) quantize to 0."""
+    def one(x: Column, i: Column) -> Column:
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        code = F.floor(((x - mn) * F.lit(256.0)) / (mx - mn))
+        return (
+            F.when(mx == mn, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(F.lit(255).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), code.cast("bigint")))
+            )
+        )
+
+    return F.transform(vec.cast("array<double>"), one)
+
+
+_QUANT_SQL_DIM = 64
+_QUANT_CODE = (
+    "CASE WHEN d.mx = d.mn THEN 0 ELSE "
+    "least(255, greatest(0, CAST(floor(((CAST({side}.embedding[d.i] AS DOUBLE) - d.mn) * 256.0)"
+    " / (d.mx - d.mn)) AS BIGINT))) END"
+)
+
+
+@query(
+    "q_emb_quantized_topk",
+    oracle=f"""
+        WITH dims AS (
+            SELECT gs.i,
+                   min(CAST(e.embedding[gs.i] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[gs.i] AS DOUBLE)) AS mx
+            FROM embeddings e, generate_series(1, {_QUANT_SQL_DIM}) gs(i)
+            GROUP BY gs.i),
+        pairs AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   sum(({_QUANT_CODE.format(side='a')} - {_QUANT_CODE.format(side='b')})
+                       * ({_QUANT_CODE.format(side='a')} - {_QUANT_CODE.format(side='b')})) AS dist_sq
+            FROM embeddings a, embeddings b, dims d
+            WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+            GROUP BY query_id, neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist_sq, neighbor_id) AS rk
+            FROM pairs)
+        SELECT query_id, neighbor_id, dist_sq, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk
+    """,
+    tags=("llm", "similarity", "quantization", "compression"),
+)
+def q_emb_quantized_topk(spark, sf_dir):
+    """Embedding compression for scale: uint8 scalar quantization (4x
+    smaller than float32, the standard first rung of ANN memory reduction)
+    followed by exact top-5 search in the quantized space.  Per-dimension
+    corpus bounds are one exploded min/max aggregate broadcast back as two
+    64-length arrays; codes are computed inline (never materialized wider
+    than the vector), and pair distance is an integer zip_with fold —
+    exact BIGINT, so unlike float scores the entire result value-gates
+    cross-engine.  Search shape matches q_emb_cosine_topk: broadcast
+    10-query side x linear corpus scan, per-query ranked window."""
+    emb = t(spark, sf_dir, "embeddings")
+    bounds = quantization_bounds(emb)
+    corpus = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            quantize_int8(F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")).alias("c_code"),
+        )
+    )
+    qs = (
+        emb.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            quantize_int8(F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")).alias("q_code"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("c_code"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist_sq"))
+    )
+    w = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "dist_sq", "rk")
+        .orderBy("query_id", "rk")
+    )
