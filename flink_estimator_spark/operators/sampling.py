@@ -237,3 +237,67 @@ def q_weighted_sample(spark, sf_dir):
         .select("source", "rk", "doc_id", "n_chars")
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CASE WHEN b < 18 THEN 'train'
+                        WHEN b = 18 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 20 AS b
+                  FROM documents)),
+        s AS (
+            SELECT split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM assigned GROUP BY split)
+        SELECT split, n_docs,
+               CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS frac,
+               id_sum, min_id, max_id
+        FROM s ORDER BY split
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split (md5 bucket 0-19 on doc_id:
+    <18 train, 18 val, 19 test) with a membership certificate per split:
+    counts, realized fraction, id-sum checksum and id range.  Disjoint and
+    exhaustive by construction (CASE over one bucket value); the checksum
+    verifies the *membership* is the one the oracle derives, not just the
+    sizes — the property that keeps a held-out split held out across
+    engines, Spark versions, and repartitionings.  One scan + 3-group
+    aggregate; the fraction's total comes from a partition-only window
+    over the 3 aggregate rows (no sort, no extra pass)."""
+    d = t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 20)
+    split = (
+        F.when(b < 18, "train").when(b == 18, "val").otherwise("test")
+    )
+    s = (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_docs").over(W.partitionBy())
+    return s.select(
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / total).alias("frac"),
+        "id_sum",
+        "min_id",
+        "max_id",
+    ).orderBy("split")

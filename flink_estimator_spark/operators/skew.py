@@ -92,3 +92,62 @@ def q_skew_salted_agg(spark, sf_dir):
     return out.select(
         "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
     ).orderBy("event_type")
+
+
+def salted_shuffle_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skewed SHUFFLE join for dims beyond broadcast: fact rows get a
+    row-level salt, the dim is replicated once per salt value, and the join
+    runs on (key, salt) — a hot key's rows land in n_salts partitions
+    instead of one.  Replication cost is bounded (|dim| x n_salts) and the
+    result is row-identical to the plain equi-join; AQE's skew-join split
+    handles moderate skew on its own, explicit salting is for the key so
+    hot a single post-split partition still exceeds one executor.
+    Inner-join semantics (every fact row carries exactly one salt that the
+    replicated dim is guaranteed to cover)."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_rep = dim.select("*", salts).withColumn(
+        "_salt", F.col("_salt").cast("int")
+    )
+    f = with_salt(fact, n_salts)
+    cond = (f[fact_key] == dim_rep[dim_key]) & (f["_salt"] == dim_rep["_salt"])
+    return f.join(dim_rep, cond).drop("_salt")
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
+    tags=("complex", "skew", "salting", "join"),
+)
+def q_skew_salted_join(spark, sf_dir):
+    """The join dual of q_skew_salted_agg: lineitem joined to supplier
+    through the salted (key, salt) layout, then aggregated per nation.
+    The oracle is the PLAIN join — salting must change only the shuffle
+    geometry, never a row.  (At fixture scale AQE may still broadcast the
+    replicated dim; test_salted_join_shuffles pins broadcast off and
+    asserts the salted-key shuffle join plus row-identity with the plain
+    join — the beyond-broadcast regime this operator exists for.)"""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_shuffle_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )

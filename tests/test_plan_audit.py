@@ -241,3 +241,50 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_salted_join_shuffles_and_matches_plain(spark):
+    """salted_shuffle_join beyond broadcast: with auto-broadcast pinned off,
+    the (key, salt) join must plan as a shuffle join (no Broadcast on the
+    salted keys) and produce exactly the plain equi-join's rows."""
+    import os
+
+    from flink_estimator_spark.operators.skew import salted_shuffle_join
+    from flink_estimator_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, os.path.join(SF_SMALL, "lineitem.parquet")).select(
+        "l_suppkey", "l_quantity"
+    )
+    sup = read_table(spark, os.path.join(SF_SMALL, "supplier.parquet")).select(
+        "s_suppkey", "s_nationkey"
+    )
+    plain = li.join(sup, li.l_suppkey == sup.s_suppkey).select(
+        "l_suppkey", "l_quantity", "s_nationkey"
+    )
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        salted = salted_shuffle_join(li, sup, "l_suppkey", "s_suppkey").select(
+            "l_suppkey", "l_quantity", "s_nationkey"
+        )
+        got = sorted(map(tuple, salted.collect()))
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    assert got == sorted(map(tuple, plain.collect()))
+    joins = [seg for seg in plan.split("\n") if "_salt" in seg and "Join" in seg]
+    assert joins, plan
+    assert all("Broadcast" not in seg for seg in joins), plan
