@@ -204,3 +204,44 @@ def window_join(
         "view_id",
         "purchase_id",
     )
+
+
+def enrich_with_scd2(events: DataFrame, scd2_dim: DataFrame) -> DataFrame:
+    """Stream-static TEMPORAL join — Flink's ``FOR SYSTEM_TIME AS OF`` on a
+    versioned (SCD2) dimension, in streaming form: each event joins the
+    dimension version whose validity interval [valid_from_us, valid_to_us)
+    contains the EVENT's timestamp, not the latest version at processing
+    time.  The batch dual is operators/scd.py's q_temporal_join; running
+    this same function on a batch DataFrame is the streaming test's shadow.
+
+    The versioned dim is broadcast (stream-static joins keep no state and
+    need no watermark); the range predicate rides the hash join on the key
+    as a residual condition, so each micro-batch probes an executor-local
+    table — zero shuffles.  Left join keeps events that predate their
+    key's first version (dim_value null), mirroring the batch temporal
+    join's semantics.  At 100 TB the dimension outgrows broadcast the same
+    way any dim does; the fallback is the identical join shuffled on the
+    key (versions of one key co-locate, so the interval probe stays local).
+    """
+    dim = F.broadcast(
+        scd2_dim.select(
+            F.col("user_id").alias("d_key"),
+            F.col("value").alias("dim_value"),
+            "valid_from_us",
+            "valid_to_us",
+        )
+    )
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    cond = (
+        (ev.user_id == dim.d_key)
+        & (ev.ts_us >= dim.valid_from_us)
+        & (dim.valid_to_us.isNull() | (ev.ts_us < dim.valid_to_us))
+    )
+    return ev.join(dim, cond, "left").select(
+        "event_id", "user_id", "event_type", "ts_us", "dim_value"
+    )

@@ -851,3 +851,47 @@ def test_tumble_distinct_users_stream_matches_batch(spark, stream_dir, tmp_path)
     }
     assert got == exp
     assert len(exp) > 3
+
+
+def test_scd2_temporal_enrich_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming FOR SYSTEM_TIME AS OF: events enriched with the SCD2
+    version valid at EVENT time.  The update log is the purchase stream
+    (each purchase sets the user's 'value'); views between purchases must
+    pick up the latest preceding purchase's value, events before a user's
+    first purchase stay null — row-for-row equal to the batch shadow."""
+    from flink_estimator_spark.operators.scd import scd2_from_log
+    from flink_estimator_spark.streaming import enrich_with_scd2
+
+    batch = _batch_events(spark)
+    dim = scd2_from_log(
+        batch.filter(F.col("event_type") == "purchase")
+    ).cache()
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, enrich_with_scd2(ev, dim), "scd2_enrich_out", tmp_path
+    )
+    got = {
+        (r["event_id"], r["ts_us"], r["dim_value"])
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    exp = {
+        (r["event_id"], r["ts_us"], r["dim_value"])
+        for r in enrich_with_scd2(batch, dim).collect()
+    }
+    assert got == exp
+    # the join is genuinely temporal: some enriched value differs from the
+    # user's CURRENT version (i.e. an event matched a superseded version)
+    current = {
+        r["user_id"]: r["value"]
+        for r in dim.filter(F.col("is_current")).collect()
+    }
+    assert any(
+        v is not None and current.get(u) != v
+        for (_, _, v), u in (
+            ((r["event_id"], r["ts_us"], r["dim_value"]), r["user_id"])
+            for r in out.collect()
+            if r["user_id"] != SENTINEL_USER
+        )
+    )
+    dim.unpersist()
