@@ -1,0 +1,172 @@
+r"""Text retrieval: inverted index build + BM25 ranked search.
+
+The retrieval half of an LLM data pipeline: an inverted index (term ->
+document-frequency, collection-frequency, posting list) built as one
+grouped aggregate over the token stream, and BM25 scoring of a term query
+against the corpus — tf/df/length statistics joined back to the postings
+of the query's terms only, never a full-corpus scan per query.
+
+Cross-engine value discipline: BM25 is log/divide-heavy, so per-(doc,term)
+scores are floor-quantized to 1e-6 and summed as exact BIGINTs (the
+q_doc_nll pattern) — order-independent and immune to last-ulp libm
+divergence between engines.
+
+Reference scope note: the reference models workload taxonomy only
+(`/root/reference/src/templates/estimation.html:199-246`); retrieval is
+part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+
+_BM25_TERMS = ("spark", "merge", "window")
+_K1 = 1.2
+_B = 0.75
+
+
+def _toks(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return spread(d, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents),
+        per AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM toks GROUP BY term, doc_id)
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
+        FROM per
+        GROUP BY term
+        ORDER BY term
+    """,
+    tags=("llm", "text", "retrieval", "index"),
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted index over the document corpus: per term, document
+    frequency, collection frequency, and the first 10 postings (sorted doc
+    ids) — the distributed index-build shape: tokenize -> (term, doc)
+    partial counts -> per-term fold.  Token instances shuffle once into
+    (term, doc) groups; the posting-list collect is capped at the head (a
+    real index shards postings by range instead of collecting them — the
+    cap keeps the demonstrated aggregate bounded)."""
+    per = (
+        _toks(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("term")
+    )
+
+
+@query(
+    "q_bm25_search",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY term),
+        stats AS (
+            SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+                   CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(
+                       ln(1.0 + (stats.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                                / (CAST(df.df AS DOUBLE) + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
+                       / (CAST(tf.tf AS DOUBLE)
+                          + {_K1} * ({1.0 - _B} + {_B} * CAST(dl.dl AS DOUBLE)
+                                     / stats.avgdl))
+                       * 1000000) AS BIGINT) AS s_q
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+            CROSS JOIN stats)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(s_q) AS BIGINT) AS score_q
+        FROM scored GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("llm", "text", "retrieval", "ranking"),
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-10 documents for the query
+    {spark, merge, window}.  Statistics come from three aggregates over one
+    tokenize pass (tf filtered to query terms, per-doc length, per-term
+    df); df and the (N, avgdl) scalars broadcast onto the tf rows, so the
+    scored relation is |query terms x matching docs|, never the corpus.
+    Per-(doc,term) scores are floor-quantized to 1e-6 and summed as exact
+    BIGINTs — the ranking value-gates cross-engine despite ln/divide
+    arithmetic."""
+    toks = _toks(spark, sf_dir).cache()
+    terms = list(_BM25_TERMS)
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    tot = toks.agg(F.count("*").cast("double").alias("n_toks"))
+    stats = n_docs.crossJoin(tot).select(
+        "n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl")
+    )
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    s_q = F.floor(
+        F.log(F.lit(1.0) + (F.col("n_docs") - dfd + 0.5) / (dfd + 0.5))
+        * (tfd * F.lit(_K1 + 1.0))
+        / (tfd + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * dld / F.col("avgdl")))
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_q.alias("s_q"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("s_q").alias("score_q"))
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(10)
+    )

@@ -375,3 +375,111 @@ def q_rolling_median(spark, sf_dir):
         F.element_at("arr", F.floor((n + 1) / 2).cast("int")).alias("med_lo_cents"),
         F.element_at("arr", (F.floor(n / 2) + 1).cast("int")).alias("med_hi_cents"),
     ).orderBy("day_us")
+
+
+@query(
+    "q_share_of_total",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, n,
+               CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY o_orderstatus) AS share
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("medium", "window-analytic", "ratio"),
+)
+def q_share_of_total(spark, sf_dir):
+    """Percent-of-total (RATIO_TO_REPORT): each priority's share of its
+    order status.  The aggregate reduces to |status x priority| rows before
+    the share window runs — a partition-only window (no sort), so the
+    normalization parallelizes per status and touches only aggregate rows,
+    never the fact table."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy("o_orderstatus"))
+    return counts.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / total).alias("share"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_ref_integrity",
+    oracle="""
+        SELECT check_name, n_violations FROM (
+            SELECT 'lineitem_without_order' AS check_name,
+                   CAST(count(*) AS BIGINT) AS n_violations
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+            UNION ALL
+            SELECT 'lineitem_without_part',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL
+            UNION ALL
+            SELECT 'orders_without_customer',
+                   CAST(count(*) AS BIGINT)
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+            UNION ALL
+            SELECT 'supplier_without_nation',
+                   CAST(count(*) AS BIGINT)
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL
+        ) ORDER BY check_name
+    """,
+    tags=("medium", "data-quality", "join"),
+)
+def q_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit — the foreign-key half of a data-quality
+    suite: violation counts for four FK relationships via anti joins (all
+    zero on a consistent fixture; the certificate is that both engines
+    derive the same zeros from the same joins).  Each check is an anti
+    join against a broadcastable key set except lineitem->orders, which
+    shuffles once on the fact's own join key — the same cost as any fact
+    join at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    checks = [
+        (
+            "lineitem_without_order",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        (
+            "lineitem_without_part",
+            li.join(
+                t(spark, sf_dir, "part"),
+                li.l_partkey == F.col("p_partkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "orders_without_customer",
+            o.join(
+                t(spark, sf_dir, "customer"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "supplier_without_nation",
+            t(spark, sf_dir, "supplier").join(
+                t(spark, sf_dir, "nation"),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        one = df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("check_name")
