@@ -35,3 +35,11 @@ from ..operators.incremental import merge_rollups, partial_rollup  # noqa: F401
 from ..operators.mixing import stratified_mix, pack_sequences  # noqa: F401
 from ..sources.formats import compact  # noqa: F401
 from ..streaming.sinks import batch_writer, idempotent_parquet_sink  # noqa: F401
+
+# round-3 additions (this session)
+from ..operators.similarity import quantization_bounds, quantize_int8  # noqa: F401
+from ..operators.sketches import cms_bucket, cms_cells  # noqa: F401
+from ..operators.skew import salted_agg, salted_broadcast_join, salted_shuffle_join  # noqa: F401
+from ..operators.sampling import deterministic_sample  # noqa: F401
+from ..operators.scd import scd2_from_log, scd2_merge  # noqa: F401
+from ..streaming.joins import enrich_with_scd2  # noqa: F401

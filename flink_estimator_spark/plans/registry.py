@@ -135,6 +135,14 @@ _SF001_SEC_PAIRS = [
     ("q_dedup_simhash", 2.7), ("q_dedup_clusters", 2.9),
     ("q_emb_lsh_recall", 3.8), ("q_emb_lsh_ann", 4.5),
     ("q_dedup_jaccard_pairs", 5.0),
+    # round-3 session additions (measured sf0.01, min-of-2, warm JVM)
+    ("q_share_of_total", 0.3), ("q_train_split", 0.35),
+    ("q_rolling_median", 0.4), ("q_inverted_index", 0.44),
+    ("q_mode_per_group", 0.47), ("q_skew_salted_join", 0.48),
+    ("q_first_last_window", 0.51), ("q_null_aware_anti", 0.66),
+    ("q_cms_heavy_hitters", 0.68), ("q_ref_integrity", 0.72),
+    ("q_snapshot_diff", 1.02), ("q_emb_quantized_topk", 1.07),
+    ("q_bm25_search", 1.1), ("q_table_profile", 1.62),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
