@@ -51,7 +51,9 @@ def cms_bucket(key: Column, row_i: Column, width: int = CMS_WIDTH) -> Column:
     return word % F.lit(width)
 
 
-def cms_cells(df: DataFrame, key: str, shard: str | None = None) -> DataFrame:
+def cms_cells(
+    df: DataFrame, key: str, shard: str | None = None, width: int = CMS_WIDTH
+) -> DataFrame:
     """Build CMS counter cells: one (row_i, bucket) count per key occurrence.
 
     With ``shard`` set, returns per-shard partial grids (the mergeable
@@ -59,7 +61,7 @@ def cms_cells(df: DataFrame, key: str, shard: str | None = None) -> DataFrame:
     """
     rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("row_i")
     exp = df.select(F.col(key), *( [F.col(shard)] if shard else [] ), rows)
-    exp = exp.withColumn("bucket", cms_bucket(F.col(key), F.col("row_i")))
+    exp = exp.withColumn("bucket", cms_bucket(F.col(key), F.col("row_i"), width))
     grp = ([shard] if shard else []) + ["row_i", "bucket"]
     return exp.groupBy(*grp).agg(F.count("*").alias("c"))
 

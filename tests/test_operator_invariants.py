@@ -220,3 +220,71 @@ def test_kmeans_inertia_is_nonincreasing(spark):
     n_vecs = emb.count()
     assert assign.count() == n_vecs
     assert assign.select("vec_id").distinct().count() == n_vecs
+
+
+def test_cms_never_underestimates_any_key(spark):
+    """The count-min guarantee holds for EVERY key, not just the gated
+    top-15: est(key) >= exact(key) across the whole key space (collisions
+    only ever add), and at least one key genuinely collides at this grid
+    size (est > exact) so the bound is exercised, not vacuous."""
+    from flink_estimator_spark.operators.sketches import cms_bucket, cms_cells, CMS_DEPTH
+
+    ev = read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+    # width 16 (vs the query's 512) forces collisions even at sf0.001, so
+    # the over-estimate branch is exercised, not vacuous
+    width = 16
+    cells = cms_cells(ev, "user_id", width=width)
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    probes = keys.select(
+        "user_id",
+        "n_exact",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("row_i"),
+    ).withColumn("bucket", cms_bucket(F.col("user_id"), F.col("row_i"), width))
+    est = (
+        probes.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("n_exact")).count()
+    assert bad == 0
+    over = est.filter(F.col("est") > F.col("n_exact")).count()
+    assert over > 0, "no collision at all — grid too wide to test the bound"
+
+
+def test_quantization_reconstruction_error_bounded(spark):
+    """uint8 scalar quantization: codes stay in [0, 255] and dequantizing
+    (mn + (code + 0.5) * step) lands within one step of the original on
+    every dimension of every vector — the contract that makes quantized
+    distances a faithful proxy."""
+    from flink_estimator_spark.operators.similarity import (
+        quantization_bounds,
+        quantize_int8,
+    )
+
+    emb = read_table(spark, os.path.join(SF_SMALL, "embeddings.parquet"))
+    bounds = quantization_bounds(emb)
+    coded = emb.crossJoin(F.broadcast(bounds)).select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        quantize_int8(F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")).alias("code"),
+        "mn_arr",
+        "mx_arr",
+    )
+    exploded = coded.select(
+        F.posexplode("v").alias("pos", "x"),
+        F.col("code"),
+        F.col("mn_arr"),
+        F.col("mx_arr"),
+    ).select(
+        "x",
+        F.element_at("code", F.col("pos") + 1).alias("c"),
+        F.element_at("mn_arr", F.col("pos") + 1).alias("mn"),
+        F.element_at("mx_arr", F.col("pos") + 1).alias("mx"),
+    )
+    out_of_range = exploded.filter((F.col("c") < 0) | (F.col("c") > 255)).count()
+    assert out_of_range == 0
+    step = (F.col("mx") - F.col("mn")) / F.lit(256.0)
+    recon = F.col("mn") + (F.col("c").cast("double") + 0.5) * step
+    bad = exploded.filter(
+        (F.col("mx") > F.col("mn")) & (F.abs(recon - F.col("x")) > step)
+    ).count()
+    assert bad == 0
