@@ -151,3 +151,22 @@ def compact(spark: SparkSession, src: str, dst: str,
         f for f in os.listdir(dst)
         if f.startswith("part-") and not f.endswith(".crc")
     ])
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest opaque binary assets (images/audio/video) via Spark's built-in
+    ``binaryFile`` source: (path, modificationTime, length, content) with
+    the bytes as a ``binary`` column — the front door of the multimodal
+    pipeline (operators/multimodal.py consumes exactly this shape).
+
+    Scale notes: the source parallelizes by file (one file per task at
+    most); millions of small assets should be compacted into parquet with
+    a binary column first (the ``compact`` pattern), which also restores
+    column pruning — binaryFile always reads whole files.
+    ``pathGlobFilter`` prunes by name BEFORE any bytes are read.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

@@ -206,3 +206,37 @@ def test_dynamic_partition_pruning_on_join(spark, tmp_path):
     rows = {r["event_type"]: r["count"] for r in joined.collect()}
     exp = ev.filter(F.col("event_type") == "purchase").count()
     assert rows == {"purchase": exp}
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingests opaque assets byte-exactly, pathGlobFilter prunes
+    by name before read, and the (path, length, content) shape feeds the
+    multimodal parquet layout unchanged."""
+    import os
+
+    from flink_estimator_spark.sources.formats import read_binary_files
+
+    payloads = {
+        "a.img": b"\x89FAKE-IMG\x00" * 7,
+        "b.img": b"\x00\x01\x02" * 11,
+        "skip.txt": b"not an image",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    for name in rows:
+        assert bytes(rows[name]["content"]) == payloads[name]
+        assert rows[name]["length"] == len(payloads[name])
+
+    # the multimodal pipeline's parquet layout: binary column survives a
+    # parquet round-trip byte-exactly
+    out = str(tmp_path / "assets_parquet")
+    df.select("path", "content").write.mode("overwrite").parquet(out)
+    back = {
+        os.path.basename(r["path"]): bytes(r["content"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert back == {n: p for n, p in payloads.items() if n.endswith(".img")}
