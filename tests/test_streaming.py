@@ -895,3 +895,31 @@ def test_scd2_temporal_enrich_stream_matches_batch(spark, stream_dir, tmp_path):
         )
     )
     dim.unpersist()
+
+
+def test_cms_grid_stream_matches_batch(spark, stream_dir, tmp_path):
+    """The count-min grid is a pure groupBy-count, so the SAME operator
+    (operators/sketches.cms_cells) runs unchanged as a streaming
+    aggregation — and its state is CONSTANT (d x w cells, 2048 rows)
+    whatever the stream length, the defining property of sketch
+    maintenance on an unbounded stream.  Complete-mode grid equals the
+    batch grid cell-for-cell."""
+    from flink_estimator_spark.operators.sketches import cms_cells
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, cms_cells(ev, "user_id"), "cms_grid_out", tmp_path, mode="complete"
+    )
+    got = {(r["row_i"], r["bucket"]): r["c"] for r in out.collect()}
+    # batch shadow over the SAME files (sentinel row included on both sides)
+    batch_same = spark.read.parquet(stream_dir).withColumn(
+        "user_id", F.col("user_id").cast("long")
+    )
+    exp = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in cms_cells(batch_same, "user_id").collect()
+    }
+    assert got == exp
+    from flink_estimator_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    assert len(got) <= CMS_DEPTH * CMS_WIDTH
