@@ -866,3 +866,58 @@ def q_corr_qty_price(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         corr.alias("corr"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                        AS BIGINT) AS mi
+            FROM orders),
+        f AS (SELECT o_custkey, min(mi) AS c_mi FROM m GROUP BY o_custkey),
+        a AS (SELECT DISTINCT o_custkey, mi FROM m),
+        j AS (SELECT f.c_mi, a.mi - f.c_mi AS offset_m, a.o_custkey
+              FROM f JOIN a ON f.o_custkey = a.o_custkey)
+        SELECT printf('%04d-%02d', c_mi // 12, c_mi % 12 + 1) AS cohort,
+               CAST(offset_m AS BIGINT) AS offset_m,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+        FROM j GROUP BY c_mi, offset_m
+        ORDER BY cohort, offset_m
+    """,
+    tags=("complex", "aggregate", "cohort"),
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted distinct in each subsequent activity month — the canonical
+    retention triangle.  Month indexes are pure integer arithmetic
+    (year*12 + month - 1), so offsets are engine-exact; the cohort label
+    renders through the same printf format both engines implement.  Two
+    aggregates and one join, all shuffled on the customer key (the
+    activity-distinct and first-order aggregates co-partition with the
+    join), then a (cohort, offset) rollup of distinct customers —
+    calendar-bounded output (< months² rows) whatever the fact size."""
+    o = t(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mi"),
+    )
+    f = m.groupBy("o_custkey").agg(F.min("mi").alias("c_mi"))
+    a = m.distinct()
+    j = f.join(a, "o_custkey").select(
+        "c_mi", (F.col("mi") - F.col("c_mi")).alias("offset_m"), "o_custkey"
+    )
+    cohort = F.format_string(
+        "%04d-%02d",
+        F.floor(F.col("c_mi") / 12).cast("long"),
+        (F.pmod(F.col("c_mi"), 12) + 1).cast("long"),
+    )
+    return (
+        j.groupBy("c_mi", "offset_m")
+        .agg(F.count_distinct("o_custkey").alias("n_active"))
+        .select(cohort.alias("cohort"), "offset_m", "n_active")
+        .orderBy("cohort", "offset_m")
+    )
