@@ -263,3 +263,61 @@ def q_temporal_join(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_count_window",
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events),
+        w AS (
+            SELECT user_id, (rn - 1) // 3 AS win_id, event_id, value
+            FROM numbered)
+        SELECT user_id, CAST(win_id AS BIGINT) AS win_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(event_id) AS BIGINT) AS first_event,
+               CAST(max(event_id) AS BIGINT) AS last_event,
+               CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM w
+        GROUP BY user_id, win_id
+        ORDER BY user_id, win_id
+    """,
+    tags=("complex", "window-tvf", "count-window", "flink-parity"),
+)
+def q_count_window(spark, sf_dir):
+    """Flink COUNT window (countWindow(3)): per-user tumbling windows of 3
+    events in (time, id) order — the window closes on element COUNT, not on
+    time, an operator Spark has no native TVF for.  The batch form is a
+    row_number -> integer-division bucket -> aggregate: one shuffle on the
+    user key serves both the numbering window and the aggregate (same
+    partitioning), and the trailing partial window (< 3 events) emits like
+    Flink's does on end-of-input.  Streaming dual:
+    streaming/stateful.py count_window (applyInPandasWithState, O(1) state
+    per key: a counter + open-window accumulator)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        numbered.select(
+            "user_id",
+            F.floor((F.col("rn") - 1) / 3).cast("bigint").alias("win_id"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "win_id")
+    )

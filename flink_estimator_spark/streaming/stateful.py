@@ -103,3 +103,99 @@ def running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# COUNT windows (Flink countWindow) — applyInPandasWithState, no extra deps
+# ---------------------------------------------------------------------------
+
+COUNT_WINDOW_SIZE = 3
+
+COUNT_WINDOW_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("win_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("first_event", T.LongType()),
+        T.StructField("last_event", T.LongType()),
+        T.StructField("sum_value_u6", T.LongType()),
+    ]
+)
+
+# (next_win, open_n, open_first, open_last, open_sum_u6): the single open
+# window's accumulator — O(1) state per key regardless of stream length,
+# the defining property of a count window (vs time windows, whose state
+# scales with in-flight window count).
+COUNT_WINDOW_STATE = T.StructType(
+    [
+        T.StructField("next_win", T.LongType()),
+        T.StructField("open_n", T.LongType()),
+        T.StructField("open_first", T.LongType()),
+        T.StructField("open_last", T.LongType()),
+        T.StructField("open_sum_u6", T.LongType()),
+    ]
+)
+
+
+def _count_window(key, pdfs, state):
+    from pyspark.sql.streaming.state import GroupState  # noqa: F401
+
+    next_win, open_n, open_first, open_last, open_sum = 0, 0, 0, 0, 0
+    if state.exists:
+        next_win, open_n, open_first, open_last, open_sum = (
+            int(x) for x in state.get
+        )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])  # event-time order in batch
+    out = []
+    for _, r in rows.iterrows():
+        eid = int(r["event_id"])
+        v6 = int(round(float(r["value"]) * 1_000_000))
+        if open_n == 0:
+            open_first = eid
+        open_n += 1
+        open_last = eid
+        open_sum += v6
+        if open_n == COUNT_WINDOW_SIZE:
+            out.append((key[0], next_win, open_n, open_first, open_last, open_sum))
+            next_win += 1
+            open_n, open_first, open_last, open_sum = 0, 0, 0, 0
+    state.update((next_win, open_n, open_first, open_last, open_sum))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "win_id",
+                "n",
+                "first_event",
+                "last_event",
+                "sum_value_u6",
+            ],
+        )
+
+
+def count_window(events: DataFrame) -> DataFrame:
+    """Flink countWindow(3) in Structured Streaming: per-user tumbling
+    windows that close on their 3rd event (event-time order), emitted the
+    moment they close — an operator Spark has no native TVF for, built on
+    ``applyInPandasWithState`` (the dependency-free stateful API; see
+    module docstring for the transformWithState variant's protobuf need).
+    The trailing partial window stays open in state; the batch dual
+    (plans/window_tvf.q_count_window) emits partials at end-of-input, so
+    shadows compare CLOSED windows.  Value sums ride as integer micro
+    units computed with one fixed rounding, keeping emitted rows identical
+    however micro-batches split the stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_window,
+            outputStructType=COUNT_WINDOW_OUTPUT,
+            stateStructType=COUNT_WINDOW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

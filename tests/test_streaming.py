@@ -923,3 +923,44 @@ def test_cms_grid_stream_matches_batch(spark, stream_dir, tmp_path):
     from flink_estimator_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
 
     assert len(got) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_count_window_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming countWindow(3): the CLOSED windows emitted across
+    micro-batches must equal an independent per-user reimplementation of
+    the batch semantics (sort by (ts, event_id), close every 3rd event) —
+    with the micro-batch split cutting through open windows, so the state
+    hand-off is genuinely exercised."""
+    from flink_estimator_spark.streaming import count_window
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, count_window(ev), "count_window_out", tmp_path)
+    got = {
+        (r["user_id"], r["win_id"]): (
+            r["n"], r["first_event"], r["last_event"], r["sum_value_u6"]
+        )
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+
+    pdf = (
+        spark.read.parquet(stream_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    exp = {}
+    for uid, grp in pdf.groupby("user_id"):
+        if uid == SENTINEL_USER:
+            continue
+        rows = list(grp.itertuples())
+        for w in range(len(rows) // 3):
+            chunk = rows[w * 3 : w * 3 + 3]
+            exp[(uid, w)] = (
+                3,
+                chunk[0].event_id,
+                chunk[-1].event_id,
+                sum(int(round(float(r.value) * 1_000_000)) for r in chunk),
+            )
+    assert got == exp
+    assert got, "no closed windows — fixture too small to exercise the operator"
