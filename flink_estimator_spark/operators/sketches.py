@@ -33,20 +33,20 @@ _TOP_N = 15
 
 
 def cms_bucket(key: Column, row_i: Column, width: int = CMS_WIDTH) -> Column:
-    """Engine-portable CMS bucket: first 32 md5 bits of ``key#row`` mod w.
+    """Engine-portable CMS bucket for depth row ``row_i``: the i-th 32-bit
+    word of ONE md5(key) digest, mod w.
 
     md5 (not xxhash64/hash) so the grid is identical across engines and
     partitionings — the property that makes the sketch itself, not just its
-    error bound, assertable cross-engine.
+    error bound, assertable cross-engine.  One digest serves all four depth
+    rows (32 hex chars = 4 disjoint 8-hex words) — measured 2.07 s -> this
+    form at sf0.1, the per-row concat+md5 was the grid build's hot term.
+    Disjoint digest words are independent for CMS purposes (collision in
+    one word says nothing about another), which is all the min-over-rows
+    bound needs.
     """
     word = F.conv(
-        F.substring(
-            F.md5(F.concat(key.cast("string"), F.lit("#"), row_i.cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
+        F.substring(F.md5(key.cast("string")), row_i * 8 + 1, 8), 16, 10
     ).cast("long")
     return word % F.lit(width)
 
@@ -72,8 +72,8 @@ def _oracle() -> str:
     return f"""
         WITH cells AS (
             SELECT d.i AS row_i,
-                   CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
-                                            || '#' || CAST(d.i AS VARCHAR)), 1, 8))
+                   CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)),
+                                        d.i * 8 + 1, 8))
                         AS BIGINT) % {w} AS bucket,
                    count(*) AS c
             FROM events e, (SELECT unnest([{rows}]) AS i) d
@@ -86,8 +86,8 @@ def _oracle() -> str:
             ORDER BY n_exact DESC, user_id LIMIT {k}),
         probes AS (
             SELECT t.user_id, t.n_exact, d.i AS row_i,
-                   CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
-                                            || '#' || CAST(d.i AS VARCHAR)), 1, 8))
+                   CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR)),
+                                        d.i * 8 + 1, 8))
                         AS BIGINT) % {w} AS bucket
             FROM top t, (SELECT unnest([{rows}]) AS i) d),
         est AS (
