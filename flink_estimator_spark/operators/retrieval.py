@@ -131,7 +131,12 @@ def q_bm25_search(spark, sf_dir):
     Per-(doc,term) scores are floor-quantized to 1e-6 and summed as exact
     BIGINTs — the ranking value-gates cross-engine despite ln/divide
     arithmetic."""
-    toks = _toks(spark, sf_dir).cache()
+    # no .cache(): Catalyst already reuses the single tokenize subplan
+    # across tf/dl/df (ReusedExchange), and a cache marked inside a
+    # registered builder would outlive the query in a long-running session
+    # (bench/gate run 149 queries in one JVM — leaked cache = GC pressure
+    # for every later query)
+    toks = _toks(spark, sf_dir)
     terms = list(_BM25_TERMS)
     tf = (
         toks.filter(F.col("term").isin(terms))
