@@ -1,0 +1,157 @@
+"""Graph analytics over relational data: co-occurrence mining + PageRank.
+
+The co-purchase graph (parts appearing in the same order) is the classic
+relational->graph bridge: edge building is a self-join co-partitioned on
+the order key (pairs per order are bounded by order size, so the explosion
+is quadratic in LINES PER ORDER — a constant — never in table size).
+
+PageRank runs in EXACT integer arithmetic: scores live in 1e-9 units
+(BIGINT), per-neighbor contributions use integer division, and the damping
+step is ``150_000_000 + (85 * s) div 100``.  Every engine computes the
+identical trajectory, so — unlike float PageRank, whose accumulation order
+drifts — the iteration is value-gateable cross-engine, the same discipline
+as the k-means quantized-inertia trace (similarity.py).
+
+Completes the iterative-algorithm family: connected components (dedup.py),
+k-means (similarity.py), PageRank (here) — all expressed as join+aggregate
+per hop with only scalar convergence data reaching the driver.
+
+Reference scope note: the reference models workload taxonomy only
+(`/root/reference/src/templates/estimation.html:199-246`); graph analytics
+is part of the engine-completeness extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans._helpers import t
+from ..plans.registry import query
+
+_PR_ITERS = 3
+_PR_ONE = 1_000_000_000  # 1.0 in fixed-point units
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct undirected co-purchase pairs (pa < pb) from order baskets.
+
+    Self-join on the order key: both sides shuffle once on l_orderkey and
+    pairs form partition-locally.  The distinct shuffles (pa, pb) — 8-byte
+    keys, bounded by sum(basket²) not table²."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT pa, pb, CAST(count(*) AS BIGINT) AS support
+        FROM pairs
+        GROUP BY pa, pb
+        HAVING count(*) >= 2
+        ORDER BY support DESC, pa, pb
+        LIMIT 50
+    """,
+    tags=("complex", "graph", "market-basket"),
+)
+def q_copurchase_pairs(spark, sf_dir):
+    """Frequent-itemset mining, pair level: part pairs co-occurring in >= 2
+    orders, top 50 by support.  One order-key self-join (co-partitioned,
+    pairs bounded by basket size squared) + one (pa, pb) count — the
+    support counting step of Apriori/FP-growth, and the weighted-edge dual
+    of the PageRank graph below."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(50)
+    )
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "p0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+        it{i} AS (
+            SELECT e.dst AS node,
+                   CAST(150000000 + (85 * sum(p.pr // d.d)) // 100 AS BIGINT) AS pr
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN deg d ON d.node = e.src
+            GROUP BY e.dst)""")
+        prev = f"it{i}"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM pairs),
+        deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+        p0 AS (SELECT node, CAST({_PR_ONE} AS BIGINT) AS pr FROM deg),
+        {",".join(its)}
+        SELECT node AS part, pr AS pr_q
+        FROM {prev}
+        ORDER BY pr_q DESC, part
+        LIMIT 20
+    """
+
+
+@query(
+    "q_pagerank_parts",
+    oracle=_pagerank_oracle(),
+    tags=("complex", "graph", "iterative", "pagerank"),
+)
+def q_pagerank_parts(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations) over the co-purchase part
+    graph, in exact fixed-point BIGINT arithmetic — the oracle unrolls the
+    same three iterations in SQL, so the full trajectory (not a float
+    approximation) must match.  Each iteration is one edges->scores join +
+    dst aggregate, shuffled on the node key; only the final top-20 sort is
+    global (TakeOrdered).  At 100 TB the per-hop shape is the standard
+    distributed PageRank; convergence iterations would replace the fixed
+    unroll and the edge/deg relations would be cached across hops."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_edges(li)
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    pr = deg.select("node", F.lit(_PR_ONE).cast("bigint").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select("dst", F.expr("pr div d").alias("c"))
+        )
+        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000_000) + F.expr("85 * sum(c) div 100"))
+            .cast("bigint")
+            .alias("pr")
+        )
+    return (
+        pr.select(F.col("node").alias("part"), F.col("pr").alias("pr_q"))
+        .orderBy(F.desc("pr_q"), "part")
+        .limit(20)
+    )

@@ -144,6 +144,7 @@ _SF001_SEC_PAIRS = [
     ("q_snapshot_diff", 1.02), ("q_emb_quantized_topk", 1.07),
     ("q_bm25_search", 1.1), ("q_table_profile", 1.62),
     ("q_cohort_retention", 0.95), ("q_count_window", 1.06),
+    ("q_copurchase_pairs", 1.11), ("q_pagerank_parts", 2.34),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
