@@ -151,11 +151,31 @@ assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
 _SF001_SEC = dict(_SF001_SEC_PAIRS)
 
 
+# Queries added AFTER the round-3 gate front was sized to the ~50-row cap.
+# The r2 verdict's headline ask is a green row for every query that existed
+# at r2 (the 16-never-gated + 2 re-gates) — so those sort BEFORE this
+# session's additions, which can wait a round without breaking the
+# "cumulative all-verified" goal.
+_ADDED_LATE_R3 = frozenset({
+    "q_null_aware_anti", "q_snapshot_diff", "q_table_profile",
+    "q_mode_per_group", "q_first_last_window", "q_rolling_median",
+    "q_cms_heavy_hitters", "q_emb_quantized_topk", "q_train_split",
+    "q_skew_salted_join", "q_share_of_total", "q_ref_integrity",
+    "q_inverted_index", "q_bm25_search", "q_cohort_retention",
+    "q_count_window", "q_copurchase_pairs", "q_pagerank_parts",
+})
+
+
 def _gate_order() -> list[str]:
     names = list(QUERIES)
     ungated = [n for n in names if n not in _GATED_PRIOR_ROUNDS]
     ungated.sort(
-        key=lambda n: (QUERIES[n].oracle is None, _SF001_SEC.get(n, 0.6), n)
+        key=lambda n: (
+            n in _ADDED_LATE_R3,
+            QUERIES[n].oracle is None,
+            _SF001_SEC.get(n, 0.6),
+            n,
+        )
     )
     return ungated + [n for n in names if n in _GATED_PRIOR_ROUNDS]
 
