@@ -240,3 +240,56 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert back == {n: p for n, p in payloads.items() if n.endswith(".img")}
+
+
+def test_zorder_write_skips_row_groups_on_both_dims(spark, tmp_path):
+    """write_zordered's footer contract: with rows Morton-ordered on
+    (l_partkey, l_suppkey), a range predicate on EITHER column can skip a
+    majority of row groups via min/max stats — the single-key sorted
+    layout only ever skips on its sort key."""
+    import pyarrow.parquet as pq
+    from flink_estimator_spark.sources.formats import write_clustered, write_zordered
+    from flink_estimator_spark.sources.tables import read_table
+    from tests.conftest import SF_SMALL
+
+    # sf0.01 (60k rows -> ~45 row groups at 32 KiB): z-curve locality
+    # scales as sqrt(1/n_groups), so the sf0.001 fixture's ~9 groups give
+    # half-width projections and prove nothing either way
+    li = read_table(spark, "/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).repartition(1)
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", block_bytes=32 * 1024)
+    write_clustered(li, spath, "l_partkey", block_bytes=32 * 1024)
+
+    def group_ranges(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def surviving(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
+
+    # a ~10%-selectivity band on each dimension
+    for col in ("l_partkey", "l_suppkey"):
+        vals = sorted(r[0] for r in li.select(col).collect())
+        lo = vals[int(len(vals) * 0.45)]
+        hi = vals[int(len(vals) * 0.55)]
+        zr = group_ranges(zpath, col)
+        assert len(zr) >= 8, f"need multiple row groups, got {len(zr)}"
+        z_hit = surviving(zr, lo, hi) / len(zr)
+        assert z_hit < 0.6, f"z-order skipped too little on {col}: {z_hit:.2f}"
+
+    # the single-key layout cannot skip on the OTHER key
+    sr = group_ranges(spath, "l_suppkey")
+    vals = sorted(r[0] for r in li.select("l_suppkey").collect())
+    lo, hi = vals[int(len(vals) * 0.45)], vals[int(len(vals) * 0.55)]
+    s_hit = surviving(sr, lo, hi) / len(sr)
+    assert s_hit > 0.9, f"sorted-on-partkey unexpectedly skips suppkey: {s_hit:.2f}"
