@@ -43,3 +43,5 @@ from ..operators.skew import salted_agg, salted_broadcast_join, salted_shuffle_j
 from ..operators.sampling import deterministic_sample  # noqa: F401
 from ..operators.scd import scd2_from_log, scd2_merge  # noqa: F401
 from ..streaming.joins import enrich_with_scd2  # noqa: F401
+from ..operators.graph import copurchase_edges  # noqa: F401
+from ..sources.formats import read_binary_files, write_clustered, write_zordered, zorder_value  # noqa: F401
