@@ -307,3 +307,72 @@ def q_class_weights(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_ngram_decontamination",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        idx AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 4)) AS i
+            FROM toks),
+        grams AS (
+            SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+            FROM idx),
+        bench_g AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id < 20),
+        corpus_g AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 20)
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS overlap_rate
+        FROM bench_g b LEFT JOIN corpus_g c ON b.g = c.g
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+    tags=("llm", "cleaning", "decontamination", "ngram"),
+)
+def q_ngram_decontamination(spark, sf_dir):
+    """N-gram decontamination at benchmark-doc granularity (the carbon-copy
+    screen): docs 0-19 stand in for an eval set, and each one's distinct
+    5-gram overlap rate against the training corpus (docs 20+) is the
+    contamination signal a pipeline thresholds on — vs
+    q_contamination_screen's fixed-phrase existence check, this measures
+    HOW MUCH of each eval doc leaks.  Grams build inline from one
+    tokenize (slice over a sequence — no per-gram explode of the text),
+    both sides dedup before the join, and the probe is a left join on the
+    gram; at scale the gram string is xxhash64'd first so the shuffle
+    carries 8-byte keys (the shingle_df discipline), kept as strings here
+    only for oracle comparability."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = spread(d, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - 4, F.lit(0))),
+                lambda i: F.array_join(F.slice(tk, i, 5), " "),
+            )
+        ).alias("g"),
+    )
+    bench_g = grams.filter(F.col("doc_id") < 20).distinct()
+    corpus_g = (
+        grams.filter(F.col("doc_id") >= 20).select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hit = F.sum(F.col("_hit").isNotNull().cast("long"))
+    return (
+        bench_g.join(corpus_g, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            hit.alias("n_hit"),
+            (hit.cast("double") / F.count("*")).alias("overlap_rate"),
+        )
+        .orderBy("doc_id")
+    )
