@@ -376,3 +376,80 @@ def q_ngram_decontamination(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_forget_cascade",
+    oracle="""
+        WITH forget AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        o_gone AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM forget))
+        SELECT tbl, n_before, n_removed, n_after FROM (
+            SELECT 'customer' AS tbl,
+                   CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+                   CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_removed,
+                   CAST((SELECT count(*) FROM customer) -
+                        (SELECT count(*) FROM forget) AS BIGINT) AS n_after
+            UNION ALL
+            SELECT 'orders',
+                   CAST((SELECT count(*) FROM orders) AS BIGINT),
+                   CAST((SELECT count(*) FROM o_gone) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders) -
+                        (SELECT count(*) FROM o_gone) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IN (SELECT o_orderkey FROM o_gone))
+                        AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem) -
+                        (SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IN (SELECT o_orderkey FROM o_gone))
+                        AS BIGINT)
+        ) ORDER BY tbl
+    """,
+    tags=("llm", "cleaning", "compliance", "cascade-delete"),
+)
+def q_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: a forget-list of customers
+    (custkey % 97 == 0 stands in for deletion requests) propagated through
+    the FK graph — orders of forgotten customers, line items of those
+    orders — with per-table before/removed/after counts the compliance
+    job must reconcile (after + removed == before, and downstream removal
+    is derived ONLY from upstream keys).  Each hop is one semi join: the
+    forget-list broadcasts, the orders-of-forgotten key set broadcasts to
+    prune lineitem — the deletes themselves would be the same semi/anti
+    joins writing back partition-overwrites (the scd/keep-list machinery).
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_gone = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_gone = li.join(
+        F.broadcast(o_gone), li.l_orderkey == o_gone.o_orderkey, "left_semi"
+    )
+
+    def stats(tbl, full_df, gone_df):
+        full = full_df.agg(F.count("*").alias("n_before"))
+        gone = gone_df.agg(F.count("*").alias("n_removed"))
+        return (
+            full.crossJoin(gone)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_before",
+                "n_removed",
+                (F.col("n_before") - F.col("n_removed")).alias("n_after"),
+            )
+        )
+
+    out = (
+        stats("customer", cust, forget)
+        .unionByName(stats("orders", orders, o_gone))
+        .unionByName(stats("lineitem", li, li_gone))
+    )
+    return out.orderBy("tbl")
