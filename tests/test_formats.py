@@ -293,3 +293,39 @@ def test_zorder_write_skips_row_groups_on_both_dims(spark, tmp_path):
     lo, hi = vals[int(len(vals) * 0.45)], vals[int(len(vals) * 0.55)]
     s_hit = surviving(sr, lo, hi) / len(sr)
     assert s_hit > 0.9, f"sorted-on-partkey unexpectedly skips suppkey: {s_hit:.2f}"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on a growing parquet directory: files written
+    before a column existed read back as NULL for that column under
+    mergeSchema, existing columns stay byte-identical, and the default
+    (no-merge) read of the directory still works on the common prefix —
+    the append-only evolution contract a long-lived table relies on."""
+    from flink_estimator_spark.sources.tables import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, os.path.join(SF_SMALL, "documents.parquet"))
+    base = str(tmp_path / "evolving")
+    v1 = docs.select("doc_id", "source").filter(F.col("doc_id") < 100)
+    v2 = docs.select(
+        "doc_id", "source", F.col("n_chars").alias("added_later")
+    ).filter(F.col("doc_id") >= 100)
+    v1.write.parquet(base + "/batch=1")
+    v2.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/batch=1", base + "/batch=2"
+    )
+    assert set(merged.columns) == {"doc_id", "source", "added_later"}
+    old = merged.filter(F.col("doc_id") < 100)
+    assert old.filter(F.col("added_later").isNotNull()).count() == 0
+    new = merged.filter(F.col("doc_id") >= 100)
+    assert new.filter(F.col("added_later").isNull()).count() == 0
+    exp = {
+        (r["doc_id"], r["n_chars"])
+        for r in docs.filter(F.col("doc_id") >= 100)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    got = {(r["doc_id"], r["added_later"]) for r in new.collect()}
+    assert got == exp
