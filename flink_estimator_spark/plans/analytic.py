@@ -921,3 +921,98 @@ def q_cohort_retention(spark, sf_dir):
         .select(cohort.alias("cohort"), "offset_m", "n_active")
         .orderBy("cohort", "offset_m")
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                       AS next_type
+            FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY event_type) AS p
+        FROM ordered
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY from_type, to_type
+    """,
+    tags=("complex", "window-analytic", "markov"),
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for every
+    (event_type -> next event_type) bigram within a user's timeline, the
+    count and row-normalized transition probability.  One shuffle on the
+    user key feeds the lead() window; the matrix itself is |types|² rows,
+    so the normalizing window runs over aggregate rows only.  The
+    probability is one BIGINT/BIGINT division per cell — engine-exact."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / total).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                       AS s_us,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                       AS p_us
+            FROM events GROUP BY user_id)
+        SELECT CAST((p_us - s_us) // 600000000 AS BIGINT) AS bucket_10min,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(p_us - s_us) AS BIGINT) AS min_us,
+               CAST(max(p_us - s_us) AS BIGINT) AS max_us
+        FROM firsts
+        WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+        GROUP BY bucket_10min
+        ORDER BY bucket_10min
+    """,
+    tags=("complex", "funnel", "latency"),
+)
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: per user, first signup to first
+    purchase, bucketed into 10-minute latency bins — the funnel-velocity
+    profile behind activation dashboards.  One conditional aggregate per
+    user (map-side combinable min of two CASEs), then a bin rollup; all
+    arithmetic in integer micros, so bins are engine-exact."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    delta = F.col("p_us") - F.col("s_us")
+    return (
+        firsts.filter(
+            F.col("s_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") >= F.col("s_us"))
+        )
+        .groupBy(F.floor(delta / 600_000_000).cast("bigint").alias("bucket_10min"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min(delta).alias("min_us"),
+            F.max(delta).alias("max_us"),
+        )
+        .orderBy("bucket_10min")
+    )
