@@ -808,3 +808,76 @@ def q_resample_interp(spark, sf_dir):
         )
         .orderBy("user_id", "grid_us")
     )
+
+
+@query(
+    "q_running_anomaly",
+    oracle="""
+        WITH cents AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM events),
+        stats AS (
+            SELECT user_id, event_id, ts_us, v,
+                   count(*) OVER w AS n,
+                   sum(v) OVER w AS s,
+                   sum(v * v) OVER w AS q
+            FROM cents
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        flagged AS (
+            SELECT user_id, event_id, ts_us, v, n,
+                   CAST(n * v - s AS DECIMAL(38,0)) * CAST(n * v - s AS DECIMAL(38,0))
+                       > CAST(9 * n AS DECIMAL(38,0)) * CAST(n * q - s * s AS DECIMAL(38,0))
+                       AS is_anomaly
+            FROM stats WHERE n >= 5)
+        SELECT user_id, event_id, ts_us, CAST(n AS BIGINT) AS n_prior
+        FROM flagged WHERE is_anomaly
+        ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("complex", "anomaly", "window-analytic", "exact-aggregation"),
+)
+def q_running_anomaly(spark, sf_dir):
+    """Streaming-style anomaly detection, batch form: each event tested
+    against the mean/variance of the SAME user's strictly-prior events
+    (expanding frame to 1 PRECEDING, >= 5 priors) — flagged when
+    (x - mean)² > 9·var, i.e. a 3-sigma break.  The test multiplies
+    through by n² so it needs no sqrt and no float variance: sums ride as
+    BIGINT integer cents, and the two final products (which overflow
+    BIGINT at micro-unit scale) compare in exact DECIMAL(38,0) — so the
+    flags are bit-identical across engines and partitionings.  One
+    shuffle on the user key serves all three frame
+    aggregates.  Streaming dual: streaming/anomaly.py carries (n, s, q)
+    as O(1) per-key state and applies the identical integer test."""
+    ev = t(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        v.alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    stats = cents.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    ).filter(F.col("n") >= 5)
+    d38 = "decimal(38,0)"
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast(d38)
+    spread_t = (F.lit(9) * F.col("n")).cast(d38) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    ).cast(d38)
+    return (
+        stats.filter(dev * dev > spread_t)
+        .select("user_id", "event_id", "ts_us", F.col("n").alias("n_prior"))
+        .orderBy("user_id", "ts_us", "event_id")
+    )

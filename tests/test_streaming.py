@@ -964,3 +964,25 @@ def test_count_window_stream_matches_batch(spark, stream_dir, tmp_path):
             )
     assert got == exp
     assert got, "no closed windows — fixture too small to exercise the operator"
+
+
+def test_running_anomaly_stream_matches_batch_query(spark, stream_dir, tmp_path):
+    """Streaming 3-sigma detector == the gated batch query row-for-row:
+    the micro-batch split cuts through user histories, so the (n, s, q)
+    state hand-off is what keeps the expanding statistics identical."""
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.streaming.anomaly import running_anomalies
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, running_anomalies(ev), "anomaly_out", tmp_path)
+    got = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["n_prior"])
+        for r in out.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    exp = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["n_prior"])
+        for r in QUERIES["q_running_anomaly"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+    assert exp, "fixture produced no anomalies — detector untested"
