@@ -1016,3 +1016,60 @@ def q_conversion_latency(spark, sf_dir):
         )
         .orderBy("bucket_10min")
     )
+
+
+@query(
+    "q_order_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 AS d
+            FROM orders),
+        r AS (
+            SELECT o_custkey, d,
+                   d - row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+                       AS grp
+            FROM days),
+        s AS (
+            SELECT o_custkey, grp, count(*) AS len, min(d) AS start_d
+            FROM r GROUP BY o_custkey, grp)
+        SELECT o_custkey,
+               CAST(max(len) AS BIGINT) AS max_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(min(start_d) AS BIGINT) AS first_day
+        FROM s GROUP BY o_custkey
+        HAVING max(len) >= 2
+        ORDER BY o_custkey
+    """,
+    tags=("complex", "window-analytic", "gaps-and-islands"),
+)
+def q_order_streaks(spark, sf_dir):
+    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    order days, via the classic (day - row_number) island key — rows in an
+    unbroken run share the difference, so one per-key window plus two
+    aggregates finds every island without self-joins.  Day indexes are
+    integer epoch-day division (engine-exact); only streak-holders (>= 2
+    days) emit.  One shuffle on the customer key serves the distinct, the
+    numbering window, and both aggregates — they share partitioning."""
+    o = t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("d"),
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("d")
+    r = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    s = r.groupBy("o_custkey", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_d")
+    )
+    return (
+        s.groupBy("o_custkey")
+        .agg(
+            F.max("len").alias("max_streak"),
+            F.count("*").alias("n_streaks"),
+            F.min("start_d").alias("first_day"),
+        )
+        .filter(F.col("max_streak") >= 2)
+        .orderBy("o_custkey")
+    )

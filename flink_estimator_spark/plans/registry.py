@@ -148,6 +148,7 @@ _SF001_SEC_PAIRS = [
     ("q_month_spine_gapfill", 1.67), ("q_ngram_decontamination", 1.52),
     ("q_forget_cascade", 1.09), ("q_event_transitions", 1.13),
     ("q_conversion_latency", 0.77), ("q_running_anomaly", 0.9),
+    ("q_order_streaks", 1.26),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -168,7 +169,7 @@ _ADDED_LATE_R3 = frozenset({
     "q_count_window", "q_copurchase_pairs", "q_pagerank_parts",
     "q_month_spine_gapfill", "q_ngram_decontamination",
     "q_forget_cascade", "q_event_transitions", "q_conversion_latency",
-    "q_running_anomaly",
+    "q_running_anomaly", "q_order_streaks",
 })
 
 
