@@ -245,3 +245,58 @@ def q_ngram_lm(spark, sf_dir):
         .orderBy("tok", F.desc("c"), "nxt")
         .limit(100)
     )
+
+
+@query(
+    "q_length_buckets",
+    oracle=r"""
+        WITH n AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+        SELECT CAST(floor(n_tok / 64) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_tok) AS BIGINT) AS min_tok,
+               CAST(max(n_tok) AS BIGINT) AS max_tok,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+               CAST(CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS DOUBLE)
+                   / (count(*) * max(n_tok)) AS waste_ratio
+        FROM n
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    tags=("llm", "pipeline", "batching"),
+)
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching profile — the padding-efficiency planner for
+    training dataloaders.  Docs are bucketed by token count (width 64, the
+    usual power-of-two pad granularity); per bucket we report the padding
+    waste of batching same-bucket docs together (each padded to the bucket's
+    observed max).  This is the aggregate a curriculum/batching stage
+    consults to pick bucket boundaries; at 100 TB it is one map-side token
+    count plus a tiny groupBy on the bucket id — token text never shuffles,
+    only (bucket, count/min/max/sum) partials do.  All-waste columns are
+    exact BIGINT arithmetic; the ratio is a single division of two exact
+    integers, so the DOUBLE is bit-identical in any engine."""
+    d = t(spark, sf_dir, "documents")
+    n = d.select(
+        _nonempty_token_count("text").alias("n_tok")
+    )
+    waste = (F.count("*") * F.max("n_tok") - F.sum("n_tok")).cast("bigint")
+    return (
+        n.groupBy(F.floor(F.col("n_tok") / 64).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+            waste.alias("pad_waste"),
+            (
+                waste.cast("double") / (F.count("*") * F.max("n_tok"))
+            ).alias("waste_ratio"),
+        )
+        .orderBy("bucket")
+    )

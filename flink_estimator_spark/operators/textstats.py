@@ -522,3 +522,69 @@ def q_doc_nll(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, tok
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY doc_id
+        )
+        SELECT cnt.doc_id,
+               max(tot.n_tok) AS n_tok,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CAST(floor(
+                   -(CAST(c AS DOUBLE) / tot.n_tok)
+                    * ln(CAST(c AS DOUBLE) / tot.n_tok) * 1000000
+               ) AS BIGINT)) AS BIGINT) AS entropy_q
+        FROM cnt JOIN tot USING (doc_id)
+        GROUP BY cnt.doc_id
+        ORDER BY cnt.doc_id
+    """,
+    tags=("llm", "text", "quality", "entropy"),
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram token entropy — the information-density quality
+    signal (near-zero entropy = degenerate repetition, the classic filter
+    for templated/boilerplate pages in a pretraining corpus; complements
+    q_text_repetition's type/token ratio with a distribution-shaped test).
+    One explode + two keyed aggregates, all partial-combined: token
+    instances reduce to (doc, tok, count) map-side, so only the distinct
+    per-doc vocabulary rides the shuffle.  Each -p*ln(p) term is
+    floor-quantized to 1e-6 and summed as exact BIGINTs (same portability
+    contract as q_doc_nll: order-independent, absorbs last-ulp libm
+    divergence)."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    p = F.col("c").cast("double") / F.col("n_tok")
+    term_q = F.floor(-p * F.log(p) * 1_000_000).cast("bigint")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.count("*").alias("vocab"),
+            F.sum(term_q).alias("entropy_q"),
+        )
+        .orderBy("doc_id")
+    )

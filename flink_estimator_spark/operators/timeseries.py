@@ -162,3 +162,106 @@ def q_resample_ffill(spark, sf_dir):
         )
         .orderBy("user_id", "hour_s")
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+        r AS (
+            SELECT event_type, event_id, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+        med AS (
+            SELECT event_type, n, cents AS med_cents
+            FROM r WHERE rn = (n + 1) // 2),
+        d AS (
+            SELECT v.event_type, v.event_id,
+                   abs(v.cents - med.med_cents) AS dev,
+                   med.med_cents, med.n
+            FROM v JOIN med USING (event_type)),
+        r2 AS (
+            SELECT event_type, dev,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dev, event_id) AS rn2,
+                   n
+            FROM d),
+        mad AS (
+            SELECT event_type, dev AS mad_cents
+            FROM r2 WHERE rn2 = (n + 1) // 2)
+        SELECT d.event_type,
+               CAST(max(d.n) AS BIGINT) AS n,
+               CAST(max(d.med_cents) AS BIGINT) AS med_cents,
+               CAST(max(mad.mad_cents) AS BIGINT) AS mad_cents,
+               CAST(sum(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN mad USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    tags=("llm", "timeseries", "stats", "robust"),
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier summary per event type: exact lower median, exact
+    median-absolute-deviation, and the count of events whose deviation
+    exceeds 3x MAD — the heavy-tail-safe complement of q_value_outliers'
+    mean/sigma z-score (one extreme value shifts a mean but not a median).
+    All arithmetic is integer cents so both engines agree bit-for-bit;
+    medians are derived relationally (row_number vs (n+1)//2 — the lower
+    middle, never the two-middle average that would reintroduce doubles).
+    Shape: two sort-windows partitioned by event_type plus two broadcast
+    joins of the tiny per-type statistics.  At 100 TB the per-key sort is
+    the cost — the documented scale path for loose tolerances is the
+    mergeable KLL sketch (q_kll_rollup); this operator is the exact
+    contract the sketch is certified against."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        (dec("value") * 100).cast("bigint").alias("cents"),
+    )
+    wp = W.partitionBy("event_type")
+    wn = wp.orderBy("cents", "event_id")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wn).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    med = r.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", "n", F.col("cents").alias("med_cents"))
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        "med_cents",
+        "n",
+    )
+    w2 = wp.orderBy("dev", "event_id")
+    r2 = d.select(
+        "event_type", "dev", F.row_number().over(w2).alias("rn2"), "n"
+    )
+    mad = r2.filter(
+        F.col("rn2") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("dev").alias("mad_cents"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -533,3 +533,76 @@ def q_month_spine_gapfill(spark, sf_dir):
         "mi // 12", "mi div 12"
     )
     return spark.sql(sql)
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                       AS month_key,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS rev_cents
+            FROM orders
+            GROUP BY 1, 2, 3
+        ),
+        l AS (
+            SELECT month_key, yr, mo, rev_cents,
+                   lag(rev_cents, 12) OVER (ORDER BY month_key) AS prev_cents
+            FROM m
+        )
+        SELECT yr, mo, rev_cents, prev_cents,
+               CAST(rev_cents - prev_cents AS BIGINT) AS diff_cents,
+               CAST(rev_cents - prev_cents AS DOUBLE) / prev_cents AS yoy_ratio
+        FROM l
+        WHERE prev_cents IS NOT NULL
+        ORDER BY yr, mo
+    """,
+    tags=("analytic", "window", "calendar"),
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth — the period-over-period compare
+    every BI workload runs.  Months are keyed on the dense integer
+    ``year*12 + month - 1`` so ``lag(12)`` lands exactly one calendar year
+    back without date arithmetic in the frame (the fixture's order stream is
+    gap-free at month grain; a spine join — see q_month_spine_gapfill —
+    supplies missing months otherwise).  Revenue is summed in integer cents
+    (DECIMAL-exact, order-independent); the growth ratio is one division of
+    two exact BIGINTs so the DOUBLE matches bit-for-bit across engines.  At
+    scale: one partial-combined aggregate down to ~tens of month rows, then
+    a single-partition window over those rows — the window input is
+    month-cardinality, not row-cardinality, so the global frame is safe."""
+    o = t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("month_key"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents")
+        )
+    )
+    w = W.orderBy("month_key")
+    l = m.withColumn("prev_cents", F.lag("rev_cents", 12).over(w))
+    return (
+        l.filter(F.col("prev_cents").isNotNull())
+        .select(
+            "yr",
+            "mo",
+            "rev_cents",
+            "prev_cents",
+            (F.col("rev_cents") - F.col("prev_cents"))
+            .cast("bigint")
+            .alias("diff_cents"),
+            (
+                (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents")
+            ).alias("yoy_ratio"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -149,6 +149,9 @@ _SF001_SEC_PAIRS = [
     ("q_forget_cascade", 1.09), ("q_event_transitions", 1.13),
     ("q_conversion_latency", 0.77), ("q_running_anomaly", 0.9),
     ("q_order_streaks", 1.26),
+    ("q_yoy_growth", 0.61), ("q_bloom_join_prune", 0.79),
+    ("q_length_buckets", 0.97), ("q_token_entropy", 2.79),
+    ("q_mad_outliers", 4.35),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -170,6 +173,8 @@ _ADDED_LATE_R3 = frozenset({
     "q_month_spine_gapfill", "q_ngram_decontamination",
     "q_forget_cascade", "q_event_transitions", "q_conversion_latency",
     "q_running_anomaly", "q_order_streaks",
+    "q_yoy_growth", "q_bloom_join_prune", "q_length_buckets",
+    "q_token_entropy", "q_mad_outliers",
 })
 
 

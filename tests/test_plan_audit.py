@@ -92,6 +92,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per calendar day reaches the window (~2.4k rows forever,
     # SF-invariant): the daily aggregate upstream already distributed
     "q_rolling_median",
+    # one row per calendar month (~84 rows forever, SF-invariant): the
+    # monthly aggregate upstream already distributed
+    "q_yoy_growth",
 }
 
 
