@@ -698,3 +698,131 @@ def q_simhash_recall(spark, sf_dir):
             (F.col("n_missed") == 0).alias("pigeonhole_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at threshold num/den via PREFIX FILTERING —
+    the candidate generator that replaces ``jaccard_pairs``' full shingle
+    self-join at corpus scale (PPJoin / AllPairs family; public literature:
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection").
+
+    Pigeonhole guarantee: order every document's shingle set by one GLOBAL
+    total order (ascending document frequency, ties on the hash — rarest
+    first) and keep only the first ``|x| - ceil(t*|x|) + 1`` shingles as the
+    doc's *prefix*.  Two sets with Jaccard >= t MUST share a prefix shingle,
+    so joining on prefix shingles alone finds every qualifying pair; the
+    exact intersection then removes false candidates.  Because prefixes are
+    built from the RAREST shingles, hot boilerplate shingles (the quadratic
+    blowup in the naive self-join, guarded there by ``max_shingle_freq``)
+    almost never enter a prefix — candidate cost tracks sum(rare-shingle
+    df^2), a tiny fraction of sum(df^2).
+
+    Integer threshold arithmetic throughout (den*inter >= num*(union)); the
+    reported jaccard is one division of exact ints.  The prefix rank uses
+    a window partitioned by doc — each doc's shingle list is bounded by doc
+    length, so the sort is per-document, never global.
+    """
+    from pyspark.sql import Window as W
+
+    c, d = threshold_num, threshold_den
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    wdoc = W.partitionBy(id_col)
+    ranked = sh.join(freq, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(wdoc.orderBy("df_", "shingle")).alias("pos"),
+        F.count("*").over(wdoc).alias("n_sh"),
+    )
+    # prefix_len = n - ceil(c*n/d) + 1, in pure integer arithmetic
+    prefix_len = (
+        F.col("n_sh") - F.floor((c * F.col("n_sh") + d - 1) / d) + 1
+    )
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "shingle")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    verified = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("ss").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("ss").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("inter"),
+            F.size("sa").cast("bigint").alias("na"),
+            F.size("sb").cast("bigint").alias("nb"),
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        verified.filter(F.lit(d) * F.col("inter") >= F.lit(c) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_jaccard_prefix_pairs",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 2 * inter >= (sa.n_sh + sb.n_sh - inter)
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "jaccard", "prefix-filter"),
+)
+def q_jaccard_prefix_pairs(spark, sf_dir):
+    """Prefix-filtered exact Jaccard pairs at t=1/2 — value-identical to the
+    brute-force oracle (the filter is lossless by pigeonhole), but the plan
+    joins only on each doc's rarest shingles instead of all of them.
+    ``tests/test_prefix_jaccard.py`` additionally proves equality against
+    the in-repo exhaustive form at a second threshold."""
+    return prefix_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold_num=1, threshold_den=2
+    ).orderBy("id_a", "id_b")

@@ -212,53 +212,70 @@ def q_mad_outliers(spark, sf_dir):
     exceeds 3x MAD — the heavy-tail-safe complement of q_value_outliers'
     mean/sigma z-score (one extreme value shifts a mean but not a median).
     All arithmetic is integer cents so both engines agree bit-for-bit;
-    medians are derived relationally (row_number vs (n+1)//2 — the lower
-    middle, never the two-middle average that would reintroduce doubles).
-    Shape: two sort-windows partitioned by event_type plus two broadcast
-    joins of the tiny per-type statistics.  At 100 TB the per-key sort is
-    the cost — the documented scale path for loose tolerances is the
-    mergeable KLL sketch (q_kll_rollup); this operator is the exact
-    contract the sketch is certified against."""
+    medians are derived relationally (rank (n+1)//2 — the lower middle,
+    never the two-middle average that would reintroduce doubles).
+
+    Scale shape: the raw stream reduces FIRST to a (type, cents, count)
+    frequency table — one partial-combined aggregate, the only pass over
+    the full data — and every median is then read off the frequency
+    table's cumulative counts (min value whose running count reaches the
+    target rank).  Event rows never enter a sort window; only distinct
+    cents values do (bounded by the value domain, not the row count), so
+    the per-type sort that kills naive exact-median plans at 100 TB never
+    materializes.  The oracle re-derives the same ranks row-wise — cheap
+    for DuckDB at gate scale, and an independent formulation.  For loose
+    tolerances the mergeable KLL sketch (q_kll_rollup) is the documented
+    approximate path; this operator is the exact contract the sketch is
+    certified against."""
     e = t(spark, sf_dir, "events")
-    v = e.select(
-        "event_type",
-        "event_id",
-        (dec("value") * 100).cast("bigint").alias("cents"),
+    freq = (
+        e.select(
+            "event_type", (dec("value") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
     )
     wp = W.partitionBy("event_type")
-    wn = wp.orderBy("cents", "event_id")
-    r = v.select(
-        "event_type",
-        "cents",
-        F.row_number().over(wn).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+
+    def rank_value(tbl, val_col, out_name):
+        """Smallest val_col whose cumulative count reaches rank (n+1)//2."""
+        cum = tbl.select(
+            "event_type",
+            val_col,
+            F.sum("c").over(wp.orderBy(val_col)).alias("cum"),
+            F.sum("c").over(wp).alias("n"),
+        )
+        return (
+            cum.filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+            .groupBy("event_type")
+            .agg(
+                F.min(val_col).alias(out_name),
+                F.max("n").alias(f"_n_{out_name}"),
+            )
+        )
+
+    med = rank_value(freq, "cents", "med_cents")
+    devf = (
+        freq.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+            "c",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("c").alias("c"))
     )
-    med = r.filter(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
-    ).select("event_type", "n", F.col("cents").alias("med_cents"))
-    d = v.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
-        "med_cents",
-        "n",
-    )
-    w2 = wp.orderBy("dev", "event_id")
-    r2 = d.select(
-        "event_type", "dev", F.row_number().over(w2).alias("rn2"), "n"
-    )
-    mad = r2.filter(
-        F.col("rn2") == F.floor((F.col("n") + 1) / 2)
-    ).select("event_type", F.col("dev").alias("mad_cents"))
+    mad = rank_value(devf, "dev", "mad_cents")
     return (
-        d.join(F.broadcast(mad), "event_type")
+        devf.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.max("n").alias("n"),
+            F.max("_n_med_cents").alias("n"),
             F.max("med_cents").alias("med_cents"),
             F.max("mad_cents").alias("mad_cents"),
             F.sum(
-                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), F.col("c")).otherwise(0)
             )
             .cast("bigint")
             .alias("n_outliers"),
