@@ -826,3 +826,57 @@ def q_jaccard_prefix_pairs(spark, sf_dir):
     return prefix_jaccard_pairs(
         t(spark, sf_dir, "documents"), threshold_num=1, threshold_den=2
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=r"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        ),
+        corpus AS (SELECT * FROM fp WHERE doc_id % 10 <> 0),
+        batch  AS (SELECT * FROM fp WHERE doc_id % 10 = 0)
+        SELECT b.doc_id, b.source,
+               min(c.doc_id) AS dup_of,
+               CAST(count(c.doc_id) AS BIGINT) AS n_corpus_copies
+        FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+        GROUP BY b.doc_id, b.source
+        ORDER BY b.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact-dedup screen: an arriving batch (doc_id % 10 = 0
+    stands in for today's crawl) checked against the standing corpus —
+    every batch doc annotated with the earliest corpus doc sharing its
+    content fingerprint (NULL = genuinely new).  This is the shape
+    production dedup actually runs day to day: NOT corpus x corpus, but
+    |batch| x corpus via one equi-join on the 16-byte fingerprint — linear
+    in the batch, and at 100 TB the corpus side is a bucketed/sorted
+    fingerprint index so the join is co-located with zero corpus shuffle
+    (see sources/bucketing.py).  The same screen at near-dup granularity
+    swaps the fingerprint for MinHash band keys (q_dedup_minhash_lsh) —
+    identical join shape."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("c_id"), "fp"
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return (
+        batch.join(corpus, "fp", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.min("c_id").alias("dup_of"),
+            F.count("c_id").alias("n_corpus_copies"),
+        )
+        .orderBy("doc_id")
+    )

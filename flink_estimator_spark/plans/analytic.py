@@ -1073,3 +1073,47 @@ def q_order_streaks(spark, sf_dir):
         .filter(F.col("max_streak") >= 2)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "q_click_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n DESC, e1, e2, e3
+        LIMIT 50
+    """,
+    tags=("analytic", "sequence", "clickstream"),
+)
+def q_click_trigrams(spark, sf_dir):
+    """Top-50 behavioral trigrams: the three-step event paths users take
+    most, from per-user time-ordered lead(1)/lead(2) — the sequence-mining
+    complement of q_event_transitions' first-order Markov matrix (bigrams
+    assume one-step memory; trigram counts expose where that assumption
+    breaks).  Shape: both leads share ONE window sort per user partition,
+    then a low-cardinality trigram aggregate with map-side partials; the
+    final top-50 is a TakeOrdered on |event_type|^3 rows, not a global
+    sort of the stream."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(50)
+    )

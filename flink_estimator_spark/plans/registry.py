@@ -152,6 +152,7 @@ _SF001_SEC_PAIRS = [
     ("q_yoy_growth", 0.61), ("q_bloom_join_prune", 0.79),
     ("q_length_buckets", 0.97), ("q_token_entropy", 2.79),
     ("q_mad_outliers", 1.63), ("q_jaccard_prefix_pairs", 2.31),
+    ("q_incremental_dedup", 0.98), ("q_click_trigrams", 0.59),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -175,6 +176,7 @@ _ADDED_LATE_R3 = frozenset({
     "q_running_anomaly", "q_order_streaks",
     "q_yoy_growth", "q_bloom_join_prune", "q_length_buckets",
     "q_token_entropy", "q_mad_outliers", "q_jaccard_prefix_pairs",
+    "q_incremental_dedup", "q_click_trigrams",
 })
 
 

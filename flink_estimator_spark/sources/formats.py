@@ -1,4 +1,4 @@
-"""Multi-format source/sink round-trips: CSV, JSON(L), and ORC.
+"""Multi-format source/sink round-trips: CSV, JSON(L), ORC, and XML.
 
 The reference's only sink is one pretty-printed JSON file per saved run
 (`/root/reference/src/flink_estimator/estimation.py:611-656`, covered by
@@ -67,6 +67,30 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Spark-4 built-in XML sink (no external package): one file per
+    partition, explicit rowTag.  XML is an ingest format for feeds/configs;
+    like CSV/JSON it carries no types, so reads go through the writer's
+    explicit schema."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .options(**_TS_OPTS)
+        .save(path)
+    )
+
+
+def read_xml(spark: SparkSession, path: str, schema, row_tag: str = "row") -> DataFrame:
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .options(**_TS_OPTS)
+        .load(path)
+    )
 
 
 def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:

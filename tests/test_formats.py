@@ -10,9 +10,11 @@ from flink_estimator_spark.sources.formats import (
     read_csv,
     read_jsonl,
     read_orc,
+    read_xml,
     write_csv,
     write_jsonl,
     write_orc,
+    write_xml,
 )
 from flink_estimator_spark.sources.tables import read_table
 from tests.conftest import SF_SMALL
@@ -329,3 +331,21 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     }
     got = {(r["doc_id"], r["added_later"]) for r in new.collect()}
     assert got == exp
+
+
+def test_xml_round_trip_orders(spark, tmp_path):
+    src = _table(spark, "orders").repartition(4)
+    p = str(tmp_path / "orders_xml")
+    write_xml(src, p)
+    back = read_xml(spark, p, src.schema)
+    _assert_same(src, back)
+    parts = [f for f in os.listdir(p) if f.startswith("part-")]
+    assert len(parts) > 1, "sink must not serialize through one file"
+
+
+def test_xml_round_trip_documents(spark, tmp_path):
+    # free text with spaces/punctuation must survive XML escaping
+    src = _table(spark, "documents")
+    p = str(tmp_path / "docs_xml")
+    write_xml(src, p)
+    _assert_same(src, read_xml(spark, p, src.schema))
