@@ -162,3 +162,70 @@ def q_pagerank_parts(spark, sf_dir):
         .orderBy(F.desc("pr_q"), "part")
         .limit(20)
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        tri AS (
+            SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ),
+        nodes AS (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM nodes
+        GROUP BY node
+        ORDER BY n_tri DESC, node
+        LIMIT 20
+    """,
+    tags=("complex", "graph", "triangles"),
+)
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle membership counts on the co-purchase graph (support
+    >= 2 edges), top-20 nodes — the clustering-coefficient primitive.
+    Distributed shape is the standard compact-forward algorithm: orient
+    every edge low-id -> high-id, join edges-on-middle-vertex to form
+    wedges (u<v<w by construction, so each triangle is generated exactly
+    once), then close each wedge with one equi-join back to the edge set.
+    Cost is sum(deg^2) for the wedge join — the orientation keeps hub
+    fan-out to *higher-id* neighbors only, the classic skew guard — and
+    both joins are plain shuffled equi-joins on (node) / (u, w): no
+    iteration, no driver state."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+    e2 = e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+    e3 = e.select(F.col("pa").alias("u"), F.col("pb").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )

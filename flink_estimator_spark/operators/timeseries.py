@@ -282,3 +282,76 @@ def q_mad_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_X0 = 1704067200  # 2024-01-01 UTC epoch-seconds; shifts x near zero (OLS is
+# shift-invariant, and the offset keeps every decimal moment far from 1e38)
+
+
+@query(
+    "q_linreg_by_group",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 1000000 - {_X0} AS BIGINT) AS x,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+            FROM events),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+            FROM v GROUP BY event_type)
+        SELECT event_type, n,
+               CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                   AS slope_cents_per_s,
+               (CAST(sy AS DOUBLE)
+                - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / n AS intercept_cents
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("llm", "timeseries", "regression"),
+)
+def q_linreg_by_group(spark, sf_dir):
+    """Per-event-type ordinary-least-squares trend of value over time —
+    closed-form simple regression from raw moments.  The five moments
+    (n, Σx, Σy, Σx², Σxy) accumulate as DECIMAL(38,0) sums of exact
+    integer inputs (x = epoch-seconds offset to 2024-01-01, y = cents), so
+    they are order-independent; slope and intercept then come from a fixed
+    sequence of IEEE double ops on those exact values — bit-identical in
+    any engine, unlike a double-accumulated covariance.  One aggregate
+    shuffle of five partials per group; the raw stream never moves."""
+    e = t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    v = e.select(
+        "event_type",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000") - _X0
+        ).cast("bigint").alias("x"),
+        (dec("value") * 100).cast("bigint").alias("y"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+    )
+    n38 = F.col("n").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_s"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("event_type")

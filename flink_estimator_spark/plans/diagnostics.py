@@ -606,3 +606,66 @@ def q_yoy_growth(spark, sf_dir):
         )
         .orderBy("yr", "mo")
     )
+
+
+_CORR_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {orders} o
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (SELECT count(*) FROM {orders} o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) * 100
+                             AS BIGINT)
+                 FROM {orders} o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_correlated_subquery",
+    oracle=_CORR_SQL.format(orders="orders"),
+    tags=("medium", "subquery", "decorrelation"),
+)
+def q_correlated_subquery(spark, sf_dir):
+    """Orders worth more than twice their own customer's average — TWO
+    correlated scalar subqueries (per-customer count and sum) in one
+    predicate.  The point is Catalyst's decorrelation: both subqueries
+    rewrite to ONE per-customer aggregate joined back to the stream, so
+    the plan is aggregate + join, never a per-row re-scan (the naive
+    nested-loop reading of correlated SQL would be O(n^2) at 100 TB).
+    The threshold compare is exact integer arithmetic (cents x count vs
+    2 x cent-sum) — no division, no float boundary."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("corr_orders")
+    return spark.sql(_CORR_SQL.format(orders="corr_orders"))
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM {customer} c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM {orders}
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_nationkey = 1
+    ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@query(
+    "q_lateral_topn",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    tags=("medium", "join", "lateral"),
+)
+def q_lateral_topn(spark, sf_dir):
+    """Per-customer top-2 orders via a correlated LATERAL subquery (ANSI
+    lateral join, Spark >= 3.2 / DuckDB shared dialect) — the row-generating
+    dual of q_topk_per_group's window form.  Catalyst plans the correlated
+    LIMIT as a partitioned rank under the hood, so the declared "for each
+    row, run a query" semantics execute as one window + join, not a per-row
+    probe.  Same answer as the window formulation; a user migrating lateral
+    SQL keeps their syntax."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(_LATERAL_SQL.format(customer="lat_customer", orders="lat_orders"))
