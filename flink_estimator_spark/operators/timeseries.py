@@ -305,13 +305,16 @@ _X0 = 1704067200  # 2024-01-01 UTC epoch-seconds; shifts x near zero (OLS is
                    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
             FROM v GROUP BY event_type)
         SELECT event_type, n,
-               CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+               CAST(floor(
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
                    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
-                   AS slope_cents_per_s,
-               (CAST(sy AS DOUBLE)
-                - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
-                   / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
-                  * CAST(sx AS DOUBLE)) / n AS intercept_cents
+                   * 1000000000) AS BIGINT) AS slope_q9,
+               CAST(floor(
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / n * 1000000) AS BIGINT)
+                   AS intercept_q6
         FROM m
         ORDER BY event_type
     """,
@@ -323,9 +326,12 @@ def q_linreg_by_group(spark, sf_dir):
     (n, Σx, Σy, Σx², Σxy) accumulate as DECIMAL(38,0) sums of exact
     integer inputs (x = epoch-seconds offset to 2024-01-01, y = cents), so
     they are order-independent; slope and intercept then come from a fixed
-    sequence of IEEE double ops on those exact values — bit-identical in
-    any engine, unlike a double-accumulated covariance.  One aggregate
-    shuffle of five partials per group; the raw stream never moves."""
+    sequence of IEEE double ops on those exact values.  Outputs are
+    floor-quantized (slope to 1e-9 cents/s, intercept to 1e-6 cents,
+    SCALE.md §7c): the sf0.1 hardening sweep showed the engines' 128-bit
+    decimal→double casts can disagree by one ulp, and quantization absorbs
+    exactly that class of divergence.  One aggregate shuffle of five
+    partials per group; the raw stream never moves."""
     e = t(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
     v = e.select(
@@ -352,6 +358,6 @@ def q_linreg_by_group(spark, sf_dir):
     return m.select(
         "event_type",
         "n",
-        slope.alias("slope_cents_per_s"),
-        intercept.alias("intercept_cents"),
+        F.floor(slope * 1_000_000_000).cast("bigint").alias("slope_q9"),
+        F.floor(intercept * 1_000_000).cast("bigint").alias("intercept_q6"),
     ).orderBy("event_type")
