@@ -167,9 +167,10 @@ def q_pagerank_parts(spark, sf_dir):
 @query(
     "q_triangle_count",
     oracle="""
-        WITH e AS (
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM lineitem a JOIN lineitem b
+            FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING count(*) >= 2
         ),
@@ -194,7 +195,8 @@ def q_pagerank_parts(spark, sf_dir):
 )
 def q_triangle_count(spark, sf_dir):
     """Exact triangle membership counts on the co-purchase graph (support
-    >= 2 edges), top-20 nodes — the clustering-coefficient primitive.
+    >= 2 edges over DISTINCT parts per order), top-20 nodes — the
+    clustering-coefficient primitive.
     Distributed shape is the standard compact-forward algorithm: orient
     every edge low-id -> high-id, join edges-on-middle-vertex to form
     wedges (u<v<w by construction, so each triangle is generated exactly
@@ -204,15 +206,31 @@ def q_triangle_count(spark, sf_dir):
     both joins are plain shuffled equi-joins on (node) / (u, w): no
     iteration, no driver state."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # pair generation from per-order baskets (sorted distinct parts, ordered
+    # in-array combinations): one groupBy replaces the lineitem self-join —
+    # basket sizes are bounded (order line counts), so the in-memory pair
+    # fan-out is tiny while the shuffle drops from 2x lineitem to 1x
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    # the edge table is consumed three times (e1/e2/e3); it is tiny
+    # (thousands of rows after the support filter) — cache beats replaying
+    # the basket explode per consumer
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
         .select("pa", "pb")
+        .cache()
     )
     e1 = e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
     e2 = e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))

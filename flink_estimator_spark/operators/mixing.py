@@ -300,3 +300,64 @@ def q_length_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_lang_balance",
+    oracle=r"""
+        WITH n AS (
+            SELECT lang,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(trim(text), '\s+'), x -> x <> '')))
+                       AS BIGINT) AS n_tok
+            FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM n),
+        w AS (
+            SELECT lang, n_tok,
+                   CAST(floor(pow(CAST(n_tok AS DOUBLE) / total, 0.7)
+                              * 1000000000000) AS BIGINT) AS w_q
+            FROM n CROSS JOIN tot),
+        s AS (SELECT CAST(sum(w_q) AS BIGINT) AS sw FROM w)
+        SELECT lang, n_tok,
+               CAST(w_q AS DOUBLE) / sw AS target_frac
+        FROM w CROSS JOIN s
+        ORDER BY lang
+    """,
+    tags=("llm", "pipeline", "mixing", "multilingual"),
+)
+def q_lang_balance(spark, sf_dir):
+    """Temperature-smoothed multilingual sampling weights (alpha = 0.7, the
+    standard up-weight-the-tail exponent for multilingual pretraining
+    mixes): per-language token mass p_l is raised to alpha and renormalized
+    into the target sampling fraction.  Each p^alpha is floor-quantized to
+    1e-12 BEFORE the normalizing sum, so the denominator is an exact BIGINT
+    and the final fraction is one int/int division — without this, the sum
+    of ~|langs| doubles would depend on aggregation order and pow()'s
+    last-ulp could differ by engine.  Plan: one map-side token count, one
+    |langs|-row aggregate, two broadcast scalars — nothing rides a shuffle
+    except (lang, count) partials."""
+    d = t(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(
+        F.sum(_nonempty_token_count("text")).alias("n_tok")
+    )
+    tot = n.agg(F.sum("n_tok").alias("total"))
+    w = n.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tok",
+        F.floor(
+            F.pow(F.col("n_tok").cast("double") / F.col("total"), 0.7)
+            * 1_000_000_000_000
+        )
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    s = w.agg(F.sum("w_q").alias("sw"))
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "lang",
+            "n_tok",
+            (F.col("w_q").cast("double") / F.col("sw")).alias("target_frac"),
+        )
+        .orderBy("lang")
+    )

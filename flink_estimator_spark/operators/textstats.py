@@ -588,3 +588,69 @@ def q_token_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_repeated_ngrams",
+    oracle=r"""
+        WITH grams AS (
+            SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents
+            ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i)
+        ),
+        c AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_rep,
+               CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT)
+                   AS dup_frac_q6
+        FROM c
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def q_repeated_ngrams(spark, sf_dir):
+    """Gopher-style n-gram repetition screen: per document, total / distinct
+    3-gram counts, the most-repeated 3-gram's count, and the duplicate-gram
+    fraction — the rule-based filter that catches degenerate generation
+    loops and boilerplate (complements q_token_entropy's distributional
+    test with the worst-single-offender view).  Entirely integer: the
+    fraction is (dups * 1e6) DIV total, exact in any engine with no float
+    anywhere.  Two keyed aggregates over the exploded gram stream, both
+    partial-combined; only (doc, gram, count) rides the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.size(words) - F.lit(2)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("max_rep"),
+            F.expr("(sum(c) - count(*)) * 1000000 DIV sum(c)").alias(
+                "dup_frac_q6"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -669,3 +669,41 @@ def q_lateral_topn(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
     return spark.sql(_LATERAL_SQL.format(customer="lat_customer", orders="lat_orders"))
+
+
+@query(
+    "q_union_by_name_drift",
+    oracle="""
+        SELECT doc_id, lang, n_chars, batch
+        FROM (
+            SELECT doc_id, lang, n_chars, 'v1' AS batch
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT 'v2' AS batch, n_chars, doc_id
+            FROM documents WHERE doc_id % 2 = 1
+        )
+        ORDER BY doc_id
+    """,
+    tags=("medium", "set-ops", "schema-evolution"),
+)
+def q_union_by_name_drift(spark, sf_dir):
+    """Schema-drift union: two feed versions of the same logical table —
+    one with columns reordered and one missing a column entirely — unioned
+    BY NAME (Spark ``unionByName(allowMissingColumns=True)``, DuckDB
+    ``UNION ALL BY NAME``), the absent column null-filled.  Positional
+    UNION (q_set_ops) silently mis-binds columns the moment a producer
+    reorders fields; by-name union is the ingestion contract that survives
+    schema evolution, the batch dual of the mergeSchema read test.  Pure
+    map-side concatenation — no shuffle beyond the output sort."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars", F.lit("v1").alias("batch")
+    )
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.lit("v2").alias("batch"), "n_chars", "doc_id"
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .select("doc_id", "lang", "n_chars", "batch")
+        .orderBy("doc_id")
+    )

@@ -153,8 +153,10 @@ _SF001_SEC_PAIRS = [
     ("q_length_buckets", 0.97), ("q_token_entropy", 2.79),
     ("q_mad_outliers", 1.63), ("q_jaccard_prefix_pairs", 2.31),
     ("q_incremental_dedup", 0.98), ("q_click_trigrams", 0.59),
-    ("q_triangle_count", 1.67), ("q_linreg_by_group", 0.65),
+    ("q_triangle_count", 1.61), ("q_linreg_by_group", 0.65),
     ("q_correlated_subquery", 0.52), ("q_lateral_topn", 0.42),
+    ("q_lang_balance", 0.88), ("q_repeated_ngrams", 1.0),
+    ("q_union_by_name_drift", 0.94),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -180,6 +182,7 @@ _ADDED_LATE_R3 = frozenset({
     "q_token_entropy", "q_mad_outliers", "q_jaccard_prefix_pairs",
     "q_incremental_dedup", "q_click_trigrams", "q_triangle_count",
     "q_linreg_by_group", "q_correlated_subquery", "q_lateral_topn",
+    "q_lang_balance", "q_repeated_ngrams", "q_union_by_name_drift",
 })
 
 
