@@ -9,6 +9,7 @@ unbounded state; never do that at 100 TB/day.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_within_watermark(
@@ -18,3 +19,53 @@ def dedup_within_watermark(
 ) -> DataFrame:
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def screen_against_ledger(
+    events: DataFrame,
+    ledger: DataFrame,
+    key: str = "event_id",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming ingest screen: pass through only events whose ``key`` is NOT
+    in a static already-processed ledger — the streaming dual of
+    ``q_incremental_dedup``'s batch-vs-corpus join, with the Bloom runtime
+    filter (operators/bloom.py) in front.
+
+    Why the bloom here: a stream-static LEFT ANTI join re-probes the ledger
+    every micro-batch; once the ledger outgrows the broadcast threshold that
+    probe becomes a per-batch shuffle of the whole batch.  The packed filter
+    stays O(m bits) forever, is embedded as a LITERAL array column (8 KiB in
+    the plan — the streaming analogue of broadcasting it), and splits each
+    micro-batch column-side: bloom-negative rows are *provably* new (no
+    false negatives) and skip the join entirely; only bloom-positive rows —
+    true dups plus the small FP fraction — reach the exact anti join that
+    rescues the FPs.  Exactness is unchanged; only join traffic shrinks.
+
+    Works identically on a batch DataFrame, so the batch run is the
+    streaming test's oracle (tests/test_streaming.py).
+    """
+    from ..operators.bloom import bloom_build
+
+    word_map = bloom_build(ledger, key, m_bits, k).collect()[0]["bloom"]
+    words = F.array(
+        *[F.lit(int(word_map.get(i, 0))) for i in range(m_bits // 64)]
+    )
+    hit = None
+    for i in range(k):
+        # seed literal must be INT to hash identically to the build side
+        p = F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(m_bits))
+        word = F.element_at(words, (p / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod(xxhash64({i}, {key}), {m_bits}) % 64 AS INT))"
+        )
+        c = word.bitwiseAND(mask) != 0
+        hit = c if hit is None else hit & c
+
+    definitely_new = events.filter(~hit)
+    candidates = events.filter(hit)
+    rescued = candidates.join(
+        F.broadcast(ledger.select(key)), key, "left_anti"
+    )
+    return definitely_new.unionByName(rescued)

@@ -986,3 +986,37 @@ def test_running_anomaly_stream_matches_batch_query(spark, stream_dir, tmp_path)
     }
     assert got == exp
     assert exp, "fixture produced no anomalies — detector untested"
+
+
+def test_ledger_screen_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming.dedup import screen_against_ledger
+
+    batch = _batch_events(spark)
+    ledger = batch.filter(F.col("event_id") % 3 == 0).select("event_id")
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark,
+        screen_against_ledger(ev, ledger).select("event_id"),
+        "ledger_screen_out",
+        tmp_path,
+    )
+    got = {
+        r["event_id"]
+        for r in out.collect()
+        if r["event_id"] % 10**9 != SENTINEL_USER  # sentinel rows pass through
+    }
+    # batch shadow: the same operator on the batch frame, and the plain
+    # exact anti join — all three must agree (bloom adds no false negatives,
+    # the anti join removes its false positives)
+    shadow = {
+        r["event_id"]
+        for r in screen_against_ledger(batch, ledger).select("event_id").collect()
+    }
+    exact = {
+        r["event_id"]
+        for r in batch.join(ledger, "event_id", "left_anti").select("event_id").collect()
+    }
+    assert shadow == exact
+    assert got >= exact  # stream adds sentinel rows only
+    assert {e for e in got if e in {r["event_id"] for r in ledger.collect()}} == set()
