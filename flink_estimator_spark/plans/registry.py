@@ -144,7 +144,7 @@ _SF001_SEC_PAIRS = [
     ("q_snapshot_diff", 1.02), ("q_emb_quantized_topk", 1.07),
     ("q_bm25_search", 1.1), ("q_table_profile", 1.62),
     ("q_cohort_retention", 0.95), ("q_count_window", 1.06),
-    ("q_copurchase_pairs", 1.11), ("q_pagerank_parts", 2.34),
+    ("q_copurchase_pairs", 1.14), ("q_pagerank_parts", 1.79),
     ("q_month_spine_gapfill", 1.67), ("q_ngram_decontamination", 1.52),
     ("q_forget_cascade", 1.09), ("q_event_transitions", 1.13),
     ("q_conversion_latency", 0.77), ("q_running_anomaly", 0.9),
