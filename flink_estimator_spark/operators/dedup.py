@@ -880,3 +880,72 @@ def q_incremental_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_containment_pairs",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa.n_sh AS BIGINT) AS n_a,
+               CAST(inter AS DOUBLE) / sa.n_sh AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE 10 * inter >= 8 * sa.n_sh
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def q_containment_pairs(spark, sf_dir):
+    """Shingle CONTAINMENT pairs: |A ∩ B| / |A| >= 0.8 — the asymmetric
+    near-duplicate relation Jaccard misses.  A short document quoted
+    wholesale inside a long one has tiny Jaccard (the union is huge) but
+    containment ~1; this is the sub-document duplication screen (syndicated
+    articles, quoted posts, boilerplate wrappers) that a pretraining dedup
+    stack runs NEXT TO the symmetric Jaccard pass.  Directed pairs — (a,b)
+    and (b,a) score independently under each side's own size.  Same
+    single-shuffle shingle machinery as jaccard_pairs (8-byte hashed
+    shingles, threshold as integer cross-multiplication); the scale path
+    for the candidate step is the same prefix filter (prefix length
+    |x| - ceil(t|x|) + 1 holds for containment too, ordering by frequency
+    on the CONTAINED side)."""
+    sh = shingle_df(t(spark, sf_dir, "documents"), partition_by_shingle=True).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a"), "id_a"
+        )
+        .filter(10 * F.col("inter") >= 8 * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            (F.col("inter").cast("double") / F.col("n_a")).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )

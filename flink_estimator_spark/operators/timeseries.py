@@ -361,3 +361,105 @@ def q_linreg_by_group(spark, sf_dir):
         F.floor(slope * 1_000_000_000).cast("bigint").alias("slope_q9"),
         F.floor(intercept * 1_000_000).cast("bigint").alias("intercept_q6"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_winsorized_stats",
+    oracle="""
+        WITH f AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, cents, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cumc,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM f),
+        lo AS (
+            SELECT event_type, min(cents) AS p05
+            FROM cum WHERE cumc >= (5 * n + 99) // 100 GROUP BY event_type),
+        hi AS (
+            SELECT event_type, min(cents) AS p95
+            FROM cum WHERE cumc >= (95 * n + 99) // 100 GROUP BY event_type),
+        w AS (
+            SELECT f.event_type, f.c,
+                   CASE WHEN f.cents < lo.p05 THEN lo.p05
+                        WHEN f.cents > hi.p95 THEN hi.p95
+                        ELSE f.cents END AS wc,
+                   lo.p05, hi.p95
+            FROM f JOIN lo USING (event_type) JOIN hi USING (event_type))
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(max(p05) AS BIGINT) AS p05_cents,
+               CAST(max(p95) AS BIGINT) AS p95_cents,
+               CAST(sum(wc * c) AS BIGINT) AS winsorized_sum_cents
+        FROM w
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("llm", "timeseries", "stats", "robust"),
+)
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized per-type statistics: exact P5/P95 rank values (ceil-rank
+    over cumulative counts) and the sum after clamping every observation
+    into [P5, P95] — the robust-mean preparation that caps heavy-tail
+    influence without dropping rows (complements q_mad_outliers, which
+    *flags*; winsorization *repairs*).  Same frequency-table discipline:
+    one pass reduces the stream to (type, cents, count); percentiles read
+    off cumulative counts over distinct values; the clamp and weighted sum
+    happen ON THE FREQUENCY TABLE (wc * c), so raw rows are touched exactly
+    once and nothing float enters the pipeline."""
+    e = t(spark, sf_dir, "events")
+    f = (
+        e.select(
+            "event_type", (dec("value") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = W.partitionBy("event_type")
+    cum = f.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(wp.orderBy("cents")).alias("cumc"),
+        F.sum("c").over(wp).alias("n"),
+    )
+
+    def rank_cut(pct_num: int, out: str):
+        # ceil-rank: smallest value whose cumulative count reaches
+        # ceil(pct * n / 100)  ==  (pct*n + 99) // 100 in integers
+        target = F.floor((pct_num * F.col("n") + 99) / 100)
+        return (
+            cum.filter(F.col("cumc") >= target)
+            .groupBy("event_type")
+            .agg(F.min("cents").alias(out))
+        )
+
+    lo = rank_cut(5, "p05")
+    hi = rank_cut(95, "p95")
+    w = (
+        f.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "c",
+            "p05",
+            "p95",
+            F.when(F.col("cents") < F.col("p05"), F.col("p05"))
+            .when(F.col("cents") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("cents"))
+            .alias("wc"),
+        )
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n"),
+            F.max("p05").alias("p05_cents"),
+            F.max("p95").alias("p95_cents"),
+            F.sum(F.col("wc") * F.col("c")).alias("winsorized_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
