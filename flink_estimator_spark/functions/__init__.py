@@ -45,3 +45,9 @@ from ..operators.scd import scd2_from_log, scd2_merge  # noqa: F401
 from ..streaming.joins import enrich_with_scd2  # noqa: F401
 from ..operators.graph import copurchase_edges  # noqa: F401
 from ..sources.formats import read_binary_files, write_clustered, write_zordered, zorder_value  # noqa: F401
+
+# round-3 continuation additions (this session)
+from ..operators.bloom import bloom_build, bloom_might_contain, bloom_prefilter  # noqa: F401
+from ..operators.dedup import prefix_jaccard_pairs  # noqa: F401
+from ..sources.formats import read_xml, write_xml  # noqa: F401
+from ..streaming.dedup import screen_against_ledger  # noqa: F401
