@@ -207,3 +207,131 @@ def q_multimodal_frames(spark, sf_dir):
     """Every-10th-frame sampling through the mapInPandas one-to-many path."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return sample_frames(documents_as_media(docs)).orderBy("media_id", "frame_no")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate screen
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+_PHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-complete for hamming <= 7
+
+
+def _fake_phash(payload: bytes) -> int:
+    """Deterministic perceptual-fingerprint stand-in: a 64-bit SimHash over
+    byte 4-grams of the payload.  Unlike ``_fake_decode``'s digest (which
+    destroys locality by design), this preserves CONTENT SIMILARITY —
+    payloads differing in a few bytes land a few bits apart — which is the
+    defining property a real pHash/aHash/audio-chromaprint has.  A real
+    deployment swaps this for the DCT-based pHash of the decoded image;
+    the banding and verification around it are unchanged."""
+    import struct
+    import hashlib
+
+    votes = [0] * 64
+    n = len(payload)
+    if n < 4:
+        payload = payload + b"\x00" * (4 - n)
+        n = len(payload)
+    for i in range(n - 3):
+        h = struct.unpack(
+            "<q", hashlib.blake2b(payload[i : i + 4], digest_size=8).digest()
+        )[0]
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= 1 << b
+    # keep the sign bit clear so the value fits a Spark LongType cleanly
+    return fp & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def phash_fingerprints(media: DataFrame) -> DataFrame:
+    """64-bit perceptual fingerprints via mapInPandas (Arrow-batched,
+    partition-local — same plumbing contract as extract_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": [
+                        _fake_phash(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_candidates(media: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming-LSH over the perceptual
+    fingerprint: candidates meet only inside an (8-bit band, band value)
+    bucket — sum(bucket²) cost, never corpus² — then exact
+    ``bit_count(a XOR b) <= max_hamming`` verifies.  Pigeonhole: <= 7
+    differing bits across 8 disjoint bands leaves at least one band
+    untouched, so banding is lossless for the threshold (the same
+    guarantee shape as the SimHash text path, dedup.py)."""
+    if max_hamming >= _PHASH_BANDS:
+        raise ValueError(
+            f"banding guarantees hamming < {_PHASH_BANDS}; got {max_hamming}"
+        )
+    fp = phash_fingerprints(media).cache()
+    bands = fp.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("fp_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("fp_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=None,  # python-side fingerprint -> rows-only check
+    tags=("llm", "multimodal", "dedup", "phash"),
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate media pairs (hamming <= 7 over the
+    64-bit content fingerprint) — the multimodal member of the dedup
+    family: exact (fingerprint), Jaccard/MinHash/SimHash (text), cosine
+    (embeddings), and now pHash (binary media).  Deterministic but not
+    SQL-expressible (the fingerprint is computed in the Arrow decode
+    stage), so the gate row is rows-only; completeness vs brute force is
+    pytest-proven (tests/test_multimodal_phash.py)."""
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return phash_candidates(media).orderBy("id_a", "id_b")
