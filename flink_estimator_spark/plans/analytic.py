@@ -1117,3 +1117,46 @@ def q_click_trigrams(spark, sf_dir):
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(50)
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(sum(CASE WHEN json_extract(props, '$.absent') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM events
+        GROUP BY 1
+        ORDER BY k_bucket
+    """,
+    tags=("complex", "json", "variant"),
+)
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extractions — the columnar-friendly successor to
+    per-path ``get_json_object`` string re-parsing (q_json_extract keeps
+    the classic path; a migrating user needs both).  ``try_variant_get``
+    on a missing path documents the null-not-error contract.  The oracle
+    reaches the same values through DuckDB's JSON functions — engine-
+    portable semantics over a non-portable encoding."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.absent', 'bigint')")
+    return (
+        v.select(k.alias("k"), missing.alias("m"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy("k_bucket")
+    )
