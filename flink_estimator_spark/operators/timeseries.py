@@ -463,3 +463,66 @@ def q_winsorized_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   epoch_us(ts) AS t_us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt_us
+            FROM events),
+        seg AS (
+            SELECT user_id, cents, nxt_us - t_us AS dt_us
+            FROM s WHERE nxt_us IS NOT NULL)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(dt_us) AS BIGINT) AS span_us,
+               CAST(sum(CAST(cents AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0)))
+                    AS DOUBLE)
+                   / sum(dt_us) AS twa_cents
+        FROM seg
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("llm", "timeseries", "time-weighted"),
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user — the step-function integral
+    every TSDB exposes (a plain AVG over irregular samples over-weights
+    bursts; TWA weights each observation by how long it HELD).  Each
+    event's value holds until the user's next event; the integral is
+    Σ(cents · Δt) with exact DECIMAL(38,0) products (cents ~1e6 × Δt_us
+    ~1e12 would overflow BIGINT), divided once into a deterministic
+    double.  One per-user window for lead() and one aggregate — the
+    window and the groupBy share the user_id partitioning, so the second
+    shuffle collapses."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        (dec("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("nxt_us"),
+    )
+    seg = s.filter(F.col("nxt_us").isNotNull()).select(
+        "user_id", "cents", (F.col("nxt_us") - F.col("t_us")).alias("dt_us")
+    )
+    d38 = "decimal(38,0)"
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            (
+                F.sum(F.col("cents").cast(d38) * F.col("dt_us").cast(d38)).cast(
+                    "double"
+                )
+                / F.sum("dt_us")
+            ).alias("twa_cents"),
+        )
+        .orderBy("user_id")
+    )

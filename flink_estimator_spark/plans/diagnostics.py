@@ -707,3 +707,144 @@ def q_union_by_name_drift(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "batch")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY 1),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT type_a, type_b, n_both,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS overlap_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
+    tags=("analytic", "audience", "set-similarity"),
+)
+def q_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard of user sets between every pair of
+    event types — the segment-overlap analysis behind campaign planning
+    and feature-adoption dashboards.  The (type, user) distinct relation
+    is built once; the pair intersection is a self-join on user_id whose
+    fan-out per user is |types present|² — bounded by the type cardinality,
+    a constant, never by user count.  Integer counts to the end; the
+    Jaccard is one exact-int division.  The distinct-user relation is the
+    exact form; at extreme type cardinality the sketch path is HLL unions
+    (q_hll_rollup) per pair."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("overlap_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_abc_by_brand",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand, l.l_partkey,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT p_brand, l_partkey, rev_cents,
+                   sum(rev_cents) OVER (PARTITION BY p_brand
+                                        ORDER BY rev_cents DESC, l_partkey) AS cum,
+                   sum(rev_cents) OVER (PARTITION BY p_brand) AS total
+            FROM rev),
+        classed AS (
+            SELECT p_brand, l_partkey, rev_cents,
+                   CASE WHEN 100 * (cum - rev_cents) < 80 * total THEN 'A'
+                        WHEN 100 * (cum - rev_cents) < 95 * total THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked)
+        SELECT p_brand, abc,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents
+        FROM classed
+        GROUP BY p_brand, abc
+        ORDER BY p_brand, abc
+    """,
+    tags=("analytic", "window", "pareto"),
+)
+def q_abc_by_brand(spark, sf_dir):
+    """ABC / Pareto classification of parts within each brand: a part is
+    class A while the revenue accumulated BEFORE it stays under 80% of the
+    brand total (B to 95%, else C) — the inventory-management 80/15/5 cut.
+    The strictly-before convention (cum − own) makes the boundary exact
+    and every comparison is a cross-multiplied integer (100·cum vs
+    80·total): no ratio, no float.  The cumulative window is PARTITIONED
+    BY BRAND — per-partition input is parts-per-brand, so the sort
+    parallelizes across brands at any corpus size; the class rollup reuses
+    the same partitioning."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg((F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("rev_cents"))
+    )
+    wb = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(wb.orderBy(F.desc("rev_cents"), "l_partkey"))
+        .alias("cum"),
+        F.sum("rev_cents").over(wb).alias("total"),
+    )
+    before = F.col("cum") - F.col("rev_cents")
+    abc = (
+        F.when(100 * before < 80 * F.col("total"), "A")
+        .when(100 * before < 95 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("p_brand", "rev_cents", abc.alias("abc"))
+        .groupBy("p_brand", "abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").alias("class_rev_cents"),
+        )
+        .orderBy("p_brand", "abc")
+    )

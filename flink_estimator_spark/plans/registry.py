@@ -158,7 +158,8 @@ _SF001_SEC_PAIRS = [
     ("q_lang_balance", 0.88), ("q_repeated_ngrams", 1.0),
     ("q_union_by_name_drift", 0.94), ("q_containment_pairs", 2.1),
     ("q_winsorized_stats", 0.96), ("q_multimodal_phash", 2.28),
-    ("q_variant_extract", 0.72),
+    ("q_variant_extract", 0.72), ("q_time_weighted_avg", 0.88),
+    ("q_audience_overlap", 1.0), ("q_abc_by_brand", 0.86),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -186,7 +187,8 @@ _ADDED_LATE_R3 = frozenset({
     "q_linreg_by_group", "q_correlated_subquery", "q_lateral_topn",
     "q_lang_balance", "q_repeated_ngrams", "q_union_by_name_drift",
     "q_containment_pairs", "q_winsorized_stats", "q_multimodal_phash",
-    "q_variant_extract",
+    "q_variant_extract", "q_time_weighted_avg", "q_audience_overlap",
+    "q_abc_by_brand",
 })
 
 
