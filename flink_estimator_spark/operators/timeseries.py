@@ -526,3 +526,80 @@ def q_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# a week-long "ramp" template in cents: the query pattern for subsequence
+# search (any fixed literal works; the ramp finds steadily-growing weeks)
+_TS_PATTERN = [1_000_000 * (i + 1) for i in range(7)]
+
+
+@query(
+    "q_ts_pattern_match",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_us(o_orderdate) AS day_us,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY o_orderdate),
+        num AS (
+            SELECT day_us, rev_cents,
+                   row_number() OVER (ORDER BY day_us) AS rn
+            FROM daily),
+        pat AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_TS_PATTERN))}
+            ) AS p(idx, pval)),
+        frames AS (
+            SELECT a.day_us, a.rn,
+                   b.rev_cents, b.rn - a.rn + 7 AS idx,
+                   count(*) OVER (PARTITION BY a.rn) AS n_win
+            FROM num a JOIN num b ON b.rn BETWEEN a.rn - 6 AND a.rn),
+        dist AS (
+            SELECT day_us,
+                   sum(CAST(f.rev_cents - p.pval AS DECIMAL(19,0))
+                       * CAST(f.rev_cents - p.pval AS DECIMAL(19,0))) AS d2
+            FROM frames f JOIN pat p USING (idx)
+            WHERE n_win = 7
+            GROUP BY day_us)
+        SELECT day_us, CAST(d2 AS DECIMAL(38,0)) AS dist2
+        FROM dist
+        ORDER BY d2, day_us
+        LIMIT 10
+    """,
+    tags=("llm", "timeseries", "similarity-search"),
+)
+def q_ts_pattern_match(spark, sf_dir):
+    """Time-series SUBSEQUENCE similarity search: the 10 seven-day windows
+    of daily revenue closest (exact squared Euclidean distance) to a fixed
+    query pattern — the distributed core of UCR-style shape matching
+    (public literature: "Time Series Similarity Search for Streaming Data
+    in Distributed Systems", EDBT 2019).  The window's value vector
+    assembles via collect_list over a row frame (one bounded sort of the
+    ~2.4k daily aggregate rows — SF-invariant, same exemption class as
+    q_rolling_median) and the distance is a zip_with/aggregate fold in
+    DECIMAL(19,0)->DECIMAL(38,0) products: exact at any revenue magnitude,
+    so the ranking value-gates cross-engine where a float distance would
+    drift.  The oracle re-derives each window relationally (frame
+    self-join + pattern-index join) — an independent formulation of the
+    same arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents")
+    )
+    w = W.orderBy("o_orderdate").rowsBetween(-6, 0)
+    pat = F.array(*[F.lit(v).cast("bigint") for v in _TS_PATTERN])
+    framed = daily.select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("day_us"),
+        F.collect_list("rev_cents").over(w).alias("arr"),
+    ).filter(F.size("arr") == 7)
+    d2 = F.expr(
+        "aggregate(zip_with(arr, pat, (x, y) -> "
+        "CAST(x - y AS DECIMAL(19,0)) * CAST(x - y AS DECIMAL(19,0))), "
+        "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"
+    )
+    return (
+        framed.withColumn("pat", pat)
+        .select("day_us", d2.cast("decimal(38,0)").alias("dist2"))
+        .orderBy("dist2", "day_us")
+        .limit(10)
+    )

@@ -95,6 +95,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per calendar month (~84 rows forever, SF-invariant): the
     # monthly aggregate upstream already distributed
     "q_yoy_growth",
+    # one row per calendar day (~2.4k forever) — same class as
+    # q_rolling_median; the daily aggregate upstream already distributed
+    "q_ts_pattern_match",
 }
 
 
