@@ -848,3 +848,84 @@ def q_abc_by_brand(spark, sf_dir):
         )
         .orderBy("p_brand", "abc")
     )
+
+
+_ALLOC_BUDGET = 1_000_000  # fixed budget units to apportion across segments
+
+
+@query(
+    "q_budget_allocation",
+    oracle=f"""
+        WITH rev AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev),
+        quota AS (
+            SELECT segment, rev_cents,
+                   ({_ALLOC_BUDGET} * rev_cents) // total AS base,
+                   ({_ALLOC_BUDGET} * rev_cents) % total AS rem
+            FROM rev CROSS JOIN tot),
+        ranked AS (
+            SELECT segment, rev_cents, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, segment) AS rr,
+                   {_ALLOC_BUDGET} - sum(base) OVER () AS leftover
+            FROM quota)
+        SELECT segment, rev_cents,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS allocation
+        FROM ranked
+        ORDER BY segment
+    """,
+    tags=("analytic", "allocation", "exact-integer"),
+)
+def q_budget_allocation(spark, sf_dir):
+    """Proportional budget apportionment by the LARGEST-REMAINDER method:
+    each segment gets floor(budget * share), and the unallocated leftover
+    units go one-by-one to the largest fractional remainders — the
+    classic exact-integer allocation (Hamilton apportionment / financial
+    allocation) whose defining invariant is Σ(allocation) == budget
+    EXACTLY, which naive per-row rounding violates.  Pure integer
+    arithmetic throughout (floor-div + mod against the exact cent total);
+    the remainder rank runs over |segments| rows (a constant), so the
+    global window is a five-row sort.  The oracle replays the same
+    integer protocol — any engine allocates identically."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "rev_cents",
+        F.expr(f"({_ALLOC_BUDGET} * rev_cents) DIV total").alias("base"),
+        F.expr(f"({_ALLOC_BUDGET} * rev_cents) % total").alias("rem"),
+    )
+    wall = W.orderBy(F.desc("rem"), "segment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = quota.select(
+        "segment",
+        "rev_cents",
+        "base",
+        F.row_number().over(W.orderBy(F.desc("rem"), "segment")).alias("rr"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return (
+        ranked.select(
+            "segment",
+            "rev_cents",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocation"),
+        )
+        .orderBy("segment")
+    )

@@ -98,6 +98,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per calendar day (~2.4k forever) — same class as
     # q_rolling_median; the daily aggregate upstream already distributed
     "q_ts_pattern_match",
+    # one row per market segment (5 forever): the remainder rank is a
+    # five-row sort by design
+    "q_budget_allocation",
 }
 
 
