@@ -1020,3 +1020,47 @@ def test_ledger_screen_stream_matches_batch(spark, stream_dir, tmp_path):
     assert shadow == exact
     assert got >= exact  # stream adds sentinel rows only
     assert {e for e in got if e in {r["event_id"] for r in ledger.collect()}} == set()
+
+
+def test_time_weighted_totals_stream_matches_batch(spark, stream_dir, tmp_path):
+    from flink_estimator_spark.streaming.twa import time_weighted_totals
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark, time_weighted_totals(ev), "twa_out", tmp_path, mode="update"
+    )
+    # memory sink in update mode appends every emission; keep the LAST per
+    # user (largest n_segments == the prefix over all batches)
+    latest = {}
+    for r in out.collect():
+        if r["user_id"] == SENTINEL_USER:
+            continue
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_segments"] >= prev[0]:
+            latest[r["user_id"]] = (r["n_segments"], r["span_us"], r["num_cents_us"])
+
+    # batch shadow: recompute the exact integer (n, span, numerator)
+    # triple the batch query derives its double from
+    from flink_estimator_spark.sources.tables import read_table
+    import os as _os
+    e = read_table(spark, _os.path.join(SF_SMALL, "events.parquet"))
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    agg = s.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("nxt_us") - F.col("t_us")).alias("span"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * (F.col("nxt_us") - F.col("t_us")).cast("decimal(38,0)")
+        ).cast("bigint").alias("num"),
+    )
+    exp = {
+        r["user_id"]: (r["n"], r["span"], r["num"]) for r in agg.collect()
+    }
+    assert latest == exp
