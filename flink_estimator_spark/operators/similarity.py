@@ -1136,3 +1136,91 @@ def q_emb_quantized_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "dist_sq", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial: cell-bucketed planar radius join
+# ---------------------------------------------------------------------------
+
+# synthetic coordinates in integer MICRO-UNITS on a [0, 1e6)^2 plane,
+# derived deterministically from the key (the fixture has no geo columns;
+# the OPERATOR — grid bucketing + neighbor-cell candidate join + exact
+# distance verify — is the real spatial-join shape, cf. geohash/S2/H3)
+_GEO_SCALE = 1_000_000
+_GEO_RADIUS = 20_000  # query radius in micro-units
+_GEO_CELL = _GEO_RADIUS  # cell == radius -> 3x3 neighborhood is complete
+
+
+@query(
+    "q_geo_radius_join",
+    oracle=f"""
+        WITH coords AS (
+            -- coordinates from an integer LCG both engines compute
+            -- identically (xxhash64 would not be SQL-portable)
+            SELECT c_custkey AS pid,
+                   (c_custkey * 48271) % {_GEO_SCALE} AS x,
+                   (c_custkey * 16807) % {_GEO_SCALE} AS y
+            FROM customer),
+        q AS (SELECT * FROM coords WHERE pid % 25 = 0),
+        pairs AS (
+            SELECT q.pid AS qid, c.pid AS pid,
+                   (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
+            FROM q JOIN coords c ON q.pid <> c.pid)
+        SELECT qid, pid, CAST(d2 AS BIGINT) AS d2
+        FROM pairs
+        WHERE d2 <= {_GEO_RADIUS} * {_GEO_RADIUS}
+        ORDER BY qid, pid
+    """,
+    tags=("complex", "spatial", "radius-join"),
+)
+def q_geo_radius_join(spark, sf_dir):
+    """Spatial radius join on a grid index: every query point (1-in-25
+    customers) paired with all points within radius r, via CELL BUCKETING —
+    points land in r-sized grid cells, a query probes only its 3x3 cell
+    neighborhood (complete by construction: any point within r of q lies in
+    an adjacent cell), and the exact integer distance-squared test removes
+    the corner false positives.  This is the geohash/S2/H3 join shape: the
+    candidate shuffle is keyed on (cell), cost Σ(cell population x probe
+    density), never |points|².  All arithmetic is exact BIGINT — the
+    coordinates themselves come from an integer LCG both engines compute
+    identically (the fixture has no geo columns), and distances never
+    touch a float."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    coords = c.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") * 48271 % _GEO_SCALE).alias("x"),
+        (F.col("c_custkey") * 16807 % _GEO_SCALE).alias("y"),
+    )
+    q = coords.filter(F.col("pid") % 25 == 0)
+
+    cell = lambda col: F.floor(F.col(col) / _GEO_CELL)  # noqa: E731
+    # each query point probes its 9 neighbor cells; points register once
+    pts = coords.select(
+        "pid", "x", "y", cell("x").alias("cx"), cell("y").alias("cy")
+    )
+    probes = q.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell("x") + dx).alias("cx"), (cell("y") + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("nb"),
+    ).select("qid", "qx", "qy", "nb.cx", "nb.cy")
+    d2 = (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x")) + (
+        F.col("qy") - F.col("y")
+    ) * (F.col("qy") - F.col("y"))
+    return (
+        probes.join(pts, ["cx", "cy"])
+        .filter(F.col("qid") != F.col("pid"))
+        .select("qid", "pid", d2.cast("bigint").alias("d2"))
+        .filter(F.col("d2") <= _GEO_RADIUS * _GEO_RADIUS)
+        .orderBy("qid", "pid")
+    )
