@@ -158,12 +158,13 @@ def q_pagerank_parts(spark, sf_dir):
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     # the edge build is referenced by every iteration but deliberately NOT
-    # cached: the repeats resolve through ReusedExchange (one physical
-    # build serves all three iterations — measured 3.7 s warm at sf0.1),
-    # while columnar cache materialization of the 2M-row relation costs
-    # MORE than the reuse saves (measured 5.9 s).  On a convergence-
-    # unbounded PageRank the balance flips and a localCheckpoint every few
-    # hops would cut the growing lineage instead.
+    # materialized: the repeats resolve through ReusedExchange (one
+    # physical build serves all three iterations — measured 3.9 s warm at
+    # sf0.1), while BOTH materialization strategies cost more than the
+    # reuse saves (columnar cache 5.9 s; localCheckpoint(eager) 5.0 s) —
+    # the iteration shuffles dominate, not the edge rebuild.  On a
+    # convergence-unbounded PageRank the balance flips and a periodic
+    # localCheckpoint would cut the growing lineage instead.
     pr = deg.select("node", F.lit(_PR_ONE).cast("bigint").alias("pr"))
     for _ in range(_PR_ITERS):
         contrib = (
