@@ -1,0 +1,154 @@
+"""Distributed BPE tokenizer training — the merge-learning loop behind
+GPT/Llama-family tokenizers, expressed Spark-first.
+
+The scale decomposition that makes BPE distributable: the corpus reduces
+ONCE to a (word, freq) vocabulary table (orders of magnitude smaller than
+the token stream — this is the only pass over raw text), and every
+learning iteration is then
+
+  1. a relational weighted bigram count over the symbolized vocabulary
+     (explode adjacent symbol pairs x word freq; partial-combined
+     aggregate, so only (pair, count) partials shuffle),
+  2. a driver-side argmax of ONE row (the best pair — scalar, like the
+     convergence counts in connected components / k-means), and
+  3. a vocabulary-local merge of that pair (Arrow-batched pandas UDF over
+     the vocab table — per-word, no shuffle, and bounded by |vocab| not
+     corpus size; this is the step real trainers also do in-memory).
+
+Ties break (count desc, pair lexicographic) so the learned merge list is
+deterministic in any engine/partitioning.  The differential oracle is a
+pure-Python reference trainer over the same vocabulary
+(tests/test_bpe.py) — the merge table must match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+
+_WORD_RE = r"\s+"
+
+SYMS_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType(), False),
+        T.StructField("freq", T.LongType(), False),
+        T.StructField("syms", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary with end-of-word marker, symbolized to
+    characters — the one pass over raw text."""
+    words = (
+        spread(df, "doc_id")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # symbolize: characters + </w> end marker (the classic BPE alphabet)
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+
+
+def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Vocabulary-local merge of (a, b) -> ab: left-to-right, standard BPE
+    greedy semantics, per word in an Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            merged = []
+            for syms in pdf["syms"]:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                merged.append(out)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": merged}
+            )
+
+    return vocab.mapInPandas(run, SYMS_SCHEMA)
+
+
+def bpe_train(df: DataFrame, iters: int = 8, text_col: str = "text"):
+    """Learn `iters` BPE merges; returns (merge list, final vocab DF).
+
+    Each iteration moves one (pair, count) argmax row to the driver —
+    scalar control data, the same discipline as the iterative-algorithm
+    family (connected components, k-means, PageRank)."""
+    vocab = build_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(iters):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        # checkpoint each round: the merge is cheap but lineage would
+        # otherwise grow one mapInPandas stage per iteration
+        vocab = _merge_pair(vocab, a, b).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+@query(
+    "q_bpe_merges",
+    oracle=None,  # driver-loop argmax + Arrow merges -> rows-only check;
+    # the hard differential is tests/test_bpe.py vs a pure-Python trainer
+    tags=("llm", "tokenizer", "bpe", "iterative"),
+)
+def q_bpe_merges(spark, sf_dir):
+    """First 6 learned BPE merges over the documents corpus (rank, pair,
+    weighted count) — the tokenizer-training artifact itself."""
+    merges, _ = bpe_train(t(spark, sf_dir, "documents"), iters=6)
+    rows = [
+        (i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, sym_a string, sym_b string, weighted_count bigint"
+    ).orderBy("rank")
