@@ -929,3 +929,53 @@ def q_budget_allocation(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q_null_ordering",
+    oracle="""
+        WITH v AS (
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN NULL
+                        ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   END AS cents
+            FROM customer WHERE c_nationkey = 3)
+        SELECT c_custkey, cents,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY cents DESC NULLS LAST, c_custkey)
+                    AS BIGINT) AS rank_desc_nulls_last,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY cents ASC NULLS FIRST, c_custkey)
+                    AS BIGINT) AS rank_asc_nulls_first
+        FROM v
+        ORDER BY c_custkey
+    """,
+    tags=("medium", "null-semantics", "ordering"),
+)
+def q_null_ordering(spark, sf_dir):
+    """NULL-ordering contract, pinned explicitly: the engines DISAGREE by
+    default (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST), so any
+    rank over a nullable key silently diverges across engines unless the
+    ordering is spelled out.  Both ranks here carry explicit NULLS
+    FIRST/LAST and a unique tie-break — the form every production query
+    over nullable keys should use, and the reason this repo's determinism
+    rules demand a stable ORDER BY (registry docstring).  Ranks are
+    partitioned by segment so the sort parallelizes (plan-audit rule)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    cents = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        (dec("c_acctbal") * 100).cast("bigint")
+    )
+    v = c.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+    wseg = W.partitionBy("c_mktsegment")
+    return v.select(
+        "c_custkey",
+        "cents",
+        F.rank()
+        .over(wseg.orderBy(F.col("cents").desc_nulls_last(), "c_custkey"))
+        .cast("bigint")
+        .alias("rank_desc_nulls_last"),
+        F.rank()
+        .over(wseg.orderBy(F.col("cents").asc_nulls_first(), "c_custkey"))
+        .cast("bigint")
+        .alias("rank_asc_nulls_first"),
+    ).orderBy("c_custkey")
