@@ -603,3 +603,83 @@ def q_ts_pattern_match(spark, sf_dir):
         .orderBy("dist2", "day_us")
         .limit(10)
     )
+
+
+@query(
+    "q_interval_union",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts)
+                   + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 600000
+                       AS e_us,
+                   event_id
+            FROM events),
+        w AS (
+            SELECT user_id, s_us, e_us,
+                   max(e_us) OVER (PARTITION BY user_id
+                                   ORDER BY s_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_max_e
+            FROM iv)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(CASE
+                        WHEN prev_max_e IS NULL THEN e_us - s_us
+                        WHEN prev_max_e >= e_us THEN 0
+                        WHEN prev_max_e > s_us THEN e_us - prev_max_e
+                        ELSE e_us - s_us END) AS BIGINT) AS covered_us
+        FROM w
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("llm", "timeseries", "interval-union"),
+)
+def q_interval_union(spark, sf_dir):
+    """Total covered time per user from OVERLAPPING activity intervals
+    (each event opens an interval of value-proportional length) — the
+    interval-union/coverage primitive behind SLA uptime, billing-hours,
+    and sensor-coverage queries, where naively summing durations
+    double-counts overlaps.  The sweep is one per-user sort window:
+    running max of all PRIOR interval ends, each interval contributing
+    only the span past that frontier.  Pure integer micros throughout.
+    One window + one aggregate, both on the user partitioning, so the
+    second shuffle collapses; no self-join (the O(n²) overlap-pairs
+    formulation this replaces)."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (dec("value") * 100).cast("bigint") * 600000
+        ).alias("e_us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("s_us", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    swept = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.max("e_us").over(w).alias("prev_max_e"),
+    )
+    contrib = (
+        F.when(F.col("prev_max_e").isNull(), F.col("e_us") - F.col("s_us"))
+        .when(F.col("prev_max_e") >= F.col("e_us"), 0)
+        .when(
+            F.col("prev_max_e") > F.col("s_us"),
+            F.col("e_us") - F.col("prev_max_e"),
+        )
+        .otherwise(F.col("e_us") - F.col("s_us"))
+    )
+    return (
+        swept.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(contrib).cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
