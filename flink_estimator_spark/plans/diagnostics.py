@@ -979,3 +979,129 @@ def q_null_ordering(spark, sf_dir):
         .cast("bigint")
         .alias("rank_asc_nulls_first"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+        WITH j AS (
+            SELECT e.event_type, c.c_mktsegment AS segment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+        cell AS (
+            SELECT event_type, segment, CAST(count(*) AS BIGINT) AS nxy
+            FROM j GROUP BY 1, 2),
+        mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+               FROM cell GROUP BY 1),
+        my AS (SELECT segment, CAST(sum(nxy) AS BIGINT) AS ny
+               FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cell)
+        SELECT cell.event_type, cell.segment, nxy,
+               CAST(floor(
+                   (CAST(nxy AS DOUBLE) / n)
+                   * ln((CAST(nxy AS DOUBLE) * n)
+                        / (CAST(nx AS DOUBLE) * ny)) * 1000000000
+               ) AS BIGINT) AS mi_term_q9
+        FROM cell
+        JOIN mx USING (event_type)
+        JOIN my USING (segment)
+        CROSS JOIN tot
+        ORDER BY cell.event_type, cell.segment
+    """,
+    tags=("analytic", "information-theory", "feature-selection"),
+)
+def q_mutual_information(spark, sf_dir):
+    """Pointwise mutual-information terms of the (event_type x customer
+    segment) contingency table — the dependency screen feature selection
+    and drift detection run on categorical pairs (Σ terms = the MI; a
+    near-zero table means the event mix is segment-independent).  The
+    contingency cell counts and both marginals are exact integers from ONE
+    aggregate each; the p·ln(p·n/(px·py)) term is floor-quantized to 1e-9
+    (the q_doc_nll portability contract — order-independent, absorbs
+    last-ulp libm divergence).  Fan-out is |types|x|segments| cells — a
+    constant — and the raw join is broadcast on the dimension side."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cell = (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = cell.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = cell.groupBy("segment").agg(F.sum("nxy").alias("ny"))
+    tot = cell.agg(F.sum("nxy").alias("n"))
+    term = F.floor(
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+        * 1_000_000_000
+    ).cast("bigint")
+    return (
+        cell.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", "segment", "nxy", term.alias("mi_term_q9"))
+        .orderBy("event_type", "segment")
+    )
+
+
+_BENFORD_Q6 = [(1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)]  # floor(log10(1+1/d) * 1e6), precomputed so both
+# engines share the SAME integer literals (no runtime log10 divergence)
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                          * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS d
+            FROM orders WHERE o_totalprice > 0),
+        obs AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+        exp AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)) AS t(d, expected_q6))
+        SELECT CAST(exp.d AS BIGINT) AS d, coalesce(obs.n, 0) AS n,
+               tot.total, CAST(exp.expected_q6 AS BIGINT) AS expected_q6,
+               CAST(coalesce(obs.n, 0) * 1000000 // tot.total AS BIGINT)
+                   AS observed_q6
+        FROM exp LEFT JOIN obs USING (d) CROSS JOIN tot
+        ORDER BY exp.d
+    """,
+    tags=("analytic", "data-quality", "forensics"),
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the data-forensics
+    screen for fabricated or truncated numeric columns (natural
+    multi-magnitude amounts follow log10(1+1/d); uniform or spiked digits
+    flag synthetic data, as they do here on the fixture's uniform prices).
+    First digits come from the decimal STRING of exact cents — no
+    float log10 anywhere — and the expected shares are shared integer
+    literals precomputed at build time.  One map-side digit projection +
+    a 9-row aggregate."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        (dec("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp = o.sparkSession.createDataFrame(
+        _BENFORD_Q6, "d bigint, expected_q6 bigint"
+    )
+    return (
+        exp.join(obs, "d", "left")
+        .select("d", F.coalesce("n", F.lit(0)).alias("n"), "expected_q6")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            "total",
+            "expected_q6",
+            F.expr("n * 1000000 DIV total").alias("observed_q6"),
+        )
+        .orderBy("d")
+    )
