@@ -1160,3 +1160,78 @@ def q_variant_extract(spark, sf_dir):
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, event_id AS touch_id, event_type AS channel,
+                   epoch_us(ts) AS t_us
+            FROM events WHERE event_type IN ('view', 'click')),
+        conv AS (
+            SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_cents
+            FROM events WHERE event_type = 'purchase'),
+        credited AS (
+            SELECT conv.conv_id, conv.rev_cents, touches.channel,
+                   count(*) OVER (PARTITION BY conv.conv_id) AS n_touch
+            FROM conv JOIN touches
+              ON touches.user_id = conv.user_id
+             AND touches.t_us <= conv.c_us
+             AND touches.t_us > conv.c_us - 86400000000)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               CAST(sum((rev_cents * 1000000) // n_touch) AS BIGINT)
+                   AS credit_cents_q6
+        FROM credited
+        GROUP BY channel
+        ORDER BY channel
+    """,
+    tags=("analytic", "attribution", "marketing"),
+)
+def q_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution: each purchase's revenue splits
+    equally across every view/click touch in the preceding 24 h, credits
+    rolled up per channel — the marketing-analytics workload behind spend
+    allocation (single-touch last-click is the degenerate case; the as-of
+    join family covers it).  The touch-conversion pairing is a bounded
+    INTERVAL join on (user, 24 h window) — watermark-state shaped, never
+    all-history — and the per-conversion split uses integer micro-credits
+    ((rev * 1e6) DIV n_touch) so the totals are exact in any engine
+    (floating splits would drift on the re-sum).  The n_touch count is a
+    conversion-partitioned window on the joined relation, reusing the
+    join's own shuffle."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        us.alias("t_us"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        us.alias("c_us"),
+        (dec("value") * 100).cast("bigint").alias("rev_cents"),
+    )
+    credited = conv.join(
+        touches,
+        (touches.user_id == conv.user_id)
+        & (touches.t_us <= conv.c_us)
+        & (touches.t_us > conv.c_us - 86_400_000_000),
+    ).select("conv_id", "rev_cents", "channel")
+    n_touch = F.count("*").over(W.partitionBy("conv_id"))
+    return (
+        credited.withColumn("n_touch", n_touch)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum(F.expr("(rev_cents * 1000000) DIV n_touch"))
+            .cast("bigint")
+            .alias("credit_cents_q6"),
+        )
+        .orderBy("channel")
+    )

@@ -163,7 +163,8 @@ _SF001_SEC_PAIRS = [
     ("q_ts_pattern_match", 0.7), ("q_budget_allocation", 1.16),
     ("q_geo_radius_join", 0.99), ("q_bpe_merges", 4.0),
     ("q_null_ordering", 0.68), ("q_interval_union", 0.84),
-    ("q_mutual_information", 0.8), ("q_benford_audit", 0.7),
+    ("q_mutual_information", 1.25), ("q_benford_audit", 1.03),
+    ("q_attribution_linear", 0.9),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -195,6 +196,7 @@ _ADDED_LATE_R3 = frozenset({
     "q_abc_by_brand", "q_ts_pattern_match", "q_budget_allocation",
     "q_geo_radius_join", "q_bpe_merges", "q_null_ordering",
     "q_interval_union", "q_mutual_information", "q_benford_audit",
+    "q_attribution_linear",
 })
 
 
