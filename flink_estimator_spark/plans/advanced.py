@@ -881,3 +881,90 @@ def q_running_anomaly(spark, sf_dir):
         .select("user_id", "event_id", "ts_us", F.col("n").alias("n_prior"))
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                   CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+                   ts
+            FROM events WHERE event_type IN ('view', 'purchase')),
+        carried AS (
+            SELECT user_id, event_id, t_us, side,
+                   max(CASE WHEN side = 0 THEN t_us END) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prev_view_us,
+                   min(CASE WHEN side = 0 THEN t_us END) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_view_us
+            FROM ev)
+        SELECT user_id, event_id AS purchase_id, t_us AS purchase_us,
+               CASE
+                   WHEN prev_view_us IS NULL THEN next_view_us
+                   WHEN next_view_us IS NULL THEN prev_view_us
+                   WHEN t_us - prev_view_us <= next_view_us - t_us
+                       THEN prev_view_us
+                   ELSE next_view_us
+               END AS nearest_view_us
+        FROM carried
+        WHERE side = 1
+        ORDER BY user_id, purchase_us, purchase_id
+    """,
+    tags=("complex", "asof", "temporal"),
+)
+def q_asof_nearest(spark, sf_dir):
+    """NEAREST-mode as-of join, completing the trio (backward q_asof_join,
+    forward q_asof_forward): each purchase picks whichever view is closer
+    in time, ties to the earlier one — the mode sensor-fusion and
+    master-clock alignment workloads use.  Both candidate carries come
+    from TWO FRAMES OVER ONE SORT (unbounded-preceding max and
+    unbounded-following min on the same (user, ts) ordering), so the plan
+    still shuffles once; the nearest pick is a scan-local CASE.  A
+    two-sided join formulation would need two range joins and a
+    distinct."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+    back = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    view_us = F.when(F.col("side") == 0, F.col("t_us"))
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "side",
+        F.max(view_us).over(back).alias("prev_view_us"),
+        F.min(view_us).over(fwd).alias("next_view_us"),
+    )
+    nearest = (
+        F.when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(
+            F.col("t_us") - F.col("prev_view_us")
+            <= F.col("next_view_us") - F.col("t_us"),
+            F.col("prev_view_us"),
+        )
+        .otherwise(F.col("next_view_us"))
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("t_us").alias("purchase_us"),
+            nearest.alias("nearest_view_us"),
+        )
+        .orderBy("user_id", "purchase_us", "purchase_id")
+    )

@@ -1105,3 +1105,196 @@ def q_benford_audit(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+@query(
+    "q_survival_steps",
+    oracle="""
+        WITH starts AS (
+            SELECT user_id, min(ts) AS start_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        ends AS (
+            SELECT e.user_id, min(e.ts) AS end_ts
+            FROM events e JOIN starts s ON e.user_id = s.user_id
+            WHERE e.event_type = 'error' AND e.ts >= s.start_ts
+            GROUP BY e.user_id),
+        horizon AS (SELECT max(ts) AS h FROM events),
+        subj AS (
+            SELECT s.user_id,
+                   CASE WHEN e.user_id IS NULL
+                        THEN date_diff('day', s.start_ts, horizon.h)
+                        ELSE date_diff('day', s.start_ts, e.end_ts) END AS dur_d,
+                   CASE WHEN e.user_id IS NULL THEN 0 ELSE 1 END AS observed
+            FROM starts s LEFT JOIN ends e ON s.user_id = e.user_id
+            CROSS JOIN horizon),
+        day_counts AS (
+            SELECT dur_d, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(observed) AS BIGINT) AS n_events
+            FROM subj GROUP BY dur_d),
+        at_risk AS (
+            SELECT dur_d, n_events,
+                   sum(n_total) OVER (ORDER BY dur_d DESC) AS n_risk
+            FROM day_counts),
+        steps AS (
+            SELECT dur_d, n_events, n_risk,
+                   CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                              * 1000000000) AS BIGINT) AS log_term_q9
+            FROM at_risk WHERE n_events > 0 AND n_events < n_risk)
+        SELECT dur_d,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               n_events,
+               CAST(sum(log_term_q9) OVER (ORDER BY dur_d) AS BIGINT)
+                   AS log_survival_q9
+        FROM steps
+        ORDER BY dur_d
+    """,
+    tags=("analytic", "survival", "kaplan-meier"),
+)
+def q_survival_steps(spark, sf_dir):
+    """Kaplan-Meier survival steps for signup -> first-error durations
+    (users with no error right-censored at the data horizon).  Per event
+    day: the at-risk count (subjects whose duration reaches that day,
+    censored included — derived from a duration-frequency table by a
+    descending cumulative sum, not a per-subject scan) and the cumulative
+    log survival Σ ln(1 − d_i/n_i), each step floor-quantized to 1e-9
+    BEFORE the sum so the curve is engine-exact (the product form would
+    accumulate float drift).  Both windows run over DAY-cardinality rows —
+    bounded by the study calendar, not the subject count."""
+    ev = t(spark, sf_dir, "events")
+    starts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+    )
+    ends = (
+        ev.filter(F.col("event_type") == "error")
+        .join(starts, "user_id")
+        .filter(F.col("ts") >= F.col("start_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("end_ts"))
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    subj = (
+        starts.join(ends, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("end_ts").isNull(),
+                F.datediff(F.col("h"), F.col("start_ts")),
+            )
+            .otherwise(F.datediff(F.col("end_ts"), F.col("start_ts")))
+            .cast("bigint")
+            .alias("dur_d"),
+            F.when(F.col("end_ts").isNull(), 0).otherwise(1).alias("observed"),
+        )
+    )
+    day_counts = subj.groupBy("dur_d").agg(
+        F.count("*").alias("n_total"), F.sum("observed").alias("n_events")
+    )
+    at_risk = day_counts.select(
+        "dur_d",
+        "n_events",
+        F.sum("n_total").over(W.orderBy(F.desc("dur_d"))).alias("n_risk"),
+    )
+    steps = at_risk.filter(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk"))
+    ).select(
+        "dur_d",
+        "n_events",
+        "n_risk",
+        F.floor(
+            F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk"))
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("log_term_q9"),
+    )
+    return (
+        steps.select(
+            "dur_d",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            "n_events",
+            F.sum("log_term_q9")
+            .over(W.orderBy("dur_d"))
+            .cast("bigint")
+            .alias("log_survival_q9"),
+        )
+        .orderBy("dur_d")
+    )
+
+
+@query(
+    "q_ab_test_lift",
+    oracle="""
+        WITH conv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        groups AS (
+            SELECT c.c_mktsegment AS grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS conv_n
+            FROM customer c LEFT JOIN conv ON conv.user_id = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY 1),
+        wide AS (
+            SELECT
+                max(CASE WHEN grp = 'BUILDING' THEN n END) AS n_a,
+                max(CASE WHEN grp = 'BUILDING' THEN conv_n END) AS c_a,
+                max(CASE WHEN grp = 'MACHINERY' THEN n END) AS n_b,
+                max(CASE WHEN grp = 'MACHINERY' THEN conv_n END) AS c_b
+            FROM groups)
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(floor(
+                   (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                   * 1000000) AS BIGINT) AS z_q6
+        FROM wide
+    """,
+    tags=("analytic", "ab-test", "statistics"),
+)
+def q_ab_test_lift(spark, sf_dir):
+    """Two-proportion z-test between customer segments (conversion = any
+    purchase event) — the experimentation-analytics primitive behind every
+    A/B dashboard.  Counts are exact integers from one aggregate; the
+    pooled-variance z statistic is a FIXED sequence of IEEE
+    correctly-rounded ops on those exact inputs, floor-quantized to 1e-6
+    at the end (belt and braces for the engines' printf/last-ulp
+    differences).  A significance decision is then a literal comparison
+    downstream (|z| > 1.96)."""
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    groups = (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(conv, c.c_custkey == conv.user_id, "left")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("user_id").isNull(), 0).otherwise(1)).alias(
+                "conv_n"
+            ),
+        )
+    )
+    wide = groups.agg(
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("conv_n"))).alias("c_a"),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("conv_n"))).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.floor(z * 1_000_000).cast("bigint").alias("z_q6"),
+    )

@@ -164,7 +164,8 @@ _SF001_SEC_PAIRS = [
     ("q_geo_radius_join", 0.99), ("q_bpe_merges", 4.0),
     ("q_null_ordering", 0.68), ("q_interval_union", 0.84),
     ("q_mutual_information", 1.25), ("q_benford_audit", 1.03),
-    ("q_attribution_linear", 0.9),
+    ("q_attribution_linear", 1.07), ("q_asof_nearest", 0.82),
+    ("q_survival_steps", 1.13), ("q_ab_test_lift", 0.68),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -196,7 +197,8 @@ _ADDED_LATE_R3 = frozenset({
     "q_abc_by_brand", "q_ts_pattern_match", "q_budget_allocation",
     "q_geo_radius_join", "q_bpe_merges", "q_null_ordering",
     "q_interval_union", "q_mutual_information", "q_benford_audit",
-    "q_attribution_linear",
+    "q_attribution_linear", "q_asof_nearest", "q_survival_steps",
+    "q_ab_test_lift",
 })
 
 
