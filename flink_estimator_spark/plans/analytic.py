@@ -1235,3 +1235,225 @@ def q_attribution_linear(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM m)
+        SELECT mo, rev_cents,
+               CAST((rev_cents * 12 * 1000000) // tot.total AS BIGINT)
+                   AS seasonal_index_q6
+        FROM m CROSS JOIN tot
+        ORDER BY mo
+    """,
+    tags=("analytic", "calendar", "seasonality"),
+)
+def q_seasonal_index(spark, sf_dir):
+    """Monthly seasonal indices: each calendar month's revenue relative to
+    a uniform month (1e6 = exactly average, the classic seasonality
+    normalization demand planning applies before trend fitting).  Exact to
+    the last unit: cents are DECIMAL-summed and the index is one integer
+    expression ((rev x 12 x 1e6) DIV total) — no ratio-of-doubles.  One
+    partial-combined aggregate to 12 rows plus a broadcast scalar."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("bigint").alias("mo")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents")
+    )
+    tot = m.agg(F.sum("rev_cents").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "mo",
+            "rev_cents",
+            F.expr("(rev_cents * 12 * 1000000) DIV total").alias(
+                "seasonal_index_q6"
+            ),
+        )
+        .orderBy("mo")
+    )
+
+
+@query(
+    "q_rfm_by_nation",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_custkey, c.c_nationkey,
+                   CAST(date_diff('day', max(o.o_orderdate),
+                                  TIMESTAMP '1998-12-31 00:00:00') AS BIGINT)
+                       AS recency_d,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS monetary_cents
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_nationkey),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY recency_d, c_custkey) AS rr,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY frequency DESC, c_custkey) AS rf,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY monetary_cents DESC, c_custkey) AS rm,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n
+            FROM base)
+        SELECT c_custkey,
+               CAST(1 + (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+               CAST(1 + (5 * (rf - 1)) // n AS BIGINT) AS f_score,
+               CAST(1 + (5 * (rm - 1)) // n AS BIGINT) AS m_score,
+               recency_d, frequency, monetary_cents
+        FROM ranked
+        ORDER BY c_custkey
+    """,
+    tags=("analytic", "rfm", "segmentation"),
+)
+def q_rfm_by_nation(spark, sf_dir):
+    """RFM customer segmentation: quintile scores for Recency (days since
+    last order, fresher is better), Frequency, and Monetary value — the
+    standard CRM scoring.  Quintiles come from an integer rank protocol
+    (1 + 5(rank−1) DIV n) rather than NTILE so the cut points are
+    engine-identical on ties, and every rank is PARTITIONED BY NATION —
+    the scoring parallelizes across nations at any customer count, the
+    plan-audit-compliant form of per-population ranking.  One join +
+    aggregate + three windows on one partitioning."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.datediff(
+                F.lit("1998-12-31").cast("timestamp"), F.max("o_orderdate")
+            )
+            .cast("bigint")
+            .alias("recency_d"),
+            F.count("*").alias("frequency"),
+            (F.sum(dec("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    wn = W.partitionBy("c_nationkey")
+    ranked = base.select(
+        "c_custkey",
+        "recency_d",
+        "frequency",
+        "monetary_cents",
+        F.row_number().over(wn.orderBy("recency_d", "c_custkey")).alias("rr"),
+        F.row_number()
+        .over(wn.orderBy(F.desc("frequency"), "c_custkey"))
+        .alias("rf"),
+        F.row_number()
+        .over(wn.orderBy(F.desc("monetary_cents"), "c_custkey"))
+        .alias("rm"),
+        F.count("*").over(wn).alias("n"),
+    )
+    score = lambda r: F.expr(f"1 + (5 * ({r} - 1)) DIV n")  # noqa: E731
+    return (
+        ranked.select(
+            "c_custkey",
+            score("rr").alias("r_score"),
+            score("rf").alias("f_score"),
+            score("rm").alias("m_score"),
+            "recency_d",
+            "frequency",
+            "monetary_cents",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                     FROM li),
+        item AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+            FROM li GROUP BY 1),
+        pair AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST((n_pair * 1000000) // ia.n_item AS BIGINT)
+                   AS confidence_a_to_b_q6,
+               CAST((n_pair * n_orders.n * 1000000)
+                    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_q6
+        FROM pair
+        JOIN item ia ON ia.l_partkey = pa
+        JOIN item ib ON ib.l_partkey = pb
+        CROSS JOIN n_orders
+        ORDER BY lift_q6 DESC, pa, pb
+        LIMIT 50
+    """,
+    tags=("complex", "market-basket", "association-rules"),
+)
+def q_basket_rules(spark, sf_dir):
+    """Association rules over the co-purchase graph: confidence(a→b) and
+    lift for every part pair with support ≥ 3, top-50 by lift — the rule-
+    scoring step that turns q_copurchase_pairs' support counts into
+    actionable "customers who bought A buy B k× more than chance".  Both
+    metrics are integer expressions over exact counts ((n_ab·N·1e6) DIV
+    (n_a·n_b)) — no probability doubles — so rule rankings value-gate in
+    any engine.  Basket-array pair generation (single shuffle) + two
+    broadcast item-count joins + a scalar order count."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    return (
+        pair.join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+            ),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("(n_pair * 1000000) DIV n_a").alias("confidence_a_to_b_q6"),
+            F.expr("(n_pair * n * 1000000) DIV (n_a * n_b)").alias("lift_q6"),
+        )
+        .orderBy(F.desc("lift_q6"), "pa", "pb")
+        .limit(50)
+    )
