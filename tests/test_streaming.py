@@ -1064,3 +1064,57 @@ def test_time_weighted_totals_stream_matches_batch(spark, stream_dir, tmp_path):
         r["user_id"]: (r["n"], r["span"], r["num"]) for r in agg.collect()
     }
     assert latest == exp
+
+
+def test_watermark_drops_late_rows_with_metrics(spark, tmp_path):
+    """Late-data contract: rows arriving after the watermark has passed
+    their window are DROPPED by a streaming aggregate (append mode), and
+    the engine accounts for them in numRowsDroppedByWatermark — the
+    operational signal a production pipeline alarms on."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import time as _time
+
+    src_tbl = _pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    pdf = src_tbl.to_pandas().sort_values("ts").reset_index(drop=True)
+    early = pdf.iloc[: len(pdf) // 2]
+    late = early.iloc[:50].copy()  # replay of already-closed windows
+    late["event_id"] = late["event_id"] + 10**10
+    sentinel = pdf.iloc[[-1]].copy()
+    sentinel["ts"] = (sentinel["ts"] + pd.Timedelta(days=10)).astype(pdf["ts"].dtype)
+    sentinel["event_id"] = 2 * 10**12
+    sentinel["user_id"] = SENTINEL_USER
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    for i, part in enumerate((early, sentinel, late)):
+        p = str(d / f"part-{i:03d}.parquet")
+        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(str(d)))):
+        os.utime(str(d / f), (now + i, now + i))
+
+    from flink_estimator_spark.streaming import tumble_agg
+
+    ev = events_stream(spark, str(d))
+    q = (
+        tumble_agg(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for prog in q.recentProgress
+            for op in prog.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    assert dropped >= len(late), (
+        f"late replay rows must be dropped by the watermark (got {dropped})"
+    )
