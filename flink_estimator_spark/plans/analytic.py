@@ -1457,3 +1457,132 @@ def q_basket_rules(spark, sf_dir):
         .orderBy(F.desc("lift_q6"), "pa", "pb")
         .limit(50)
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+            FROM events GROUP BY user_id),
+        daily AS (
+            SELECT CAST(e.ts AS DATE) AS d, e.user_id,
+                   CASE WHEN CAST(e.ts AS DATE) = f.first_d THEN 1 ELSE 0 END
+                       AS is_new
+            FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        SELECT CAST(strftime(d, '%Y-%m-%d') AS VARCHAR) AS day,
+               CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)
+                    AS BIGINT) AS new_users,
+               CAST(count(DISTINCT CASE WHEN is_new = 0 THEN user_id END)
+                    AS BIGINT) AS returning_users
+        FROM daily
+        GROUP BY d
+        ORDER BY day
+    """,
+    tags=("analytic", "growth", "cohort"),
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split — the growth-accounting topline
+    (every DAU chart decomposes this way).  A user's first-ever active day
+    comes from one per-user aggregate; each (day, user) then classifies by
+    comparing against it, and the daily distinct counts partial-combine.
+    Day keys emit as strings (no raw dates cross the gate).  Two keyed
+    aggregates + one broadcast-back join; at 100 TB the firsts relation is
+    the user-dimension incremental table a production pipeline maintains
+    instead of rescanning history."""
+    e = t(spark, sf_dir, "events")
+    firsts = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"))
+    )
+    daily = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).join(firsts, "user_id")
+    is_new = F.col("d") == F.col("first_d")
+    return (
+        daily.groupBy("d")
+        .agg(
+            F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
+            F.countDistinct(F.when(~is_new, F.col("user_id"))).alias(
+                "returning_users"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_gini_by_nation",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_nationkey, c.c_custkey,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT c_nationkey, cents,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY cents, c_custkey) AS i,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n
+            FROM rev)
+        SELECT c_nationkey,
+               CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(floor(
+                   (2.0 * CAST(sum(CAST(i AS DECIMAL(38,0))
+                                   * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                    / (max(n) * CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                                     AS DOUBLE))
+                    - (max(n) + 1.0) / max(n)) * 1000000
+               ) AS BIGINT) AS gini_q6
+        FROM ranked
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    tags=("analytic", "inequality", "gini"),
+)
+def q_gini_by_nation(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration per nation — the
+    inequality metric behind whale-risk and marketplace-health dashboards
+    (G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted spend).  The
+    rank-weighted sum accumulates in DECIMAL(38,0) (exact,
+    order-independent), the final expression is a fixed IEEE sequence on
+    those exact values, floor-quantized to 1e-6.  Ranks are PARTITIONED BY
+    NATION — per-partition sort input is customers-per-nation, so the
+    computation parallelizes across nations; ties on cents break on the
+    unique customer key identically in both engines."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    wn = W.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wn.orderBy("cents", "c_custkey")).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    sum_ix = F.sum(F.col("i").cast(d38) * F.col("cents").cast(d38)).cast("double")
+    sum_x = F.sum(F.col("cents").cast(d38)).cast("double")
+    n = F.max("n")
+    gini = (2.0 * sum_ix / (n * sum_x) - (n + 1.0) / n) * 1_000_000
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.floor(gini).cast("bigint").alias("gini_q6"),
+        )
+        .orderBy("c_nationkey")
+    )
