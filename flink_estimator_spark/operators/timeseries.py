@@ -683,3 +683,148 @@ def q_interval_union(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_change_point",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(o_orderdate) AS day_us,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s
+            FROM daily),
+        cusum AS (
+            SELECT day_us,
+                   sum(CAST(n AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))
+                       - CAST(s AS DECIMAL(38,0)))
+                       OVER (ORDER BY day_us) AS c_scaled
+            FROM daily CROSS JOIN tot),
+        scored AS (
+            SELECT day_us, c_scaled, abs(c_scaled) AS a
+            FROM cusum)
+        SELECT day_us,
+               CAST(c_scaled AS DECIMAL(38,0)) AS cusum_scaled
+        FROM scored
+        ORDER BY a DESC, day_us
+        LIMIT 5
+    """,
+    tags=("llm", "timeseries", "change-point"),
+)
+def q_change_point(spark, sf_dir):
+    """CUSUM change-point detection on daily revenue: the five days where
+    the cumulative deviation from the global mean peaks — the classic
+    level-shift locator (monitoring, drift detection).  Exactness trick:
+    the textbook Σ(xᵢ − μ) is float-poisoned by μ; multiplying through by
+    n gives Σ(n·xᵢ − S) — the SAME argmax in pure integer arithmetic
+    (DECIMAL(38,0): n·cents ~1e15/day, summed over ~2.4k days).  The
+    cumulative window runs over one row per calendar day (SF-invariant,
+    q_rolling_median's exemption class)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    d38 = "decimal(38,0)"
+    dev = F.col("n").cast(d38) * F.col("cents").cast(d38) - F.col("s").cast(d38)
+    with_day = daily.crossJoin(F.broadcast(tot)).select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("day_us"),
+        dev.alias("dev"),
+    )
+    cusum = with_day.select(
+        "day_us", F.sum("dev").over(W.orderBy("day_us")).alias("c_scaled")
+    )
+    return (
+        cusum.select(
+            "day_us", F.col("c_scaled").cast(d38).alias("cusum_scaled")
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day_us")
+        .limit(5)
+    )
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(o_orderdate) AS day_us,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate),
+        lagged AS (
+            SELECT day_us, cents,
+                   lag(cents, 7) OVER (ORDER BY day_us) AS prev7
+            FROM daily),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(prev7 AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(prev7 AS DECIMAL(38,0))
+                       * CAST(prev7 AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(cents AS DECIMAL(38,0))
+                       * CAST(prev7 AS DECIMAL(38,0))) AS sxy
+            FROM lagged WHERE prev7 IS NOT NULL)
+        SELECT n,
+               CAST(floor(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS acf7_q6
+        FROM m
+    """,
+    tags=("llm", "timeseries", "autocorrelation"),
+)
+def q_autocorrelation(spark, sf_dir):
+    """Lag-7 autocorrelation of daily revenue — the weekly-seasonality
+    diagnostic (ACF at the suspected period ~1 means a weekly cycle; ~0
+    means none, as the fixture's uniform orders produce).  All five
+    moments accumulate in DECIMAL(38,0) over exact cents (paired with
+    their lag-7 value from one day-ordered window), and the Pearson form
+    is a fixed IEEE sequence on those exact values, floor-quantized to
+    1e-6.  The lag window and the final single-row aggregate both run
+    over day-cardinality input."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    lagged = daily.select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("day_us"),
+        "cents",
+    ).select(
+        "cents", F.lag("cents", 7).over(W.orderBy("day_us")).alias("prev7")
+    ).filter(F.col("prev7").isNotNull())
+    d38 = "decimal(38,0)"
+    x = F.col("cents").cast(d38)
+    y = F.col("prev7").cast(d38)
+    m = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        "n", F.floor(num / den * 1_000_000).cast("bigint").alias("acf7_q6")
+    )

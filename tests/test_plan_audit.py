@@ -104,6 +104,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per duration DAY (bounded by the study calendar, not the
     # subject count): both cumulative windows run over the day table
     "q_survival_steps",
+    # one row per calendar day (~2.4k forever) — q_rolling_median's class
+    "q_change_point",
+    "q_autocorrelation",
 }
 
 
