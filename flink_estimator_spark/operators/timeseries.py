@@ -828,3 +828,150 @@ def q_autocorrelation(spark, sf_dir):
     return m.select(
         "n", F.floor(num / den * 1_000_000).cast("bigint").alias("acf7_q6")
     )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts)
+                   + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 600000
+                       AS e_us,
+                   event_id
+            FROM events),
+        pts AS (
+            SELECT user_id, s_us AS t_us, 1 AS delta, 0 AS kind, event_id
+            FROM iv
+            UNION ALL
+            SELECT user_id, e_us AS t_us, -1 AS delta, 1 AS kind, event_id
+            FROM iv),
+        run AS (
+            SELECT user_id,
+                   sum(delta) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, kind, event_id) AS depth
+            FROM pts)
+        SELECT user_id, CAST(max(depth) AS BIGINT) AS max_concurrent
+        FROM run
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("llm", "timeseries", "concurrency"),
+)
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrent activity per user: the sweep-line +1/−1 running sum
+    over interval starts and ends — the concurrency profile behind
+    connection-pool sizing, session overlap, and the estimator's own
+    parallel-consumer question.  End markers sort AFTER coincident starts
+    (kind tie-break), so back-to-back intervals count as overlapping at
+    the touch point — stated, and identical in both engines.  The dual of
+    q_interval_union (which measures covered TIME; this measures covered
+    DEPTH): same single per-user sort window, integer arithmetic only."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (dec("value") * 100).cast("bigint") * 600000
+        ).alias("e_us"),
+        "event_id",
+    )
+    pts = iv.select(
+        "user_id",
+        F.col("s_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("kind"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).alias("delta"),
+            F.lit(1).alias("kind"),
+            "event_id",
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "kind", "event_id")
+    run = pts.select("user_id", F.sum("delta").over(w).alias("depth"))
+    return (
+        run.groupBy("user_id")
+        .agg(F.max("depth").cast("bigint").alias("max_concurrent"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+        WITH v AS (
+            SELECT p.p_brand,
+                   CAST(floor(ln(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)) * 1000000000) AS BIGINT)
+                       AS x_q,
+                   CAST(floor(ln(CAST(l.l_quantity AS BIGINT)) * 1000000000)
+                        AS BIGINT) AS y_q
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+        m AS (
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x_q AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y_q AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x_q AS DECIMAL(38,0)) * CAST(x_q AS DECIMAL(38,0)))
+                       AS sxx,
+                   sum(CAST(x_q AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0)))
+                       AS sxy
+            FROM v GROUP BY p_brand)
+        SELECT p_brand, n,
+               CAST(floor(
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                   * 1000000) AS BIGINT) AS elasticity_q6
+        FROM m
+        ORDER BY p_brand
+    """,
+    tags=("analytic", "regression", "economics"),
+)
+def q_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(price) — the econometric workload pricing teams
+    run (slope ≈ %Δqty per %Δprice).  The log transform happens PER ROW
+    and is floor-quantized to 1e-9 BEFORE the moments, so the five sums
+    are exact integers (the q_doc_nll contract applied to regression
+    inputs); the slope then follows q_linreg_by_group's quantized
+    closed form.  One broadcast dimension join + one aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.floor(
+            F.log((dec("l_extendedprice") * 100).cast("bigint")) * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("x_q"),
+        F.floor(F.log(F.col("l_quantity").cast("bigint")) * 1_000_000_000)
+        .cast("bigint")
+        .alias("y_q"),
+    )
+    d38 = "decimal(38,0)"
+    x = F.col("x_q").cast(d38)
+    y = F.col("y_q").cast(d38)
+    m = v.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n38 = F.col("n").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "p_brand",
+        "n",
+        F.floor(num / den * 1_000_000).cast("bigint").alias("elasticity_q6"),
+    ).orderBy("p_brand")

@@ -169,7 +169,8 @@ _SF001_SEC_PAIRS = [
     ("q_seasonal_index", 0.86), ("q_rfm_by_nation", 0.99),
     ("q_basket_rules", 0.92), ("q_new_vs_returning", 1.11),
     ("q_gini_by_nation", 0.97), ("q_change_point", 0.95),
-    ("q_autocorrelation", 0.64),
+    ("q_autocorrelation", 0.64), ("q_max_concurrency", 0.88),
+    ("q_price_elasticity", 1.75),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -204,7 +205,8 @@ _ADDED_LATE_R3 = frozenset({
     "q_attribution_linear", "q_asof_nearest", "q_survival_steps",
     "q_ab_test_lift", "q_seasonal_index", "q_rfm_by_nation",
     "q_basket_rules", "q_new_vs_returning", "q_gini_by_nation",
-    "q_change_point", "q_autocorrelation",
+    "q_change_point", "q_autocorrelation", "q_max_concurrency",
+    "q_price_elasticity",
 })
 
 
