@@ -1298,3 +1298,67 @@ def q_ab_test_lift(spark, sf_dir):
         "c_b",
         F.floor(z * 1_000_000).cast("bigint").alias("z_q6"),
     )
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for tbl, col in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+        ("events", "event_type"),
+    ):
+        parts.append(f"""
+            SELECT '{tbl}.{col}' AS join_key,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_per_key,
+                   CAST((max(cnt) * count(*) * 1000000) // sum(cnt) AS BIGINT)
+                       AS skew_factor_q6
+            FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS cnt
+                  FROM {tbl} GROUP BY 1)""")
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY join_key"
+
+
+@query(
+    "q_skew_advisor",
+    oracle=_skew_oracle(),
+    tags=("scale", "profiling", "skew"),
+)
+def q_skew_advisor(spark, sf_dir):
+    """Join-key skew report: for every candidate join/aggregation key,
+    the hottest key's row count relative to a perfectly uniform key
+    (skew_factor = max·n_keys/n_rows; 1e6 = uniform) — the measurement
+    that DECIDES between a plain shuffle, AQE skew splitting, and explicit
+    salting (operators/skew.py), instead of guessing.  Under the fixture's
+    uniform generators every factor sits near 1×–3×; the event_type row
+    (5 keys) shows how low-cardinality keys read as skew-prone by
+    construction.  One partial-combined count per key column — the
+    per-key frequency tables never leave the executors; only the 5-row
+    summary returns."""
+    specs = [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+        ("events", "event_type"),
+    ]
+    out = None
+    for tbl, col in specs:
+        freq = (
+            t(spark, sf_dir, tbl)
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        row = freq.agg(
+            F.lit(f"{tbl}.{col}").alias("join_key"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_per_key"),
+            F.expr("(max(cnt) * count(*) * 1000000) DIV sum(cnt)").alias(
+                "skew_factor_q6"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
