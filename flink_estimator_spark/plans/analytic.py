@@ -1586,3 +1586,60 @@ def q_gini_by_nation(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_sla_attainment",
+    oracle="""
+        WITH lines AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o.o_orderdate) AS BIGINT) AS mo,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS lat_d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        SELECT yr, mo,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN lat_d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS within_30d,
+               CAST(sum(CASE WHEN lat_d <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS within_60d,
+               CAST(sum(CASE WHEN lat_d <= 30 THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS sla30_q6
+        FROM lines
+        GROUP BY yr, mo
+        ORDER BY yr, mo
+    """,
+    tags=("analytic", "sla", "operations"),
+)
+def q_sla_attainment(spark, sf_dir):
+    """Monthly shipping-SLA attainment: the share of line items shipped
+    within 30/60 days of their order, per order month — the operations
+    scorecard pattern (threshold counting over a lag distribution,
+    complementing q_conversion_latency's full histogram).  The fact join
+    runs on the natural order key (co-partitioned at scale via bucketing),
+    the latency classifies scan-side, and the per-month rollup
+    partial-combines; attainment is integer micro-share arithmetic —
+    exact, like every ratio in this inventory."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat_d"),
+    )
+    w30 = F.sum(F.when(F.col("lat_d") <= 30, 1).otherwise(0))
+    return (
+        lines.groupBy("yr", "mo")
+        .agg(
+            F.count("*").alias("n_lines"),
+            w30.cast("bigint").alias("within_30d"),
+            F.sum(F.when(F.col("lat_d") <= 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("within_60d"),
+            F.expr(
+                "sum(CASE WHEN lat_d <= 30 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*)"
+            ).alias("sla30_q6"),
+        )
+        .orderBy("yr", "mo")
+    )
