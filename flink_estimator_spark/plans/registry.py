@@ -171,7 +171,7 @@ _SF001_SEC_PAIRS = [
     ("q_gini_by_nation", 0.97), ("q_change_point", 0.95),
     ("q_autocorrelation", 0.64), ("q_max_concurrency", 0.88),
     ("q_price_elasticity", 1.75), ("q_skew_advisor", 1.29),
-    ("q_sla_attainment", 0.6),
+    ("q_sla_attainment", 1.05),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
