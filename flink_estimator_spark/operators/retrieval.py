@@ -175,3 +175,152 @@ def q_bm25_search(spark, sf_dir):
         .orderBy(F.desc("score_q"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    oracle=r"""
+        WITH grams AS (
+            SELECT doc_id, array_to_string(words[i:i+4], ' ') AS term
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents
+            ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM grams GROUP BY doc_id, term
+        ),
+        n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        idf AS (
+            SELECT term,
+                   CAST(floor(ln(CAST(n_docs.n AS DOUBLE) / count(*)) * 1000)
+                        AS BIGINT) AS idf_q3,
+                   count(*) AS df
+            FROM tf CROSS JOIN n_docs
+            GROUP BY term, n_docs.n
+        ),
+        w AS (
+            SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q3 AS wq
+            FROM tf JOIN idf USING (term)
+            CROSS JOIN n_docs
+            WHERE idf.df * 10 <= n_docs.n * 3
+        ),
+        norms AS (
+            SELECT doc_id,
+                   CAST(sum(CAST(wq AS DECIMAL(38,0))
+                            * CAST(wq AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS norm2
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CAST(a.wq AS DECIMAL(38,0))
+                            * CAST(b.wq AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(floor(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(na.norm2 AS DOUBLE))
+                             * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS cosine_q6
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+              >= 0.35
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "retrieval", "tfidf", "cosine"),
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse vector-space document similarity: TF-IDF weighted cosine over
+    the shared-term join — the classic IR pairing, and the text dual of
+    the dense embedding cosine family.  TERMS ARE 5-GRAM SHINGLES, not
+    words: the fixture's 31-word vocabulary makes word vectors dense and
+    the term join quadratic (measured: the word-term oracle at sf0.1
+    joins 3.9k-doc posting lists), while shingle document frequencies
+    stay low, which is exactly why production near-dup scoring shingles
+    first.  A max-df guard (df <= 0.3·n) drops boilerplate terms where a
+    search engine drops stopwords — bounding posting lists at ANY corpus
+    scale.  The join shape IS the inverted index: partial products meet
+    per term, Σ(posting²) cost.  Weights are integer (tf × idf quantized
+    1e-3), dot products accumulate in DECIMAL(38,0), only the final
+    normalize touches doubles (floor-quantized 1e-6)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.size(words) - F.lit(4)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 10 <= F.col("n") * 3)
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1000
+            )
+            .cast("bigint")
+            .alias("idf_q3"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_q3")).alias("wq")
+    )
+    d38 = "decimal(38,0)"
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq").cast(d38) * F.col("wq").cast(d38))
+        .cast(d38)
+        .alias("norm2")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa").cast(d38) * F.col("wb").cast(d38))
+            .cast(d38)
+            .alias("dot")
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("norm2_a").cast("double"))
+        * F.sqrt(F.col("norm2_b").cast("double"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("norm2_a")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("norm2_b")),
+            "id_b",
+        )
+        .filter(cos >= 0.35)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 1_000_000).cast("bigint").alias("cosine_q6"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1362,3 +1362,78 @@ def q_skew_advisor(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_key")
+
+
+@query(
+    "q_distribution_drift",
+    oracle="""
+        WITH bucketed AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) / 5000000) AS BIGINT) AS bucket
+            FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+        p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS np
+              FROM bucketed WHERE yr = 1998 GROUP BY 1),
+        q AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nq
+              FROM bucketed WHERE yr = 1997 GROUP BY 1),
+        tot AS (
+            SELECT (SELECT CAST(sum(np) AS BIGINT) FROM p) AS tp,
+                   (SELECT CAST(sum(nq) AS BIGINT) FROM q) AS tq)
+        SELECT p.bucket, np, nq,
+               CAST(floor(
+                   (CAST(np AS DOUBLE) / tot.tp)
+                   * ln((CAST(np AS DOUBLE) * tot.tq)
+                        / (CAST(nq AS DOUBLE) * tot.tp)) * 1000000000
+               ) AS BIGINT) AS kl_term_q9
+        FROM p JOIN q USING (bucket) CROSS JOIN tot
+        ORDER BY p.bucket
+    """,
+    tags=("analytic", "drift", "kl-divergence"),
+)
+def q_distribution_drift(spark, sf_dir):
+    """Distribution-drift terms: KL(P1998 ‖ P1997) per price bucket — the
+    monitoring primitive that alarms when this month's data stops looking
+    like last month's (feature drift, upstream schema rot, traffic-mix
+    shifts).  Bucket counts are exact integers; each p·ln(p/q) term is
+    floor-quantized to 1e-9 before any summation (Σ terms = the KL; the
+    per-bucket sign also localizes WHERE the mass moved).  Buckets come
+    from integer cent floor-division (no float binning); shared buckets
+    only — disappearing-mass buckets are a join-miss a production monitor
+    would surface separately.  Two partial-combined aggregates over one
+    scan + two broadcast scalars."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1997, 1998)
+    )
+    bucketed = o.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.floor((dec("o_totalprice") * 100).cast("bigint") / 5_000_000)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    p = (
+        bucketed.filter(F.col("yr") == 1998)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("np"))
+    )
+    q = (
+        bucketed.filter(F.col("yr") == 1997)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("nq"))
+    )
+    tp = p.agg(F.sum("np").alias("tp"))
+    tq = q.agg(F.sum("nq").alias("tq"))
+    term = F.floor(
+        (F.col("np").cast("double") / F.col("tp"))
+        * F.log(
+            (F.col("np").cast("double") * F.col("tq"))
+            / (F.col("nq").cast("double") * F.col("tp"))
+        )
+        * 1_000_000_000
+    ).cast("bigint")
+    return (
+        p.join(q, "bucket")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+        .select("bucket", "np", "nq", term.alias("kl_term_q9"))
+        .orderBy("bucket")
+    )

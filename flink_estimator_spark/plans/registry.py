@@ -171,7 +171,8 @@ _SF001_SEC_PAIRS = [
     ("q_gini_by_nation", 0.97), ("q_change_point", 0.95),
     ("q_autocorrelation", 0.64), ("q_max_concurrency", 0.88),
     ("q_price_elasticity", 1.75), ("q_skew_advisor", 1.29),
-    ("q_sla_attainment", 1.05),
+    ("q_sla_attainment", 1.05), ("q_tfidf_cosine_pairs", 2.02),
+    ("q_distribution_drift", 0.64),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
@@ -208,6 +209,7 @@ _ADDED_LATE_R3 = frozenset({
     "q_basket_rules", "q_new_vs_returning", "q_gini_by_nation",
     "q_change_point", "q_autocorrelation", "q_max_concurrency",
     "q_price_elasticity", "q_skew_advisor", "q_sla_attainment",
+    "q_tfidf_cosine_pairs", "q_distribution_drift",
 })
 
 
