@@ -22,9 +22,15 @@ from flink_estimator_spark.operators.dedup import (
     prefix_jaccard_pairs,
 )
 
+# derandomize: a fixed example sequence — run time is then reproducible
+# (a randomized seed once drove an unlucky shrink sequence past 25 minutes
+# late in a long suite JVM, where accumulated operator caches slow every
+# job); the fixed sequence still covers the adversarial shapes (empty,
+# duplicates, single keys) that matter
 _SETTINGS = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
@@ -35,6 +41,7 @@ _SETTINGS = settings(
 )
 @_SETTINGS
 def test_bloom_never_drops_a_member(spark, keys, probe):
+    spark.catalog.clearCache()  # shed operator caches from earlier tests
     kdf = spark.createDataFrame(
         [(k,) for k in keys] or [(None,)], "k long"
     ).filter(F.col("k").isNotNull())
@@ -56,6 +63,7 @@ _doc = st.lists(_words, min_size=5, max_size=14).map(" ".join)
 @given(docs=st.lists(_doc, min_size=2, max_size=8))
 @_SETTINGS
 def test_prefix_jaccard_equals_exhaustive(spark, docs):
+    spark.catalog.clearCache()  # prefix/jaccard cache per example otherwise
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
     )
