@@ -93,6 +93,29 @@ _GATED_PRIOR_ROUNDS = frozenset({
     "q_time_range_frame", "q_training_order", "q_udtf_tokens", "q_unpivot",
     "q_value_outliers", "q_vocab_growth", "q_window_dedup", "q_window_join",
     "q_window_topn",
+    # --- round 3 greens (CORRECTNESS_r03: 44 oracle'd green) ---
+    "q12_priority_shipping", "q_asof_forward", "q_corr_qty_price",
+    "q_doc_chunks", "q_doc_nll", "q_emb_centroids", "q_fuzzy_digit_pairs",
+    "q_grouped_concat", "q_hll_rollup", "q_kll_rollup", "q_kmeans_assign",
+    "q_percent_rank", "q_resample_interp", "q_sessionization",
+    "q_set_ops_all", "q_value_histogram", "q_weighted_sample",
+    "q_fuzzy_name_pairs", "q11_important_parts", "q20_majority_shippers",
+    "q2_min_cost_supplier", "q_emb_ivf_recall", "q_minhash_recall",
+    "q_grouped_pandas_minmax", "q_simhash_recall", "q_dedup_clusters",
+    "q_emb_lsh_recall", "q_dedup_jaccard_pairs", "q_share_of_total",
+    "q_train_split", "q_rolling_median", "q_lateral_topn",
+    "q_inverted_index", "q_mode_per_group", "q_skew_salted_join",
+    "q_first_last_window", "q_correlated_subquery", "q_click_trigrams",
+    "q_yoy_growth", "q_autocorrelation", "q_distribution_drift",
+    "q_linreg_by_group", "q_null_aware_anti", "q_ab_test_lift",
+    # r3 rows-only that ran under the gate with stable counts and stay
+    # rows-only by declaration (driver-loop / non-replayable math):
+    "q_kmeans_iterate", "q_whatif_capacity_grid",
+    # NOTE: q_dedup_minhash_lsh / q_dedup_simhash / q_emb_lsh_ann /
+    # q_emb_ivf_ann ran rows-only in r3 but are deliberately ABSENT: this
+    # round they gained DuckDB-replayable oracles (md5-derived hashes, see
+    # operators/dedup.py + similarity.py) and must re-enter the gate front
+    # to earn a value-verified green row.
 })
 
 
@@ -179,46 +202,21 @@ assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
 _SF001_SEC = dict(_SF001_SEC_PAIRS)
 
 
-# Queries added AFTER the round-3 gate front was sized to the ~50-row cap.
-# The r2 verdict's headline ask is a green row for every query that existed
-# at r2 (the 16-never-gated + 2 re-gates) — so those sort BEFORE this
-# session's additions, which can wait a round without breaking the
-# "cumulative all-verified" goal.
-_ADDED_LATE_R3 = frozenset({
-    "q_null_aware_anti", "q_snapshot_diff", "q_table_profile",
-    "q_mode_per_group", "q_first_last_window", "q_rolling_median",
-    "q_cms_heavy_hitters", "q_emb_quantized_topk", "q_train_split",
-    "q_skew_salted_join", "q_share_of_total", "q_ref_integrity",
-    "q_inverted_index", "q_bm25_search", "q_cohort_retention",
-    "q_count_window", "q_copurchase_pairs", "q_pagerank_parts",
-    "q_month_spine_gapfill", "q_ngram_decontamination",
-    "q_forget_cascade", "q_event_transitions", "q_conversion_latency",
-    "q_running_anomaly", "q_order_streaks",
-    "q_yoy_growth", "q_bloom_join_prune", "q_length_buckets",
-    "q_token_entropy", "q_mad_outliers", "q_jaccard_prefix_pairs",
-    "q_incremental_dedup", "q_click_trigrams", "q_triangle_count",
-    "q_linreg_by_group", "q_correlated_subquery", "q_lateral_topn",
-    "q_lang_balance", "q_repeated_ngrams", "q_union_by_name_drift",
-    "q_containment_pairs", "q_winsorized_stats", "q_multimodal_phash",
-    "q_variant_extract", "q_time_weighted_avg", "q_audience_overlap",
-    "q_abc_by_brand", "q_ts_pattern_match", "q_budget_allocation",
-    "q_geo_radius_join", "q_bpe_merges", "q_null_ordering",
-    "q_interval_union", "q_mutual_information", "q_benford_audit",
-    "q_attribution_linear", "q_asof_nearest", "q_survival_steps",
-    "q_ab_test_lift", "q_seasonal_index", "q_rfm_by_nation",
-    "q_basket_rules", "q_new_vs_returning", "q_gini_by_nation",
-    "q_change_point", "q_autocorrelation", "q_max_concurrency",
-    "q_price_elasticity", "q_skew_advisor", "q_sla_attainment",
-    "q_tfidf_cosine_pairs", "q_distribution_drift",
-})
-
-
 def _gate_order() -> list[str]:
+    """Oracle'd-before-rows-only, then fastest-first (VERDICT r3 item 1).
+
+    The r3 gate burned 6 of its 50 capped slots on rows-only (`no_oracle`)
+    entries because a spent round-tiering flag sorted ahead of the
+    oracle-presence key.  The tier is gone: ungated queries now sort
+    (oracle is None, measured sf0.01 sec, name) so every capped driver slot
+    verifies a value-checkable query first; rows-only queries (which can
+    only ever produce a row-count record) follow, then previously-gated
+    queries last for regression sampling if the budget allows.
+    """
     names = list(QUERIES)
     ungated = [n for n in names if n not in _GATED_PRIOR_ROUNDS]
     ungated.sort(
         key=lambda n: (
-            n in _ADDED_LATE_R3,
             QUERIES[n].oracle is None,
             _SF001_SEC.get(n, 0.6),
             n,

@@ -42,20 +42,13 @@ def test_gate_order_is_a_permutation_with_ungated_first():
 
 
 def test_ungated_oracled_queries_sort_before_rows_only():
-    """Within each priority tier (verdict-debt queries, then late-round-3
-    additions), oracle'd entries precede rows-only ones; and the whole
-    debt tier precedes the whole late tier — so the ~50-row cap always
-    verifies every query the r2 verdict listed before any new surface."""
-    from flink_estimator_spark.plans.registry import _ADDED_LATE_R3
-
+    """Every oracle'd ungated query precedes every rows-only ungated query
+    (VERDICT r3 item 1: the capped driver slots must hit value-checkable
+    queries first — a rows-only entry can only ever record a row count)."""
     front = [n for n in _gate_order() if n not in _GATED_PRIOR_ROUNDS]
-    debt = [n for n in front if n not in _ADDED_LATE_R3]
-    late = [n for n in front if n in _ADDED_LATE_R3]
-    assert front == debt + late, "late-r3 additions interleaved with debt tier"
-    for tier in (debt, late):
-        saw_rows_only = False
-        for n in tier:
-            if QUERIES[n].oracle is None:
-                saw_rows_only = True
-            else:
-                assert not saw_rows_only, f"oracle'd {n} after a rows-only entry"
+    saw_rows_only = False
+    for n in front:
+        if QUERIES[n].oracle is None:
+            saw_rows_only = True
+        else:
+            assert not saw_rows_only, f"oracle'd {n} after a rows-only entry"
