@@ -481,9 +481,9 @@ def q_winsorized_stats(spark, sf_dir):
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_segments,
                CAST(sum(dt_us) AS BIGINT) AS span_us,
-               CAST(sum(CAST(cents AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0)))
-                    AS DOUBLE)
-                   / sum(dt_us) AS twa_cents
+               CAST(CAST(sum(CAST(cents AS HUGEINT) * CAST(dt_us AS HUGEINT))
+                         * 1000000 AS HUGEINT)
+                    // CAST(sum(dt_us) AS HUGEINT) AS BIGINT) AS twa_cents_q6
         FROM seg
         GROUP BY user_id
         ORDER BY user_id
@@ -496,10 +496,13 @@ def q_time_weighted_avg(spark, sf_dir):
     bursts; TWA weights each observation by how long it HELD).  Each
     event's value holds until the user's next event; the integral is
     Σ(cents · Δt) with exact DECIMAL(38,0) products (cents ~1e6 × Δt_us
-    ~1e12 would overflow BIGINT), divided once into a deterministic
-    double.  One per-user window for lead() and one aggregate — the
-    window and the groupBy share the user_id partitioning, so the second
-    shuffle collapses."""
+    ~1e12 would overflow BIGINT).  The output is micro-quantized via exact
+    INTEGRAL division (Spark ``div`` on DECIMAL ≡ DuckDB HUGEINT ``//``)
+    rather than a decimal→double cast: per-user numerators exceed 2^53
+    even at sf0.001, where the engines' 128-bit-decimal→double casts can
+    diverge by one ulp (SCALE.md §7f).  One per-user window for lead()
+    and one aggregate — the window and the groupBy share the user_id
+    partitioning, so the second shuffle collapses."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
@@ -517,12 +520,10 @@ def q_time_weighted_avg(spark, sf_dir):
         .agg(
             F.count("*").alias("n_segments"),
             F.sum("dt_us").alias("span_us"),
-            (
-                F.sum(F.col("cents").cast(d38) * F.col("dt_us").cast(d38)).cast(
-                    "double"
-                )
-                / F.sum("dt_us")
-            ).alias("twa_cents"),
+            F.expr(
+                f"CAST(sum(CAST(cents AS {d38}) * CAST(dt_us AS {d38}))"
+                f" * 1000000 AS {d38}) div sum(dt_us)"
+            ).alias("twa_cents_q6"),
         )
         .orderBy("user_id")
     )

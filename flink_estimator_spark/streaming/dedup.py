@@ -43,6 +43,13 @@ def screen_against_ledger(
     true dups plus the small FP fraction — reach the exact anti join that
     rescues the FPs.  Exactness is unchanged; only join traffic shrinks.
 
+    The rescue join carries NO broadcast hint: the bloom front-filter exists
+    precisely because the ledger eventually outgrows the broadcast
+    threshold, so the join must be allowed to degrade to a shuffle — which
+    then moves only the bloom-positive fraction of each micro-batch, not the
+    whole batch.  At small ledger sizes AQE still picks a broadcast on its
+    own.
+
     Works identically on a batch DataFrame, so the batch run is the
     streaming test's oracle (tests/test_streaming.py).
     """
@@ -65,7 +72,5 @@ def screen_against_ledger(
 
     definitely_new = events.filter(~hit)
     candidates = events.filter(hit)
-    rescued = candidates.join(
-        F.broadcast(ledger.select(key)), key, "left_anti"
-    )
+    rescued = candidates.join(ledger.select(key), key, "left_anti")
     return definitely_new.unionByName(rescued)
