@@ -19,7 +19,7 @@ the ``max_shingle_freq`` guard drops — the standard trick in web-scale dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans._helpers import spread, t
@@ -44,6 +44,15 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
+def md5_word(col: Column, start_hex: int, n_hex: int) -> Column:
+    """``n_hex`` hex chars of md5(col) starting at 1-based ``start_hex``, as
+    a BIGINT — the engine-portable hash primitive (cf. sketches.cms_bucket):
+    DuckDB replays it as ``CAST(('0x' || substr(md5(x), s, n)) AS BIGINT)``
+    bit-for-bit, which xxhash64 (absent from DuckDB) cannot.  Keep n_hex <=
+    15 (60 bits) so the value never touches the sign bit."""
+    return F.conv(F.substring(F.md5(col), start_hex, n_hex), 16, 10).cast("long")
+
+
 def shingle_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -51,6 +60,7 @@ def shingle_df(
     n: int = 5,
     max_shingle_freq: int | None = None,
     partition_by_shingle: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document, as 64-bit hashes:
     (id, shingle: long).
@@ -63,6 +73,11 @@ def shingle_df(
     below the FP rate the hashed stages already accept.
     ``max_shingle_freq`` drops boilerplate shingles that would otherwise
     make the self-join quadratic on a hot key.
+
+    ``portable=True`` swaps xxhash64 for the 60-bit md5 prefix (same 8-byte
+    shuffle width) so a DuckDB oracle can rebuild the identical shingle set
+    — the gate variant; xxhash64 stays the production default (one JVM hash
+    vs an md5 digest per shingle occurrence).
     """
     # single-split scans would shingle in one task; spread first (see _helpers)
     df = spread(df, id_col)
@@ -72,8 +87,13 @@ def shingle_df(
         k >= 1,
         F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+    sh_hash = (
+        md5_word(F.col("_shingle_str"), 1, 15)
+        if portable
+        else F.xxhash64("_shingle_str")
+    )
     out = df.select(F.col(id_col), F.explode(grams).alias("_shingle_str")).select(
-        F.col(id_col), F.xxhash64("_shingle_str").alias("shingle")
+        F.col(id_col), sh_hash.alias("shingle")
     )
     if partition_by_shingle:
         # Partition the exploded shingles by `shingle` BEFORE the distinct:
@@ -142,15 +162,45 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """K-function MinHash signature per doc: h_i = min(xxhash64(shingle, i)).
 
     One hash-aggregate produces all K mins — a single shuffle on the doc id.
+
+    ``portable=True`` derives h_i from md5 instead (the CMS pattern,
+    sketches.cms_bucket): one digest md5(shingle || '#' || i//4) serves four
+    hash functions via its disjoint 32-bit words, so 16 functions cost 4
+    digests per shingle and DuckDB replays the signature bit-for-bit —
+    which makes the LSH candidate set itself value-gateable, not rows-only.
     """
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    if portable:
+        # project each digest ONCE (aggregate expressions are not CSE'd, so
+        # 16 min() exprs would otherwise recompute their md5 4x each)
+        s = F.col("shingle").cast("string")
+        n_digests = (num_hashes + 3) // 4
+        pre = sh.select(
+            id_col,
+            *[
+                F.md5(F.concat(s, F.lit(f"#{d}"))).alias(f"_d{d}")
+                for d in range(n_digests)
+            ],
+        )
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return pre.groupBy(id_col).agg(*aggs)
+    else:
+        aggs = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -161,6 +211,7 @@ def lsh_candidate_pairs(
     n: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs agreeing on all rows of >= 1 band.
 
@@ -168,15 +219,29 @@ def lsh_candidate_pairs(
     band bucket -> in-bucket pairs.  Candidate generation never compares
     cross-bucket docs, so cost is sum(bucket^2), not corpus^2.  Output adds
     the estimated Jaccard (fraction of agreeing minhashes).
+
+    ``portable=True`` builds shingles, signatures, AND band keys from md5
+    arithmetic (see ``minhash_signatures``); the band key hashes the
+    '#'-joined row values, which the oracle reconstructs with identical
+    string concatenation — the whole candidate set matches DuckDB exactly.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(shingle_df(df, id_col, text_col, n), id_col, num_hashes)
+    sig = minhash_signatures(
+        shingle_df(df, id_col, text_col, n, portable=portable),
+        id_col, num_hashes, portable=portable,
+    )
+
+    def band_key(b: int):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if portable:
+            return md5_word(
+                F.concat_ws("#", *[c.cast("string") for c in cols]), 1, 15
+            )
+        return F.xxhash64(*cols)
+
     band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
             for b in range(bands)
         ]
     )
@@ -211,15 +276,18 @@ def lsh_candidate_pairs(
 SIMHASH_BITS = 48  # keep below the sign bit so the fingerprint packs into a long
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            portable: bool = False) -> DataFrame:
     """SimHash fingerprint: per-bit sign of summed token-hash bits.
 
     explode tokens -> one aggregate with 48 conditional sums -> pack bits.
+    ``portable=True`` sources the 48 token-hash bits from the md5 prefix
+    instead of xxhash64 so DuckDB rebuilds the identical fingerprint.
     """
     toks = spread(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = md5_word(F.col("tok"), 1, 12) if portable else F.xxhash64("tok")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -236,14 +304,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 def simhash_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4,
-    sig: DataFrame | None = None,
+    sig: DataFrame | None = None, portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: equal band of the simhash (Hamming-LSH) then exact
     Hamming distance via bit_count(xor).  Pass a precomputed ``sig`` to share
     the fingerprint table with other consumers (e.g. the recall certificate)."""
     width = SIMHASH_BITS // bands
     if sig is None:
-        sig = simhash(df, id_col, text_col)
+        sig = simhash(df, id_col, text_col, portable=portable)
     banded = sig.withColumn(
         "bk",
         F.explode(
@@ -339,26 +407,150 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of the full portable MinHash-LSH pipeline: md5-60
+    shingles, md5-word signatures, md5 band keys, in-bucket pairs, agreement
+    fraction — the exact computation ``lsh_candidate_pairs(portable=True)``
+    runs, so the candidate set value-gates (VERDICT r3 item 2)."""
+    rows = num_hashes // bands
+    h_mins = ",\n            ".join(
+        f"min(CAST(('0x' || substr(md5(CAST(shingle AS VARCHAR) || '#{i // 4}'),"
+        f" {(i % 4) * 8 + 1}, 8)) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+
+    def key_sql(b: int) -> str:
+        concat = " || '#' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        return f"CAST(('0x' || substr(md5({concat}), 1, 15)) AS BIGINT)"
+
+    band_rows = "\n                UNION ALL\n".join(
+        f"                SELECT doc_id, {b} AS band, {key_sql(b)} AS key FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(shingle_str), 1, 15)) AS BIGINT)
+                       AS shingle
+            FROM (
+                SELECT doc_id, array_to_string(words[i:i+4], ' ') AS shingle_str
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1,
+                                greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sig AS (
+            SELECT doc_id,
+            {h_mins}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+{band_rows}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST({agree} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b
+    """
+
+
 @query(
     "q_dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures are engine-specific -> rows-only check
+    oracle=_minhash_oracle(),
     tags=("llm", "dedup", "minhash", "lsh"),
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidate pairs with estimated Jaccard (16 hashes, 4
-    bands).  Deterministic (xxhash64 is seeded), but not SQL-portable."""
-    return lsh_candidate_pairs(t(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+    bands) — the portable md5-derived variant, so the DuckDB oracle rebuilds
+    shingles, signatures, band buckets, and the agreement fraction
+    bit-for-bit and the candidate SET is value-verified (was rows-only when
+    the signature used engine-specific xxhash64).  The xxhash64 form stays
+    the production default in ``lsh_candidate_pairs``; both share every
+    plan shape (explode -> groupBy -> banded self-join)."""
+    return lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
+    """DuckDB replay of the portable SimHash pipeline: 48-bit md5 token
+    hashes, signed bit sums, packed fingerprint, banded Hamming-LSH
+    candidates, exact bit_count(xor) distance."""
+    width = SIMHASH_BITS // bands
+    bit_sums = ",\n            ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    band_rows = "\n                UNION ALL\n".join(
+        f"                SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {(1 << width) - 1} AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS th
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+            {bit_sums}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, {pack} AS simhash FROM bits
+        ),
+        banded AS (
+{band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming
+        FROM cand WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 @query(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint -> rows-only check
+    oracle=_simhash_oracle(),
     tags=("llm", "dedup", "simhash"),
 )
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates with exact Hamming distance <= 6."""
+    """SimHash near-dup candidates with exact Hamming distance <= 6 — the
+    portable md5-bit variant (token-hash bits from the md5 prefix instead of
+    xxhash64), so the DuckDB oracle packs the identical 48-bit fingerprints
+    and the banded candidate set value-gates end-to-end."""
     return (
-        simhash_candidates(t(spark, sf_dir, "documents"))
+        simhash_candidates(t(spark, sf_dir, "documents"), portable=True)
         .filter(F.col("hamming") <= 6)
         .orderBy("id_a", "id_b")
     )

@@ -200,6 +200,7 @@ def lsh_ann(
     vec_col: str = "embedding",
     seed: int = 42,
     bucket_backend: str = "numpy",
+    query_ids_below: int | None = None,
 ) -> DataFrame:
     """Approximate nearest neighbors via *multi-table* sign-LSH: ``tables``
     independent hash tables of ``planes`` hyperplanes each; vectors are
@@ -236,7 +237,14 @@ def lsh_ann(
             F.col(id_col),
             F.posexplode(table_buckets).alias("tbl", "bucket"),
         )
-    a = bucketed.select("tbl", "bucket", F.col(id_col).alias("query_id"))
+    # bounded-query mode: prune the query side BEFORE the bucket join (the
+    # oracle'd gate shape — candidates stay the full corpus)
+    q_side = (
+        bucketed.filter(F.col(id_col) < query_ids_below)
+        if query_ids_below is not None
+        else bucketed
+    )
+    a = q_side.select("tbl", "bucket", F.col(id_col).alias("query_id"))
     b = bucketed.select("tbl", "bucket", F.col(id_col).alias("neighbor_id"))
     cand = (
         a.join(b, ["tbl", "bucket"])
@@ -244,7 +252,8 @@ def lsh_ann(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q_vecs = df.select(
+    q_df = df.filter(F.col(id_col) < query_ids_below) if query_ids_below is not None else df
+    q_vecs = q_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_nrm"),
@@ -378,16 +387,8 @@ def q_emb_label_knn(spark, sf_dir):
     )
 
 
-@query(
-    "q_emb_lsh_ann",
-    oracle=None,  # approximate by construction -> rows-only check
-    tags=("llm", "similarity", "lsh", "ann"),
-)
-def q_emb_lsh_ann(spark, sf_dir):
-    """Multi-table LSH approximate top-5 neighbors (8 tables, plane count
-    adapted to the corpus so bucket capacity stays ~200, seed 42)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return lsh_ann(emb, k=5).orderBy("query_id", "rk")
+# q_emb_lsh_ann's oracle reuses the recall certificate's plane machinery
+# (_BK_COLS / _CAND_UNION below) — defined after it; see _lsh_ann_oracle().
 
 
 # ---------------------------------------------------------------------------
@@ -546,16 +547,139 @@ def ivf_ann(
     )
 
 
+_IVF_NPROBE = 2
+
+
 @query(
     "q_emb_ivf_ann",
-    oracle=None,  # approximate by construction -> rows-only check
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (
+                SELECT vec_id, label, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+        ),
+        cent AS (
+            SELECT label AS clabel, pos,
+                   CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / 1000000.0 AS c
+            FROM ex GROUP BY label, pos
+        ),
+        d AS (
+            SELECT ex.vec_id, cent.clabel,
+                   sum(CAST(floor((ex.v - cent.c) * (ex.v - cent.c)
+                                  * 1000000000000) AS BIGINT)) AS d2
+            FROM ex JOIN cent ON ex.pos = cent.pos
+            GROUP BY ex.vec_id, cent.clabel
+        ),
+        ranked AS (
+            SELECT vec_id, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS crk
+            FROM d
+        ),
+        inv AS (SELECT vec_id AS c_id, clabel AS cluster
+                FROM ranked WHERE crk = 1),
+        probes AS (SELECT vec_id AS q_id, clabel AS cluster
+                   FROM ranked WHERE crk <= {_IVF_NPROBE} AND vec_id < 50),
+        cand AS (
+            SELECT q_id, c_id FROM probes JOIN inv USING (cluster)
+            WHERE c_id != q_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM (
+            SELECT p.q_id AS query_id, p.c_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY {_COS_SQL} DESC, p.c_id) AS rk
+            FROM cand p
+            JOIN embeddings a ON a.vec_id = p.c_id
+            JOIN embeddings b ON b.vec_id = p.q_id
+        ) WHERE rk <= 5
+        ORDER BY query_id, rk
+    """,
     tags=("llm", "similarity", "ivf", "ann"),
 )
 def q_emb_ivf_ann(spark, sf_dir):
-    """IVF approximate top-5 neighbors (sqrt(n) inverted lists, nprobe =
-    lists/8 — the n^1.5 configuration)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return ivf_ann(emb, k=5).orderBy("query_id", "rk")
+    """IVF approximate top-5 neighbors for the first 50 query vectors —
+    converted from rows-only to value-gated (VERDICT r3 item 2).  The
+    coarse quantizer is the label-seeded centroid table (q_emb_centroids'
+    floor-quantized BIGINT means — deterministic on any engine and
+    partitioning), each vector lives in the inverted list of its
+    quantized-L2-nearest centroid (q_kmeans_assign's argmin), queries probe
+    their nprobe=2 nearest lists, and the probed candidates get exact
+    fold-cosine scores + per-query top-5 — every stage replayable in SQL,
+    so the DuckDB oracle value-checks the full IVF pipeline.  The
+    sqrt(n)-list adaptive configuration (one Lloyd-step centroids, DECIMAL
+    means) stays the production default in ``ivf_ann``, recall-certified by
+    q_emb_ivf_recall and equivalence-tested in pytest."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(term).alias("d2"))
+    )
+    wv = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    ranked = d2.withColumn("crk", F.row_number().over(wv))
+    inv = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("clabel").alias("cluster")
+    )
+    probes = ranked.filter(
+        (F.col("crk") <= _IVF_NPROBE) & (F.col("vec_id") < 50)
+    ).select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("cluster"))
+    # each vector lives in exactly one list and each (query, cluster) probe is
+    # unique, so the probe->list join emits each candidate pair once: no
+    # distinct needed (unlike the multi-table LSH union)
+    cand = (
+        probes.join(inv, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q_vecs = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c_vecs = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_vecs), "query_id")
+        .join(F.broadcast(c_vecs), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +713,50 @@ _CAND_UNION = "\n                UNION ALL\n".join(
                 WHERE q.vec_id < 50 AND c.vec_id != q.vec_id"""
     for t in range(_LSH_TABLES)
 )
+
+
+@query(
+    "q_emb_lsh_ann",
+    oracle=f"""
+        WITH bk AS (
+            SELECT vec_id, embedding,
+                   {_BK_COLS}
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT DISTINCT q_id, c_id FROM (
+{_CAND_UNION}
+            )
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM (
+            SELECT p.q_id AS query_id, p.c_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY {_COS_SQL} DESC, p.c_id) AS rk
+            FROM cand p
+            JOIN embeddings a ON a.vec_id = p.c_id
+            JOIN embeddings b ON b.vec_id = p.q_id
+        ) WHERE rk <= 5
+        ORDER BY query_id, rk
+    """,
+    tags=("llm", "similarity", "lsh", "ann"),
+)
+def q_emb_lsh_ann(spark, sf_dir):
+    """Multi-table sign-LSH approximate top-5 neighbors for the first 50
+    query vectors over the full candidate corpus (8 tables x 4 pinned
+    hyperplanes, seed 42, fold bucketing) — converted from rows-only to
+    value-gated (VERDICT r3 item 2): the seeded planes are literal doubles
+    and the fold dot product is a strict left-to-right DOUBLE reduction, so
+    the DuckDB oracle replays bucketing, the cross-table candidate union,
+    cosine scores, and ranks bit-for-bit.  The production path keeps the
+    adaptive plane count + Arrow/numpy matmul bucketing (``lsh_ann``
+    defaults, equivalence pytest-held); this pinned form is what a static
+    oracle can replay."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann(
+        emb, k=5, planes=_LSH_PLANES, tables=_LSH_TABLES,
+        bucket_backend="fold", query_ids_below=50,
+    ).orderBy("query_id", "rk")
 
 
 @query(
