@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans._helpers import spread, t
+from ..plans._helpers import eager_checkpoint, spread, t
 from ..plans.registry import query
 
 _WORD_RE = r"\s+"
@@ -117,7 +117,7 @@ def bpe_train(df: DataFrame, iters: int = 8, text_col: str = "text"):
     Each iteration moves one (pair, count) argmax row to the driver —
     scalar control data, the same discipline as the iterative-algorithm
     family (connected components, k-means, PageRank)."""
-    vocab = build_vocab(df, text_col).localCheckpoint(eager=True)
+    vocab = eager_checkpoint(build_vocab(df, text_col))
     merges: list[tuple[str, str, int]] = []
     for _ in range(iters):
         best = (
@@ -132,7 +132,7 @@ def bpe_train(df: DataFrame, iters: int = 8, text_col: str = "text"):
         merges.append((a, b, n))
         # checkpoint each round: the merge is cheap but lineage would
         # otherwise grow one mapInPandas stage per iteration
-        vocab = _merge_pair(vocab, a, b).localCheckpoint(eager=True)
+        vocab = eager_checkpoint(_merge_pair(vocab, a, b))
     return merges, vocab
 
 

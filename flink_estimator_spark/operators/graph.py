@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import eager_checkpoint, t
 from ..plans.registry import query
 
 _PR_ITERS = 3
@@ -243,14 +243,14 @@ def q_triangle_count(spark, sf_dir):
         ).alias("p")
     ).select("p.pa", "p.pb")
     # the edge table is consumed three times (e1/e2/e3); it is tiny
-    # (thousands of rows after the support filter) — cache beats replaying
-    # the basket explode per consumer
-    e = (
+    # (thousands of rows after the support filter) — one eager
+    # materialization beats replaying the basket explode per consumer,
+    # and unlike .cache() it pins nothing after the query finishes
+    e = eager_checkpoint(
         pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
         .select("pa", "pb")
-        .cache()
     )
     e1 = e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
     e2 = e.select(F.col("pa").alias("v"), F.col("pb").alias("w"))

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..plans._helpers import spread, t
+from ..plans._helpers import eager_checkpoint, spread, t
 from ..plans.registry import query
 
 
@@ -1095,8 +1095,9 @@ def kmeans_iterate(
             d2.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("vec_id", F.col("clabel").alias("cluster"), "d2")
-            .localCheckpoint()  # pin: feeds inertia, next centroids, result
         )
+        # feeds inertia, next centroids, result; zero pin afterwards
+        assign = eager_checkpoint(assign)
         inertias.append(assign.agg(F.sum("d2")).collect()[0][0])
         cent = (
             vectors.join(assign.select("vec_id", "cluster"), "vec_id")

@@ -61,8 +61,22 @@ def get_spark(
         # JSON output line when a harness merges streams
         .config("spark.ui.showConsoleProgress", "false")
     )
+    builder = builder.config(
+        # checkpoint files from eager_checkpoint (plans/_helpers.py) are
+        # reference-tracked and deleted when their RDD is GC'd, so a
+        # long-lived session doesn't accumulate them
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        # reliable (not local) checkpoints: zero persistent-RDD footprint
+        # and executor-loss-safe on a real cluster; the dir is gitignored
+        # (on a cluster this would be an HDFS/S3 path)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(repo_root, "spark-warehouse", "_checkpoints")
+        )
     return spark
