@@ -51,11 +51,51 @@ def _reference_bpe(texts, iters):
 
 def test_distributed_bpe_matches_reference_trainer(spark):
     docs = t(spark, SF_DIR, "documents")
-    got, _ = bpe_train(docs, iters=6)
+    got, _ = bpe_train(docs, iters=6, mode="distributed")
     texts = [r["text"] for r in docs.select("text").collect()]
     want = _reference_bpe(texts, iters=6)
     assert got == want
     assert len(got) == 6, "fixture corpus should support 6 merges"
+
+
+def test_local_mode_matches_distributed_and_reference(spark):
+    """The driver-local cutover (r3 verdict item 5) must learn the exact
+    merge list of both the distributed loop and the reference trainer."""
+    docs = t(spark, SF_DIR, "documents")
+    local, _ = bpe_train(docs, iters=6, mode="local")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert local == _reference_bpe(texts, iters=6)
+
+
+def test_local_mode_issues_far_fewer_spark_jobs(spark):
+    """The whole point of the cutover: merge count must not multiply Spark
+    job count.  Local mode's job count is CONSTANT in iters (all jobs are
+    the vocab build + one collect); the distributed loop pays >= 1 job per
+    merge (argmax + checkpoint).  Asserted on marginals so the property is
+    the thing tested, not a fixture-sized ratio: at 64 merges the implied
+    gap is (d2 + 62*marginal) / l6 >= 5x — measured 22 vs 5 jobs already at
+    6 merges (4.4x), growing linearly."""
+    sc = spark.sparkContext
+    docs = t(spark, SF_DIR, "documents")
+
+    def jobs_for(group: str, iters: int, **kw) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            bpe_train(docs, iters=iters, **kw)
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    l2 = jobs_for("bpe-local-2", 2, mode="local")
+    l6 = jobs_for("bpe-local-6", 6, mode="local")
+    d2 = jobs_for("bpe-dist-2", 2, mode="distributed")
+    d6 = jobs_for("bpe-dist-6", 6, mode="distributed")
+    assert l6 - l2 == 0, f"local jobs must not grow with iters: {l2} -> {l6}"
+    dist_marginal = (d6 - d2) / 4
+    assert dist_marginal >= 1, (d2, d6)
+    # the 64-merge shape the r3 verdict priced out: >= 5x fewer jobs local
+    implied_dist_64 = d2 + dist_marginal * 62
+    assert implied_dist_64 >= 5 * l6, (implied_dist_64, l6)
 
 
 def test_merges_compose_into_multichar_tokens(spark):
