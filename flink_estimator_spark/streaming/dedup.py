@@ -74,3 +74,46 @@ def screen_against_ledger(
     candidates = events.filter(hit)
     rescued = candidates.join(ledger.select(key), key, "left_anti")
     return definitely_new.unionByName(rescued)
+
+
+def screen_docs_against_corpus(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming incremental-dedup screen — the streaming dual of batch
+    ``q_incremental_dedup`` (operators/dedup.py): every arriving document is
+    annotated with the earliest standing-corpus doc sharing its content
+    fingerprint (``dup_of`` NULL = genuinely new) and the corpus copy count.
+
+    The corpus side is PRE-AGGREGATED to one row per fingerprint
+    (min doc id + count) before the join, which is what makes the streaming
+    shape work: the stream-static join is then a plain append-mode
+    enrichment — no streaming aggregation, no watermark state — and it is
+    the better batch plan too (the corpus collapses once instead of
+    re-grouping per arriving batch).  At 100 TB the corpus-fingerprint
+    table is the bucketed/sorted index of sources/bucketing.py, so each
+    micro-batch joins co-located with zero corpus shuffle.  Works
+    identically on a batch DataFrame — the batch run is the streaming
+    test's oracle."""
+    from ..operators.textstats import fingerprint
+
+    corpus_fp = (
+        corpus.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("dup_of"),
+            F.count("*").alias("n_corpus_copies"),
+        )
+    )
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .join(corpus_fp, "fp", "left")
+        .select(
+            id_col,
+            "source",
+            "dup_of",
+            F.coalesce("n_corpus_copies", F.lit(0)).alias("n_corpus_copies"),
+        )
+    )

@@ -35,6 +35,18 @@ def events_stream(spark: SparkSession, directory: str) -> DataFrame:
     return raw
 
 
+def documents_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-based document stream (the arriving-crawl shape): same schema as
+    the ``documents`` fixture table, micro-batched one file per trigger so a
+    multi-file directory exercises real incremental arrival."""
+    physical = spark.read.parquet(directory).schema
+    return (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Synthetic rate source shaped like the events table (for soak tests)."""
     r = (

@@ -1118,3 +1118,105 @@ def test_watermark_drops_late_rows_with_metrics(spark, tmp_path):
     assert dropped >= len(late), (
         f"late replay rows must be dropped by the watermark (got {dropped})"
     )
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming dual of q_incremental_dedup (r3 verdict item 7): the
+    arriving crawl is a document STREAM screened against the standing
+    corpus; every emitted row must match the batch screen on the same
+    docs."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import time as _time
+
+    from flink_estimator_spark.streaming import (
+        documents_stream,
+        screen_docs_against_corpus,
+    )
+    from flink_estimator_spark.sources.tables import read_table
+
+    docs = read_table(spark, os.path.join(SF_SMALL, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch_pdf = (
+        docs.filter(F.col("doc_id") % 10 == 0).toPandas().sort_values("doc_id")
+    )
+    # the arriving batch lands as two micro-batch files
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    half = len(batch_pdf) // 2
+    for i, part in enumerate((batch_pdf.iloc[:half], batch_pdf.iloc[half:])):
+        _pq.write_table(
+            _pa.Table.from_pandas(part, preserve_index=False),
+            str(d / f"part-{i:03d}.parquet"),
+        )
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(str(d)))):
+        os.utime(str(d / f), (now + i, now + i))
+
+    stream = documents_stream(spark, str(d))
+    out = _run_stream(
+        spark, screen_docs_against_corpus(stream, corpus), "incdedup_out", tmp_path
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    exp_df = screen_docs_against_corpus(
+        docs.filter(F.col("doc_id") % 10 == 0), corpus
+    )
+    exp = sorted(tuple(r) for r in exp_df.collect())
+    assert got == exp
+    # and the batch shadow itself must agree with the registered query
+    from flink_estimator_spark.plans.registry import QUERIES
+
+    reg = sorted(
+        tuple(r) for r in QUERIES["q_incremental_dedup"].builder(spark, SF_SMALL).collect()
+    )
+    assert exp == reg
+
+
+def test_windowed_cms_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming dual of the CMS family (r3 verdict item 7): per-tumbling-
+    window count-min grids emitted on window close must equal a batch
+    rebuild of the same md5 grid, window by window — proving the emitted
+    cells are the correct mergeable state."""
+    from flink_estimator_spark.streaming import windowed_cms_cells
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(spark, windowed_cms_cells(ev), "cms_win_out", tmp_path)
+    got = {
+        (r["win_start"], r["row_i"], r["bucket"]): r["c"] for r in out.collect()
+    }
+
+    from flink_estimator_spark.operators.sketches import CMS_DEPTH, cms_bucket
+
+    batch = _batch_events(spark)
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("row_i")
+    exp_df = (
+        batch.select("ts", "user_id", rows)
+        .withColumn("bucket", cms_bucket(F.col("user_id"), F.col("row_i")))
+        .groupBy(
+            F.window("ts", "10 minutes").start.cast("long").alias("win_start"),
+            "row_i",
+            "bucket",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    exp = {
+        (r["win_start"], r["row_i"], r["bucket"]): r["c"] for r in exp_df.collect()
+    }
+    missing = {k: v for k, v in exp.items() if k not in got}
+    assert not missing, f"cells not emitted: {list(missing)[:5]}"
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+    # cell-wise addition across windows == the global grid (mergeability)
+    from collections import defaultdict
+
+    merged = defaultdict(int)
+    for (_, row_i, bucket), c in exp.items():
+        merged[(row_i, bucket)] += c
+    global_df = (
+        batch.select("user_id", rows)
+        .withColumn("bucket", cms_bucket(F.col("user_id"), F.col("row_i")))
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    global_grid = {(r["row_i"], r["bucket"]): r["c"] for r in global_df.collect()}
+    assert dict(merged) == global_grid
