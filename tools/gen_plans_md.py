@@ -13,55 +13,14 @@ Run: `python tools/gen_plans_md.py` (needs the JVM; ~2 min).
 
 from __future__ import annotations
 
-import io
 import os
-import re
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from flink_estimator_spark.plans.planmeta import metrics  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-
-
-def plan_text(df, mode: str) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
-
-
-def metrics(df) -> dict[str, object]:
-    fmt = plan_text(df, "formatted")
-    # formatted output prints every node twice (tree + details): count
-    # unique node ids per node type instead of raw matches
-    nodes: dict[str, set[str]] = {}
-    for nid, typ in re.findall(r"\((\d+)\)\s+(\w[\w ]*?)(?:\s*$|\s{2})", fmt, re.M):
-        nodes.setdefault(typ.strip(), set()).add(nid)
-
-    def n(typ: str) -> int:
-        return len(nodes.get(typ, set()))
-
-    # AQE defers codegen planning to runtime ("Found 0 subtrees" before
-    # execution), so the generator runs with AQE off — the static plan is
-    # the declared strategy this artifact documents
-    cg = plan_text(df, "codegen")
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
-    codegen = int(m.group(1)) if m else 0
-    python = sum(
-        n(t)
-        for t in nodes
-        if re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
-                     r"|BatchEvalPython|PythonUDTF|MapGroupsInPandas", t)
-    )
-    return {
-        "scans": sum(n(t) for t in nodes if t.startswith("Scan parquet")),
-        "pushed": "yes" if re.search(r"PushedFilters: \[[^\]]", fmt) else "-",
-        "exchanges": n("Exchange"),
-        "broadcasts": n("BroadcastExchange"),
-        "codegen": codegen,
-        "python": python,
-    }
 
 
 def main() -> None:
