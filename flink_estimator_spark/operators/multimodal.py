@@ -223,34 +223,47 @@ PHASH_SCHEMA = T.StructType(
 _PHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-complete for hamming <= 7
 
 
+_PHASH_BITS = 63  # sign bit stays clear so the value fits a LongType cleanly
+
+
 def _fake_phash(payload: bytes) -> int:
-    """Deterministic perceptual-fingerprint stand-in: a 64-bit SimHash over
-    byte 4-grams of the payload.  Unlike ``_fake_decode``'s digest (which
-    destroys locality by design), this preserves CONTENT SIMILARITY —
-    payloads differing in a few bytes land a few bits apart — which is the
-    defining property a real pHash/aHash/audio-chromaprint has.  A real
-    deployment swaps this for the DCT-based pHash of the decoded image;
-    the banding and verification around it are unchanged."""
-    import struct
+    """Deterministic perceptual-fingerprint stand-in: a 63-bit SimHash over
+    character 4-grams of the decoded payload.  Unlike ``_fake_decode``'s
+    digest (which destroys locality by design), this preserves CONTENT
+    SIMILARITY — payloads differing in a few characters land a few bits
+    apart — which is the defining property a real pHash/aHash/audio-
+    chromaprint has.  A real deployment swaps this for the DCT-based pHash
+    of the decoded image; the banding and verification around it are
+    unchanged.
+
+    The gram hash is md5 (two 32-bit hex words -> 64 bits, top bit
+    dropped), hashed over the gram's UTF-8 encoding — EXACTLY what DuckDB's
+    ``md5(substr(text, i, 4))`` computes — so the whole fingerprint, and
+    therefore the banded candidate set, is value-gateable in SQL (the same
+    portability move as the dedup/sketch families).  Non-UTF-8 payloads
+    (real media bytes) decode with replacement characters: deterministic
+    and still locality-preserving, while staying the identity on the
+    text-backed fixture the oracle replays.  Payloads shorter than 4
+    characters fingerprint to 0 on both engines."""
     import hashlib
 
-    votes = [0] * 64
-    n = len(payload)
+    s = payload.decode("utf-8", errors="replace")
+    n = len(s)
     if n < 4:
-        payload = payload + b"\x00" * (4 - n)
-        n = len(payload)
+        return 0
+    votes = [0] * _PHASH_BITS
     for i in range(n - 3):
-        h = struct.unpack(
-            "<q", hashlib.blake2b(payload[i : i + 4], digest_size=8).digest()
-        )[0]
-        for b in range(64):
+        d = hashlib.md5(s[i : i + 4].encode("utf-8")).hexdigest()
+        # 31 high bits + 32 low bits = 63 gram-hash bits, sign-safe in
+        # BIGINT arithmetic on both engines
+        h = ((int(d[8:16], 16) & 0x7FFF_FFFF) << 32) | int(d[0:8], 16)
+        for b in range(_PHASH_BITS):
             votes[b] += 1 if (h >> b) & 1 else -1
     fp = 0
-    for b in range(64):
+    for b in range(_PHASH_BITS):
         if votes[b] > 0:
             fp |= 1 << b
-    # keep the sign bit clear so the value fits a Spark LongType cleanly
-    return fp & 0x7FFF_FFFF_FFFF_FFFF
+    return fp
 
 
 def phash_fingerprints(media: DataFrame) -> DataFrame:
@@ -329,18 +342,72 @@ def phash_candidates(media: DataFrame, max_hamming: int = 7) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _phash_oracle(max_hamming: int = 7) -> str:
+    """DuckDB replay of the full pHash pipeline: char-4-gram md5 hashes,
+    63 signed bit votes, packed fingerprint, 8x8-bit banded Hamming-LSH,
+    exact bit_count(xor) — identical to what the Arrow decode stage
+    computes, so the candidate set value-gates (previously rows-only)."""
+    w = "md5(substr(text, i, 4))"
+    h = (
+        f"((CAST(('0x' || substr({w}, 9, 8)) AS BIGINT) & 2147483647) << 32)"
+        f" | CAST(('0x' || substr({w}, 1, 8)) AS BIGINT)"
+    )
+    bit_sums = ",\n            ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_PHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(_PHASH_BITS)
+    )
+    band_rows = "\n                UNION ALL\n".join(
+        f"                SELECT media_id, phash, {b} AS band,"
+        f" (phash >> {8 * b}) & 255 AS key FROM sig"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""
+        WITH grams AS (
+            SELECT doc_id, {h} AS h
+            FROM documents, LATERAL (
+                SELECT unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i)
+        ),
+        bits AS (
+            SELECT doc_id,
+            {bit_sums}
+            FROM grams GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT d.doc_id AS media_id, coalesce({pack}, 0) AS phash
+            FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        ),
+        banded AS (
+{band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, hamming
+        FROM cand WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
 @query(
     "q_multimodal_phash",
-    oracle=None,  # python-side fingerprint -> rows-only check
+    oracle=_phash_oracle(),
     tags=("llm", "multimodal", "dedup", "phash"),
 )
 def q_multimodal_phash(spark, sf_dir):
     """Perceptual-hash near-duplicate media pairs (hamming <= 7 over the
-    64-bit content fingerprint) — the multimodal member of the dedup
+    63-bit content fingerprint) — the multimodal member of the dedup
     family: exact (fingerprint), Jaccard/MinHash/SimHash (text), cosine
-    (embeddings), and now pHash (binary media).  Deterministic but not
-    SQL-expressible (the fingerprint is computed in the Arrow decode
-    stage), so the gate row is rows-only; completeness vs brute force is
-    pytest-proven (tests/test_multimodal_phash.py)."""
+    (embeddings), and pHash (binary media).  The fingerprint is computed
+    in the Arrow decode stage from md5 gram hashes, which DuckDB replays
+    exactly (see _phash_oracle) — converted from rows-only to value-gated;
+    banding completeness vs brute force stays pytest-proven
+    (tests/test_multimodal_phash.py)."""
     media = documents_as_media(t(spark, sf_dir, "documents"))
     return phash_candidates(media).orderBy("id_a", "id_b")

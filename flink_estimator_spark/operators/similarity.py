@@ -1114,16 +1114,97 @@ def kmeans_iterate(
     return assign.select("vec_id", "cluster"), inertias
 
 
+_KM_ITERS = 3
+_KM_MEAN = (
+    "CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)"
+    " / CAST(count(*) AS DOUBLE) / 1000000.0"
+)
+_KM_TERM = "CAST(floor((ex.v - {c}.c) * (ex.v - {c}.c) * 1000000000000) AS BIGINT)"
+
+
+def _kmeans_iterate_oracle(iters: int = _KM_ITERS) -> str:
+    """DuckDB replay of the 3-iteration Lloyd loop, UNROLLED: the driver
+    loop only ever moves scalar inertia to the driver, and every arithmetic
+    step is the floor-quantized BIGINT form (q_kmeans_assign), so the whole
+    iteration chain is deterministic SQL — which converts the last
+    convertible rows-only query to value-gated.  Each iteration is one
+    assignment CTE (argmin over the previous centroids) + one centroid
+    re-aggregate; the final census recomputes per-cluster inertia against
+    the post-assignment centroids, exactly as the Spark builder does."""
+    mean_ex = _KM_MEAN.replace("floor(v", "floor(ex.v")
+    ctes = [
+        """ex AS (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (SELECT vec_id, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+        )""",
+        """exl AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (SELECT vec_id, label, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+        )""",
+        f"""c0 AS (
+            SELECT label AS clabel, pos, {_KM_MEAN} AS c
+            FROM exl GROUP BY label, pos
+        )""",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"c{k - 1}"
+        term = _KM_TERM.format(c=prev)
+        ctes.append(f"""d{k} AS (
+            SELECT ex.vec_id, {prev}.clabel, sum({term}) AS d2
+            FROM ex JOIN {prev} ON ex.pos = {prev}.pos
+            GROUP BY ex.vec_id, {prev}.clabel
+        )""")
+        ctes.append(f"""a{k} AS (
+            SELECT vec_id, clabel AS cluster FROM (
+                SELECT vec_id, clabel,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, clabel) AS rk
+                FROM d{k}
+            ) WHERE rk = 1
+        )""")
+        ctes.append(f"""c{k} AS (
+            SELECT a{k}.cluster AS clabel, ex.pos, {mean_ex} AS c
+            FROM ex JOIN a{k} ON ex.vec_id = a{k}.vec_id
+            GROUP BY a{k}.cluster, ex.pos
+        )""")
+    last_c, last_a = f"c{iters}", f"a{iters}"
+    term = _KM_TERM.format(c=last_c)
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        per_vec AS (
+            SELECT ex.vec_id, {last_a}.cluster, sum({term}) AS d2
+            FROM ex
+            JOIN {last_a} ON ex.vec_id = {last_a}.vec_id
+            JOIN {last_c} ON {last_c}.clabel = {last_a}.cluster
+                         AND {last_c}.pos = ex.pos
+            GROUP BY ex.vec_id, {last_a}.cluster
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(d2) AS BIGINT) AS inertia_q
+        FROM per_vec
+        GROUP BY cluster
+        ORDER BY cluster
+    """
+
+
 @query(
     "q_kmeans_iterate",
-    oracle=None,  # iterative algorithm: driver-loop with per-round scalars
+    oracle=_kmeans_iterate_oracle(),
     tags=("llm", "similarity", "kmeans", "iterative"),
 )
 def q_kmeans_iterate(spark, sf_dir):
     """Three Lloyd iterations from the per-label seed centroids; output is
     the final cluster census (size + quantized within-cluster inertia per
     cluster) — deterministic at any parallelism thanks to the quantized
-    arithmetic, so the rows-only check is stable across rounds."""
+    arithmetic.  Converted from rows-only to value-gated: the oracle
+    UNROLLS the iteration chain in SQL (see _kmeans_iterate_oracle), so the
+    driver gate verifies the full iterative algorithm end-to-end."""
     e = t(spark, sf_dir, "embeddings")
     vectors = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
