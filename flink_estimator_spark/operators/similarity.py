@@ -1474,3 +1474,186 @@ def q_geo_radius_join(spark, sf_dir):
         .filter(F.col("d2") <= _GEO_RADIUS * _GEO_RADIUS)
         .orderBy("qid", "pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based data curation: SemDeDup + outlier pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.40
+
+
+def _quantized_label_assign(spark, sf_dir):
+    """(vec_id, cluster): every vector assigned to its quantized-L2-nearest
+    label-seeded centroid — the shared coarse quantizer (q_kmeans_assign /
+    q_emb_ivf_ann arithmetic, deterministic on any engine/partitioning)."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"), "d2")
+    )
+
+
+_KM_ASSIGN_CTES = f"""
+        ex AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (SELECT vec_id, label, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+        ),
+        cent AS (
+            SELECT label AS clabel, pos, {_KM_MEAN} AS c
+            FROM ex GROUP BY label, pos
+        ),
+        d AS (
+            SELECT ex.vec_id, cent.clabel,
+                   sum(CAST(floor((ex.v - cent.c) * (ex.v - cent.c)
+                                  * 1000000000000) AS BIGINT)) AS d2
+            FROM ex JOIN cent ON ex.pos = cent.pos
+            GROUP BY ex.vec_id, cent.clabel
+        ),
+        assign AS (
+            SELECT vec_id, clabel AS cluster, d2 FROM (
+                SELECT vec_id, clabel, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, clabel) AS rk
+                FROM d
+            ) WHERE rk = 1
+        )"""
+
+
+@query(
+    "q_semdedup_prune",
+    oracle=f"""
+        WITH {_KM_ASSIGN_CTES},
+        pairs AS (
+            SELECT sa.cluster, sa.vec_id AS id_a, sb.vec_id AS id_b
+            FROM assign sa JOIN assign sb
+              ON sa.cluster = sb.cluster AND sa.vec_id < sb.vec_id
+        ),
+        dup AS (
+            SELECT DISTINCT p.cluster, p.id_b AS pruned_id
+            FROM pairs p
+            JOIN embeddings a ON a.vec_id = p.id_a
+            JOIN embeddings b ON b.vec_id = p.id_b
+            WHERE {_COS_SQL} >= {_SEMDEDUP_TAU}
+        )
+        SELECT c.cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(d.pruned_id) AS BIGINT) AS n_pruned
+        FROM assign c
+        LEFT JOIN dup d ON d.cluster = c.cluster AND d.pruned_id = c.vec_id
+        GROUP BY c.cluster
+        ORDER BY c.cluster
+    """,
+    tags=("llm", "curation", "semdedup", "embedding"),
+)
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup semantic pruning, Abbas et al. 2023 —
+    public method): embeddings are clustered by the shared quantized coarse
+    quantizer, cosine near-duplicate pairs are found ONLY within clusters,
+    and each cluster keeps the lowest-id member of every near-dup pair
+    (pruned = has a smaller-id in-cluster neighbor above tau=0.40).  Output
+    is the per-cluster census (members, pruned).
+
+    This is the curation shape that makes semantic dedup linear-ish at
+    100 TB: clustering bounds the quadratic — per-cluster pairs cost
+    sum(|cluster|^2), never corpus^2, and clusters are independently
+    parallel (the same reason IVF bounds ANN scoring).  The pair scoring
+    reuses the fold cosine, so the whole pipeline value-gates."""
+    assign = _quantized_label_assign(spark, sf_dir).select("vec_id", "cluster")
+    e = t(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = assign.select(F.col("vec_id").alias("id_a"), "cluster")
+    b = assign.select(F.col("vec_id").alias("id_b"), "cluster")
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    scored = (
+        pairs.join(
+            F.broadcast(vec.select(F.col("vec_id").alias("id_a"),
+                                   F.col("vec").alias("va"),
+                                   F.col("nrm").alias("na"))), "id_a")
+        .join(
+            F.broadcast(vec.select(F.col("vec_id").alias("id_b"),
+                                   F.col("vec").alias("vb"),
+                                   F.col("nrm").alias("nb"))), "id_b")
+        .select(
+            "cluster", "id_b",
+            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            .alias("cos_sim"),
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
+    )
+    dup = (
+        scored.filter((F.col("cos_sim") >= _SEMDEDUP_TAU) | (F.col("_barrier") < 0))
+        .select(
+            F.col("cluster").alias("dcluster"),
+            F.col("id_b").alias("pruned_id"),
+        )
+        .distinct()
+    )
+    return (
+        assign.join(
+            dup,
+            (F.col("dcluster") == F.col("cluster"))
+            & (F.col("pruned_id") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("pruned_id").alias("n_pruned"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q_emb_outliers",
+    oracle=f"""
+        WITH {_KM_ASSIGN_CTES}
+        SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2q
+        FROM assign
+        ORDER BY d2 DESC, vec_id
+        LIMIT 20
+    """,
+    tags=("llm", "curation", "outlier", "embedding"),
+)
+def q_emb_outliers(spark, sf_dir):
+    """Embedding outlier screen: the 20 vectors farthest (quantized L2)
+    from their own nearest centroid — the standard curation filter for
+    mislabeled / out-of-distribution examples before training.  One
+    broadcast-join distance pass + a global top-20 (TakeOrdered, no full
+    sort); all-integer distances make the ranking engine-exact."""
+    return (
+        _quantized_label_assign(spark, sf_dir)
+        .select("vec_id", "cluster", F.col("d2").alias("d2q"))
+        .orderBy(F.desc("d2q"), "vec_id")
+        .limit(20)
+    )

@@ -108,14 +108,15 @@ _GATED_PRIOR_ROUNDS = frozenset({
     "q_first_last_window", "q_correlated_subquery", "q_click_trigrams",
     "q_yoy_growth", "q_autocorrelation", "q_distribution_drift",
     "q_linreg_by_group", "q_null_aware_anti", "q_ab_test_lift",
-    # r3 rows-only that ran under the gate with stable counts and stay
-    # rows-only by declaration (driver-loop / non-replayable math):
-    "q_kmeans_iterate", "q_whatif_capacity_grid",
+    # r3 rows-only that ran under the gate with a stable count and stays
+    # rows-only by declaration (Plane-A Arrow math, not SQL-expressible):
+    "q_whatif_capacity_grid",
     # NOTE: q_dedup_minhash_lsh / q_dedup_simhash / q_emb_lsh_ann /
-    # q_emb_ivf_ann ran rows-only in r3 but are deliberately ABSENT: this
-    # round they gained DuckDB-replayable oracles (md5-derived hashes, see
-    # operators/dedup.py + similarity.py) and must re-enter the gate front
-    # to earn a value-verified green row.
+    # q_emb_ivf_ann / q_kmeans_iterate ran rows-only in r3 but are
+    # deliberately ABSENT: in round 4 they gained DuckDB-replayable oracles
+    # (md5-derived hashes, unrolled quantized Lloyd SQL — see
+    # operators/dedup.py, similarity.py, multimodal.py) and must re-enter
+    # the gate front to earn value-verified green rows.
 })
 
 
@@ -196,6 +197,8 @@ _SF001_SEC_PAIRS = [
     ("q_price_elasticity", 1.75), ("q_skew_advisor", 1.29),
     ("q_sla_attainment", 1.05), ("q_tfidf_cosine_pairs", 2.02),
     ("q_distribution_drift", 0.64),
+    # round-4 session additions + re-measured conversions (sf0.01, warm)
+    ("q_semdedup_prune", 1.3), ("q_emb_outliers", 0.6),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
