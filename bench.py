@@ -76,13 +76,12 @@ def main() -> int:
         except Exception as exc:  # a failing query is a benchmark failure
             print(f"FAIL {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
-        # a few operators mark .cache() inside their builders (shingle
-        # reuse, iterative label propagation); left in place they accumulate
-        # across the ~150-query run and tax every LATER query's GC — the
-        # r3 drift investigation measured late-position queries 3-5x their
-        # fresh-JVM cost.  Clearing BETWEEN queries (not between the two
-        # runs of one query) keeps min-of-2 semantics while isolating
-        # queries from each other's storage footprint.
+        # belt-and-braces since round 4: operators no longer pin RDDs
+        # (plans._helpers.eager_checkpoint + finally-released loop caches,
+        # enforced by tests/test_cache_hygiene.py), but clearing BETWEEN
+        # queries keeps the bench isolated from any future regression —
+        # the r3 drift investigation measured late-position queries 3-5x
+        # their fresh-JVM cost when storage accumulated.
         spark.catalog.clearCache()
 
     # Plane-A estimator throughput: 20k scenarios in one DataFrame pass

@@ -60,6 +60,13 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     subtrees prefer no pinning at all — identical Exchange subtrees are
     deduplicated by Catalyst for free.
     """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # the driver gate builds queries with ITS OWN SparkSession (not our
+        # session factory), which has no checkpoint dir — mirror the
+        # factory's default so the operator works under any session
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        sc.setCheckpointDir(os.path.join(repo_root, "spark-warehouse", "_checkpoints"))
     cached = df.cache()
     out = cached.checkpoint(eager=True)
     cached.unpersist()
