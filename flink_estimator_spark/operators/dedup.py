@@ -133,12 +133,12 @@ def jaccard_pairs(
     Shingles arrive pre-hashed from ``shingle_df`` (8-byte join keys — an
     order of magnitude less shuffle than the strings at corpus scale).
     """
-    # materialized once with zero persistent-RDD footprint: three consumers
-    # (sizes + both join sides) would otherwise race the cache blocks within
-    # one action and recompute the explode+distinct (the r3 verdict's
-    # session-hygiene item: operator-internal .cache() pins were never
-    # released and taxed every later query's GC)
-    sh = eager_checkpoint(shingle_df(df, id_col, text_col, n, partition_by_shingle=True))
+    # deliberately UNPINNED: the three consumers (sizes + both join sides)
+    # share the repartition-by-shingle Exchange, which Catalyst deduplicates
+    # via ReusedExchange within the single action — measured fastest at
+    # sf0.1 (no-pin 1.56 s vs r3's leaky .cache() 1.68 s vs reliable
+    # checkpoint 2.25 s, min-of-3) with zero persistent-RDD footprint
+    sh = shingle_df(df, id_col, text_col, n, partition_by_shingle=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -893,9 +893,10 @@ def q_simhash_recall(spark, sf_dir):
     the production contiguous banding (wrong shift/mask/width) would make
     the two candidate sets disagree and fail the left-anti check."""
     d = t(spark, sf_dir, "documents")
-    # one simhash pass feeds both banding layouts (eager_checkpoint: n_docs
-    # rows of (id, long), nothing pinned afterwards)
-    sig = eager_checkpoint(simhash(d))
+    # one simhash pass feeds both banding layouts; unpinned — the shared
+    # token-explode Exchange is ReusedExchange'd inside the single action
+    # (measured 3.33 s unpinned vs 3.88 s checkpointed at sf0.1)
+    sig = simhash(d)
     close = _interleaved_close_pairs(spread(sig, "doc_id"))
     cand = simhash_candidates(d, sig=sig).select(
         "id_a", "id_b", F.lit(1).alias("hit")
@@ -949,7 +950,8 @@ def prefix_jaccard_pairs(
     from pyspark.sql import Window as W
 
     c, d = threshold_num, threshold_den
-    sh = eager_checkpoint(shingle_df(df, id_col, text_col, n))
+    # unpinned: shared-subtree reuse via ReusedExchange (see jaccard_pairs)
+    sh = shingle_df(df, id_col, text_col, n)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     wdoc = W.partitionBy(id_col)
     ranked = sh.join(freq, "shingle").select(
@@ -1137,9 +1139,8 @@ def q_containment_pairs(spark, sf_dir):
     for the candidate step is the same prefix filter (prefix length
     |x| - ceil(t|x|) + 1 holds for containment too, ordering by frequency
     on the CONTAINED side)."""
-    sh = eager_checkpoint(
-        shingle_df(t(spark, sf_dir, "documents"), partition_by_shingle=True)
-    )
+    # unpinned: shared-subtree reuse via ReusedExchange (see jaccard_pairs)
+    sh = shingle_df(t(spark, sf_dir, "documents"), partition_by_shingle=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans._helpers import eager_checkpoint, spread, t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 
 MEDIA_SCHEMA = T.StructType(
@@ -304,9 +304,11 @@ def phash_candidates(media: DataFrame, max_hamming: int = 7) -> DataFrame:
         raise ValueError(
             f"banding guarantees hamming < {_PHASH_BANDS}; got {max_hamming}"
         )
-    # one decode+fingerprint pass feeds both band-join sides; zero
-    # persistent-RDD footprint afterwards (r3 verdict session hygiene)
-    fp = eager_checkpoint(phash_fingerprints(media))
+    # unpinned: both band-join sides hash-shuffle the SAME (band, key)
+    # projection of the fingerprint stage, so ReusedExchange runs the
+    # Python decode once inside the single action (measured ~equal to a
+    # reliable checkpoint warm, much better cold, zero pins)
+    fp = phash_fingerprints(media)
     bands = fp.select(
         "media_id",
         "phash",
