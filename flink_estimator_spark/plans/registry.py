@@ -153,11 +153,11 @@ _SF001_SEC_PAIRS = [
     ("q_emb_cosine_topk", 1.2), ("q_fuzzy_name_pairs", 1.3),
     ("q11_important_parts", 1.4), ("q20_majority_shippers", 1.5),
     ("q2_min_cost_supplier", 1.6), ("q_emb_ivf_recall", 1.7),
-    ("q_whatif_capacity_grid", 1.7), ("q_dedup_minhash_lsh", 1.9),
+    ("q_whatif_capacity_grid", 1.7), ("q_dedup_minhash_lsh", 1.11),
     ("q_minhash_recall", 2.0), ("q_grouped_pandas_minmax", 2.2),
-    ("q_simhash_recall", 2.4), ("q_emb_ivf_ann", 2.5),
-    ("q_dedup_simhash", 2.7), ("q_dedup_clusters", 2.9),
-    ("q_emb_lsh_recall", 3.8), ("q_emb_lsh_ann", 4.5),
+    ("q_simhash_recall", 2.4), ("q_emb_ivf_ann", 0.8),
+    ("q_dedup_simhash", 1.51), ("q_dedup_clusters", 2.9),
+    ("q_emb_lsh_recall", 3.8), ("q_emb_lsh_ann", 2.56),
     ("q_dedup_jaccard_pairs", 5.0),
     # round-3 session additions (measured sf0.01, min-of-2, warm JVM)
     ("q_share_of_total", 0.3), ("q_train_split", 0.35),
@@ -181,11 +181,11 @@ _SF001_SEC_PAIRS = [
     ("q_correlated_subquery", 0.52), ("q_lateral_topn", 0.42),
     ("q_lang_balance", 0.88), ("q_repeated_ngrams", 1.0),
     ("q_union_by_name_drift", 0.94), ("q_containment_pairs", 2.1),
-    ("q_winsorized_stats", 0.96), ("q_multimodal_phash", 2.28),
+    ("q_winsorized_stats", 0.96), ("q_multimodal_phash", 0.99),
     ("q_variant_extract", 0.72), ("q_time_weighted_avg", 0.88),
     ("q_audience_overlap", 1.0), ("q_abc_by_brand", 0.86),
     ("q_ts_pattern_match", 0.7), ("q_budget_allocation", 1.16),
-    ("q_geo_radius_join", 0.99), ("q_bpe_merges", 4.0),
+    ("q_geo_radius_join", 0.99), ("q_bpe_merges", 1.02),
     ("q_null_ordering", 0.68), ("q_interval_union", 0.84),
     ("q_mutual_information", 1.25), ("q_benford_audit", 1.03),
     ("q_attribution_linear", 1.07), ("q_asof_nearest", 0.82),
@@ -198,7 +198,8 @@ _SF001_SEC_PAIRS = [
     ("q_sla_attainment", 1.05), ("q_tfidf_cosine_pairs", 2.02),
     ("q_distribution_drift", 0.64),
     # round-4 session additions + re-measured conversions (sf0.01, warm)
-    ("q_semdedup_prune", 1.3), ("q_emb_outliers", 0.6),
+    ("q_semdedup_prune", 0.72), ("q_emb_outliers", 0.52),
+    ("q_kmeans_iterate", 2.2),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
