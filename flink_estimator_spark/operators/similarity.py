@@ -1483,6 +1483,25 @@ def q_geo_radius_join(spark, sf_dir):
 _SEMDEDUP_TAU = 0.40
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """(clabel, pos, c): per-label floor-quantized mean centroids — the
+    shared coarse quantizer's codebook (q_emb_centroids arithmetic)."""
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                .cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("c")
+        )
+    )
+
+
 def _quantized_label_assign(spark, sf_dir):
     """(vec_id, cluster): every vector assigned to its quantized-L2-nearest
     label-seeded centroid — the shared coarse quantizer (q_kmeans_assign /

@@ -1220,3 +1220,84 @@ def test_windowed_cms_stream_matches_batch(spark, stream_dir, tmp_path):
     )
     global_grid = {(r["row_i"], r["bucket"]): r["c"] for r in global_df.collect()}
     assert dict(merged) == global_grid
+
+
+def test_semdedup_screen_stream_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup ingest screen: arriving embeddings flagged
+    against the standing corpus (cluster-bounded cosine check) must match
+    the batch run row-for-row, and the batch run must agree with an
+    independent brute-force within-cluster formulation."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import time as _time
+
+    from flink_estimator_spark.streaming import (
+        documents_stream,
+        screen_embeddings_against_corpus,
+    )
+    from flink_estimator_spark.sources.tables import read_table
+
+    emb = read_table(spark, os.path.join(SF_SMALL, "embeddings.parquet"))
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    arriving = emb.filter(F.col("vec_id") % 10 == 0)
+    pdf = arriving.toPandas().sort_values("vec_id")
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    half = len(pdf) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False),
+                        str(d / f"part-{i:03d}.parquet"))
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(str(d)))):
+        os.utime(str(d / f), (now + i, now + i))
+
+    stream = documents_stream(spark, str(d))  # schema-agnostic parquet stream
+    out = _run_stream(
+        spark, screen_embeddings_against_corpus(stream, corpus),
+        "semdedup_screen_out", tmp_path,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    exp = sorted(
+        tuple(r) for r in screen_embeddings_against_corpus(arriving, corpus).collect()
+    )
+    assert got == exp
+
+    # independent brute-force check: assigned cluster via the batch window
+    # argmin + ANY in-cluster cosine >= tau, formulated with a groupBy
+    from flink_estimator_spark.operators.similarity import cosine_pre, norm
+    from flink_estimator_spark.streaming.curation import _quantized_d2
+    from flink_estimator_spark.operators.similarity import label_centroids
+
+    cent_rows = sorted(
+        (r["clabel"], r["pos"], r["c"]) for r in label_centroids(corpus).collect()
+    )
+    k = max(c for c, _, _ in cent_rows) + 1
+    dim = max(p for _, p, _ in cent_rows) + 1
+    codebook = {cid: [0.0] * dim for cid in range(k)}
+    for cid, pos, c in cent_rows:
+        codebook[cid][pos] = c
+
+    def assign(df):
+        choices = F.array(*[
+            F.struct(_quantized_d2(F.col("embedding"), codebook[cid]).alias("d2"),
+                     F.lit(cid).alias("cid"))
+            for cid in range(k)
+        ])
+        return df.withColumn("cluster", F.array_min(choices)["cid"])
+
+    a = assign(arriving).select(
+        F.col("vec_id").alias("a_id"), F.col("cluster").alias("a_cl"),
+        F.col("embedding").alias("a_vec"), norm(F.col("embedding")).alias("a_nrm"))
+    m = assign(corpus).select(
+        F.col("vec_id").alias("m_id"), F.col("cluster").alias("m_cl"),
+        F.col("embedding").alias("m_vec"), norm(F.col("embedding")).alias("m_nrm"))
+    brute = (
+        a.join(m, (F.col("a_cl") == F.col("m_cl")) & (F.col("a_id") != F.col("m_id")), "left")
+        .withColumn("cos", cosine_pre(F.col("a_vec"), F.col("m_vec"),
+                                      F.col("a_nrm"), F.col("m_nrm")))
+        .groupBy("a_id", "a_cl")
+        .agg(F.max(F.when(F.col("cos") >= 0.40, 1).otherwise(0)).alias("dup"))
+    )
+    brute_map = {r["a_id"]: bool(r["dup"]) for r in brute.collect()}
+    got_map = {r[0]: r[2] for r in out.collect()}
+    assert got_map == brute_map
