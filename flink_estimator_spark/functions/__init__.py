@@ -51,3 +51,12 @@ from ..operators.bloom import bloom_build, bloom_might_contain, bloom_prefilter 
 from ..operators.dedup import prefix_jaccard_pairs  # noqa: F401
 from ..sources.formats import read_xml, write_xml  # noqa: F401
 from ..streaming.dedup import screen_against_ledger  # noqa: F401
+
+# round-4 additions (this session)
+from ..plans._helpers import eager_checkpoint  # noqa: F401
+from ..operators.dedup import md5_word  # noqa: F401
+from ..operators.similarity import label_centroids  # noqa: F401
+from ..operators.bpe import bpe_train  # noqa: F401
+from ..streaming.dedup import screen_docs_against_corpus  # noqa: F401
+from ..streaming.curation import screen_embeddings_against_corpus  # noqa: F401
+from ..streaming.sketches import windowed_cms_cells  # noqa: F401
