@@ -1,0 +1,81 @@
+"""Partitioning invariance — the 100 TB correctness claim, tested.
+
+SCALE.md's central cross-engine discipline is that every value-sensitive
+reduction (DECIMAL sums, floor-quantized BIGINT terms, integer folds) is
+ORDER-INDEPENDENT, so results do not depend on data layout: shuffle
+partition count, scan split sizes, or AQE coalescing.  On a real cluster
+those knobs all change with cluster size and file layout — a query whose
+answer moves with them is silently wrong at scale even if it gate-matches
+at one fixed local configuration.
+
+These tests re-run a value-sensitive sample of the registry under a very
+different shuffle-partition count and under tiny scan splits (forcing a
+different input-split decomposition), and require bit-identical collected
+results.  The sample deliberately covers each arithmetic family: DECIMAL
+money sums cast to double, floor-quantized OLS/centroid math, fold-based
+cosine scores, md5-portable LSH candidate sets, the unrolled quantized
+Lloyd loop, exact integral division, and quantized entropy sums.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_estimator_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMALL
+
+# one query per arithmetic family (keep the list small: every entry runs
+# three times under different layouts)
+SAMPLE = [
+    "q1_pricing_summary",      # DECIMAL(18,2) sums -> double
+    "q_linreg_by_group",       # DECIMAL(38,0) moments, floor-quantized slope
+    "q_emb_centroids",         # floor-quantized BIGINT component means
+    "q_emb_lsh_ann",           # fold cosine + md5-portable buckets
+    "q_dedup_minhash_lsh",     # md5-word signatures + band joins
+    "q_kmeans_iterate",        # unrolled quantized iterative loop
+    "q_time_weighted_avg",     # exact integral division (div / HUGEINT //)
+    "q_token_entropy",         # quantized 1e-6 log terms summed as BIGINT
+    "q_tfidf_cosine_pairs",    # integer weights, DECIMAL dots, quantized cos
+    "q_autocorrelation",       # DECIMAL(38,0) paired moments
+]
+
+
+def _rows(spark, name):
+    return sorted(tuple(r) for r in QUERIES[name].builder(spark, SF_SMALL).collect())
+
+
+@pytest.fixture(scope="module")
+def baseline(spark):
+    return {name: _rows(spark, name) for name in SAMPLE}
+
+
+@pytest.fixture()
+def restore_conf(spark):
+    keys = ["spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes"]
+    prev = {k: spark.conf.get(k) for k in keys}
+    yield spark
+    for k, v in prev.items():
+        spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_invariant_under_shuffle_partition_count(restore_conf, baseline, name):
+    spark = restore_conf
+    spark.conf.set("spark.sql.shuffle.partitions", "7")  # coprime with 32
+    assert _rows(spark, name) == baseline[name], (
+        f"{name}: result depends on shuffle partition count — an"
+        " order-dependent reduction leaked in"
+    )
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_invariant_under_tiny_scan_splits(restore_conf, baseline, name):
+    spark = restore_conf
+    # force many input splits: different per-task row subsets feed every
+    # partial aggregate
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    assert _rows(spark, name) == baseline[name], (
+        f"{name}: result depends on scan split layout — an order-dependent"
+        " reduction leaked in"
+    )
