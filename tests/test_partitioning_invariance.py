@@ -79,3 +79,22 @@ def test_invariant_under_tiny_scan_splits(restore_conf, baseline, name):
         f"{name}: result depends on scan split layout — an order-dependent"
         " reduction leaked in"
     )
+
+
+@pytest.fixture()
+def restore_aqe(spark):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_invariant_with_aqe_disabled(restore_aqe, baseline, name):
+    """AQE re-plans at runtime (partition coalescing, join strategy swaps);
+    results must not move when it is switched off — the baseline ran with
+    the session default (AQE on)."""
+    spark = restore_aqe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    assert _rows(spark, name) == baseline[name], (
+        f"{name}: result depends on adaptive execution"
+    )
