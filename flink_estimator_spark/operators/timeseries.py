@@ -562,7 +562,8 @@ _TS_PATTERN = [1_000_000 * (i + 1) for i in range(7)]
             FROM frames f JOIN pat p USING (idx)
             WHERE n_win = 7
             GROUP BY day_us)
-        SELECT day_us, CAST(d2 AS DECIMAL(38,0)) AS dist2
+        SELECT day_us,
+               CAST(CAST(d2 AS HUGEINT) // 1000 AS BIGINT) AS dist2_q3
         FROM dist
         ORDER BY d2, day_us
         LIMIT 10
@@ -598,11 +599,19 @@ def q_ts_pattern_match(spark, sf_dir):
         "CAST(x - y AS DECIMAL(19,0)) * CAST(x - y AS DECIMAL(19,0))), "
         "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"
     )
+    # output quantized to 1e3 via exact integral division: raw d2 reaches
+    # 1.27e19 at sf0.1 (> BIGINT), and raw DECIMAL(38,0) output is the one
+    # dtype the cross-engine comparison stack treats asymmetrically
+    # (DuckDB's pandas bridge degrades wide decimals to float64) — the
+    # repo-wide no-raw-decimal-outputs rule, now enforced by
+    # tests/test_oracle_types.py::test_no_decimal_outputs
     return (
         framed.withColumn("pat", pat)
-        .select("day_us", d2.cast("decimal(38,0)").alias("dist2"))
-        .orderBy("dist2", "day_us")
+        .withColumn("d2", d2.cast("decimal(38,0)"))
+        .orderBy("d2", "day_us")
         .limit(10)
+        .select("day_us", F.expr("d2 div 1000").alias("dist2_q3"))
+        .orderBy("dist2_q3", "day_us")
     )
 
 
@@ -708,7 +717,7 @@ def q_interval_union(spark, sf_dir):
             SELECT day_us, c_scaled, abs(c_scaled) AS a
             FROM cusum)
         SELECT day_us,
-               CAST(c_scaled AS DECIMAL(38,0)) AS cusum_scaled
+               CAST(c_scaled AS BIGINT) AS cusum_scaled
         FROM scored
         ORDER BY a DESC, day_us
         LIMIT 5
@@ -740,9 +749,11 @@ def q_change_point(spark, sf_dir):
     cusum = with_day.select(
         "day_us", F.sum("dev").over(W.orderBy("day_us")).alias("c_scaled")
     )
+    # BIGINT output (max |c_scaled| ~3e13 at sf0.1 — 1e5x headroom); raw
+    # DECIMAL outputs are banned repo-wide (see q_ts_pattern_match note)
     return (
         cusum.select(
-            "day_us", F.col("c_scaled").cast(d38).alias("cusum_scaled")
+            "day_us", F.col("c_scaled").cast("bigint").alias("cusum_scaled")
         )
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day_us")
         .limit(5)

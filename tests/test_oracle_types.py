@@ -108,3 +108,18 @@ def test_no_timestamp_outputs(spark):
             if "timestamp" in f.dataType.simpleString():
                 offenders.append(f"{name}.{f.name}")
     assert not offenders, offenders
+
+
+def test_no_decimal_outputs(spark):
+    """Repo rule (round 4): no raw DECIMAL columns in query output.  The
+    engines agree on DECIMAL arithmetic internally, but the comparison
+    stacks around them do not — DuckDB's pandas bridge degrades wide
+    decimals to float64 while Spark keeps Decimal objects — so any decimal
+    survives only as an intermediate; outputs are BIGINT (exact integral
+    division / quantization) or DOUBLE (one final cast)."""
+    offenders = []
+    for name in ORACLED:
+        for f in _spark_fields(spark, name):
+            if "decimal" in f.dataType.simpleString():
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
