@@ -1676,3 +1676,97 @@ def q_emb_outliers(spark, sf_dir):
         .orderBy(F.desc("d2q"), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "q_triplet_mining",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 30
+        ),
+        scored AS (
+            SELECT b.vec_id AS anchor_id, b.label AS a_label,
+                   a.vec_id AS cand_id, a.label AS c_label,
+                   {_COS_SQL} AS cos_sim
+            FROM embeddings a, anchors b
+            WHERE a.vec_id != b.vec_id
+        ),
+        pos AS (
+            SELECT anchor_id, cand_id AS pos_id, cos_sim AS pos_cos FROM (
+                SELECT anchor_id, cand_id, cos_sim,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY cos_sim DESC, cand_id) AS rk
+                FROM scored WHERE a_label = c_label
+            ) WHERE rk = 1
+        ),
+        neg AS (
+            SELECT anchor_id, cand_id AS neg_id, cos_sim AS neg_cos FROM (
+                SELECT anchor_id, cand_id, cos_sim,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY cos_sim DESC, cand_id) AS rk
+                FROM scored WHERE a_label != c_label
+            ) WHERE rk = 1
+        )
+        SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+               p.pos_cos - n.neg_cos AS margin
+        FROM pos p JOIN neg n USING (anchor_id)
+        ORDER BY anchor_id
+    """,
+    tags=("llm", "curation", "triplet", "embedding", "training"),
+)
+def q_triplet_mining(spark, sf_dir):
+    """Hard-negative triplet mining — the contrastive-training data prep
+    step (anchor, hardest positive, hardest negative): for each of the
+    first 30 anchor vectors, the most-similar SAME-label vector and the
+    most-similar DIFFERENT-label vector (the hard negative that makes the
+    margin informative), plus the resulting margin.  One broadcast of the
+    bounded anchor side against a full corpus scan (linear, the
+    cosine_topk shape), two per-anchor argmax windows — at production
+    scale the candidate set comes from the ANN paths (lsh_ann / ivf_ann)
+    instead of the full scan, identical downstream.  Fold-cosine scores
+    and one exact double subtraction keep every value engine-exact."""
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_vec"),
+        norm(F.col("embedding")).alias("a_nrm"),
+    )
+    cands = spread(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_nrm"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "a_label", "cand_id", "c_label",
+            cosine_pre(F.col("a_vec"), F.col("c_vec"),
+                       F.col("a_nrm"), F.col("c_nrm")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "cand_id")
+    pos = (
+        scored.filter(F.col("a_label") == F.col("c_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"),
+                F.col("cos_sim").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(F.col("a_label") != F.col("c_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"),
+                F.col("cos_sim").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id", "pos_id", "neg_id", "pos_cos", "neg_cos",
+            (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

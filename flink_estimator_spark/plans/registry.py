@@ -199,7 +199,7 @@ _SF001_SEC_PAIRS = [
     ("q_distribution_drift", 0.64),
     # round-4 session additions + re-measured conversions (sf0.01, warm)
     ("q_semdedup_prune", 0.72), ("q_emb_outliers", 0.52),
-    ("q_kmeans_iterate", 2.2),
+    ("q_kmeans_iterate", 2.2), ("q_triplet_mining", 0.9),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

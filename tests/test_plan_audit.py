@@ -70,6 +70,7 @@ ALLOWED_CROSS = {
     "q_emb_ivf_recall",
     "q_dedup_embedding",
     "q_emb_quantized_topk",  # bounded broadcast query side x linear scan
+    "q_triplet_mining",  # bounded broadcast anchor side x linear scan
     "q_range_join_bands",
     "q22_idle_balances",
     "q_scalar_subquery",
