@@ -803,8 +803,9 @@ def q_minhash_recall(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # fused into ONE action (r3 verdict item 3 re-tune): the r2-era "49 s
     # fused vs 14 s staged" pathology was cached shingle sub-plans racing
-    # within one job — jaccard_pairs now materializes its shingle table via
-    # eager_checkpoint internally, so nothing races and the extra staging
+    # within one job — jaccard_pairs now leaves its shingle subtrees
+    # UNPINNED; within this single fused action the identical subtrees
+    # deduplicate via ReusedExchange, so nothing races and the extra staging
     # materializations stopped paying (fresh-measure at sf0.1, min-of-3
     # under the per-query clearCache regime: fused 2.75 s vs staged 4.03 s)
     exact = jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")

@@ -62,11 +62,17 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        # the driver gate builds queries with ITS OWN SparkSession (not our
-        # session factory), which has no checkpoint dir — mirror the
-        # factory's default so the operator works under any session
+        # The driver gate builds queries with ITS OWN SparkSession (not our
+        # session factory), which has no checkpoint dir — and, unlike the
+        # factory, almost certainly lacks
+        # spark.cleaner.referenceTracking.cleanCheckpoints, so files written
+        # by iterative operators would accumulate for the session lifetime.
+        # Mitigation: key the fallback dir by applicationId so each foreign
+        # session's leftovers are an isolated subdirectory that the factory
+        # (session.py) prunes on next startup (ADVICE r4).
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        sc.setCheckpointDir(os.path.join(repo_root, "spark-warehouse", "_checkpoints"))
+        sc.setCheckpointDir(os.path.join(
+            repo_root, "spark-warehouse", "_checkpoints", sc.applicationId))
     cached = df.cache()
     out = cached.checkpoint(eager=True)
     cached.unpersist()

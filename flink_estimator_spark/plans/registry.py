@@ -117,6 +117,24 @@ _GATED_PRIOR_ROUNDS = frozenset({
     # (md5-derived hashes, unrolled quantized Lloyd SQL — see
     # operators/dedup.py, similarity.py, multimodal.py) and must re-enter
     # the gate front to earn value-verified green rows.
+    # --- round 4 greens (CORRECTNESS_r04: 50/50 value-verified) ---
+    "q_emb_outliers", "q_cms_heavy_hitters", "q_null_ordering",
+    "q_ts_pattern_match", "q_ref_integrity", "q_semdedup_prune",
+    "q_variant_extract", "q_conversion_latency", "q_bloom_join_prune",
+    "q_emb_ivf_ann", "q_asof_nearest", "q_interval_union", "q_abc_by_brand",
+    "q_seasonal_index", "q_lang_balance", "q_max_concurrency",
+    "q_time_weighted_avg", "q_running_anomaly", "q_triplet_mining",
+    "q_basket_rules", "q_union_by_name_drift", "q_change_point",
+    "q_cohort_retention", "q_winsorized_stats", "q_gini_by_nation",
+    "q_length_buckets", "q_incremental_dedup", "q_geo_radius_join",
+    "q_multimodal_phash", "q_rfm_by_nation", "q_audience_overlap",
+    "q_repeated_ngrams", "q_snapshot_diff", "q_benford_audit",
+    "q_sla_attainment", "q_count_window", "q_attribution_linear",
+    "q_emb_quantized_topk", "q_forget_cascade", "q_bm25_search",
+    "q_dedup_minhash_lsh", "q_new_vs_returning", "q_event_transitions",
+    "q_survival_steps", "q_copurchase_pairs", "q_budget_allocation",
+    "q_mutual_information", "q_order_streaks", "q_skew_advisor",
+    "q_dedup_simhash",
 })
 
 

@@ -76,7 +76,17 @@ def get_spark(
         # and executor-loss-safe on a real cluster; the dir is gitignored
         # (on a cluster this would be an HDFS/S3 path)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(repo_root, "spark-warehouse", "_checkpoints")
-        )
+        ckpt_root = os.path.join(repo_root, "spark-warehouse", "_checkpoints")
+        # Foreign sessions (the driver gate) lack the cleanCheckpoints
+        # cleaner, so eager_checkpoint parks their files under
+        # _checkpoints/<applicationId> (plans/_helpers.py).  Those sessions
+        # never run concurrently with a factory session — prune their
+        # leftovers here so the disk footprint is bounded (ADVICE r4).
+        import shutil
+        if os.path.isdir(ckpt_root):
+            for sub in os.listdir(ckpt_root):
+                if sub.startswith(("local-", "app-")):
+                    shutil.rmtree(os.path.join(ckpt_root, sub),
+                                  ignore_errors=True)
+        spark.sparkContext.setCheckpointDir(ckpt_root)
     return spark

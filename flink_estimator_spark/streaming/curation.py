@@ -61,9 +61,13 @@ def screen_embeddings_against_corpus(
     cent_rows = sorted(
         ((r["clabel"], r["pos"], r["c"]) for r in label_centroids(corpus).collect())
     )
-    k = max(cid for cid, _, _ in cent_rows) + 1
+    # Codebook keys are the labels ACTUALLY PRESENT in the corpus, not
+    # range(max_label+1): a gap in label ids must not yield a phantom
+    # all-zero centroid that could win the argmin — the batch
+    # _quantized_label_assign only ranks present labels (ADVICE r4).
+    labels = sorted({cid for cid, _, _ in cent_rows})
     dim = max(pos for _, pos, _ in cent_rows) + 1
-    codebook: dict[int, list[float]] = {cid: [0.0] * dim for cid in range(k)}
+    codebook: dict[int, list[float]] = {cid: [0.0] * dim for cid in labels}
     for cid, pos, c in cent_rows:
         codebook[cid][pos] = c
 
@@ -75,7 +79,7 @@ def screen_embeddings_against_corpus(
                     _quantized_d2(F.col(vec_col), codebook[cid]).alias("d2"),
                     F.lit(cid).alias("cid"),
                 )
-                for cid in range(k)
+                for cid in labels
             ]
         )
         return df.withColumn("cluster", F.array_min(choices)["cid"])
