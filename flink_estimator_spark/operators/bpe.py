@@ -9,11 +9,14 @@ learning iteration is then
   1. a relational weighted bigram count over the symbolized vocabulary
      (explode adjacent symbol pairs x word freq; partial-combined
      aggregate, so only (pair, count) partials shuffle),
-  2. a driver-side argmax of ONE row (the best pair — scalar, like the
-     convergence counts in connected components / k-means), and
-  3. a vocabulary-local merge of that pair (Arrow-batched pandas UDF over
-     the vocab table — per-word, no shuffle, and bounded by |vocab| not
-     corpus size; this is the step real trainers also do in-memory).
+  2. a driver-side read of scalar control data (top-K candidate pairs +
+     per-symbol neighbor maxima — like the convergence counts in connected
+     components / k-means) from which a BATCH of provably
+     sequential-equivalent merges is accepted (``_accept_batch``), and
+  3. a vocabulary-local application of the whole batch (one Arrow-batched
+     pandas UDF pass over the vocab table — per-word, no shuffle, and
+     bounded by |vocab| not corpus size; this is the step real trainers
+     also do in-memory).
 
 Ties break (count desc, pair lexicographic) so the learned merge list is
 deterministic in any engine/partitioning.  The differential oracle is a
@@ -87,28 +90,87 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
 
 
-def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    """Vocabulary-local merge of (a, b) -> ab: left-to-right, standard BPE
-    greedy semantics, per word in an Arrow batch."""
+def _merge_pairs(vocab: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Vocabulary-local application of an ORDERED merge batch: each (a, b)
+    -> ab left-to-right (standard BPE greedy semantics), applied in list
+    order per word within one Arrow pass — identical vocab state to
+    applying the merges one at a time, at 1/len(pairs) the passes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             merged = []
             for syms in pdf["syms"]:
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
+                out = list(syms)
+                for a, b in pairs:
+                    nxt, i, n = [], 0, len(out)
+                    while i < n:
+                        if i + 1 < n and out[i] == a and out[i + 1] == b:
+                            nxt.append(a + b)
+                            i += 2
+                        else:
+                            nxt.append(out[i])
+                            i += 1
+                    out = nxt
                 merged.append(out)
             yield pd.DataFrame(
                 {"word": pdf["word"], "freq": pdf["freq"], "syms": merged}
             )
 
     return vocab.mapInPandas(run, SYMS_SCHEMA)
+
+
+def _accept_batch(
+    top_rows: list[tuple[str, str, int]],
+    left_max: dict[str, int],
+    right_max: dict[str, int],
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the (count desc, pair lex)-sorted candidates that
+    is PROVABLY the next merges sequential BPE would pick — the exactness
+    core of batched BPE (the classic parallel-tokenizer-training trick,
+    made conservative enough to keep the differential oracle bit-exact).
+
+    Candidate j joins the batch iff
+
+    * its symbols are disjoint from every earlier accepted merge's symbols
+      AND their concatenations (so its count cannot have been decremented,
+      and it cannot alias a symbol an earlier merge creates), and
+    * its count strictly exceeds every earlier accepted merge's new-pair
+      bound B_i = min(n_i, max(left_max[a_i], right_max[b_i])): a merge
+      (a,b)->ab only creates pairs (x,ab) with count <= count(x,a) <=
+      left_max[a] and (ab,y) with count <= count(b,y) <= right_max[b]
+      (each such occurrence consumes one (a,b) occurrence, hence also
+      <= n_i) — so nothing a prior batch member creates can outrank
+      candidate j, and ties (which lexicographic order could flip) are
+      excluded by strictness.
+
+    One more hazard closes the proof: if an accepted merge's concatenation
+    a+b ALIASES a pre-existing symbol (string-equal token built by an
+    earlier round via a different parse — "the" from ("t","he") vs
+    ("th","e")), pre-existing pairs (x,ab)/(ab,y) GAIN count when the
+    merge runs, and gained-count = old + created can exceed the cap bound
+    (which only limits freshly-created pairs).  left_max/right_max key
+    exactly the symbols participating in current pairs, so the test is a
+    dict lookup: accept the aliasing candidate (it is still the argmax at
+    its turn) but terminate the batch there.
+
+    The first failing candidate stops the scan: acceptance must be a
+    PREFIX, because a rejected candidate's count may change and re-rank
+    everything after it."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    cap = -1
+    for a, b, n in top_rows:
+        if n < 2:
+            break
+        if accepted and (a in used or b in used or n <= cap):
+            break
+        accepted.append((a, b, n))
+        ab = a + b
+        if ab in left_max or ab in right_max:
+            break  # alias of a live symbol: counts of (x,ab)/(ab,y) grow
+        used.update((a, b, ab))
+        cap = max(cap, min(n, max(left_max.get(a, 0), right_max.get(b, 0))))
+    return accepted
 
 
 # Driver-local cutover bound: the (word, freq) vocabulary row count below
@@ -176,12 +238,19 @@ def _local_bpe(
     return merges
 
 
+# Top-K candidate window per batched round — bounds the acceptance scan,
+# not correctness (the accepted prefix is provably sequential-equivalent
+# whatever K is; a bigger K only lets favorable distributions batch more).
+_BPE_BATCH_K = 16
+
+
 def bpe_train(
     df: DataFrame,
     iters: int = 8,
     text_col: str = "text",
     mode: str = "auto",
     local_cap: int = BPE_LOCAL_VOCAB_CAP,
+    _stats: dict | None = None,
 ):
     """Learn `iters` BPE merges; returns (merge list, final vocab DF).
 
@@ -197,10 +266,20 @@ def bpe_train(
       the distributed loop for a 6-merge run; the gap grows linearly with
       iters).  This is how production tokenizer trainers work once the
       word-count table exists.
-    * ``distributed`` — the beyond-driver path: per iteration one weighted
-      bigram count + a one-row argmax collect (scalar control data, the
-      iterative-algorithm discipline) + an Arrow vocab-local merge.
+    * ``distributed`` — the beyond-driver path, BATCHED (r4 verdict item 4:
+      the per-merge one-job round-trip was serial in merge count at
+      production tokenizer scale).  Per ROUND: one fused job collects the
+      top-K candidate pairs plus the per-symbol neighbor maxima (all three
+      read the same bigram aggregate — ReusedExchange, scalar-sized
+      output), the driver accepts the provably-sequential-equivalent
+      prefix (``_accept_batch``), and ONE Arrow pass applies the whole
+      batch.  2 jobs per round regardless of batch size; acceptance is
+      data-dependent (disjoint high-count pairs batch, chained ones — "th"
+      then "th"+"e" — correctly serialize).
     * ``auto`` (default) — local iff the vocabulary fits ``local_cap``.
+
+    ``_stats``, when a dict is passed, receives {"rounds": int} — test
+    instrumentation for the sub-linearity claim.
     """
     spark = df.sparkSession
     vocab = eager_checkpoint(build_vocab(df, text_col))
@@ -214,22 +293,48 @@ def bpe_train(
             [(rows[i]["word"], rows[i]["freq"], syms) for i, (syms, _) in enumerate(words)],
             SYMS_SCHEMA,
         )
+        if _stats is not None:
+            _stats["rounds"] = 0
         return merges, final
     merges: list[tuple[str, str, int]] = []
-    for _ in range(iters):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()
+    rounds = 0
+    while len(merges) < iters:
+        pc = _pair_counts(vocab)
+        # one action, three consumers of the same bigram aggregate: the
+        # top-K candidates, max count(x, s) per right-symbol s, and
+        # max count(s, y) per left-symbol s (symbol space is alphabet +
+        # learned merges — scalar-sized, safe to collect)
+        topk = pc.orderBy(F.desc("n"), "a", "b").limit(_BPE_BATCH_K).select(
+            F.lit("T").alias("kind"), "a", "b", "n"
         )
-        if not best or best[0]["n"] < 2:
+        lmax = pc.groupBy("b").agg(F.max("n").alias("n")).select(
+            F.lit("L").alias("kind"), F.lit(None).cast("string").alias("a"),
+            "b", "n"
+        )
+        rmax = pc.groupBy("a").agg(F.max("n").alias("n")).select(
+            F.lit("R").alias("kind"), "a",
+            F.lit(None).cast("string").alias("b"), "n"
+        )
+        stats = topk.unionByName(lmax).unionByName(rmax).collect()
+        top_rows = sorted(
+            ((r["a"], r["b"], int(r["n"])) for r in stats if r["kind"] == "T"),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        left_max = {r["b"]: int(r["n"]) for r in stats if r["kind"] == "L"}
+        right_max = {r["a"]: int(r["n"]) for r in stats if r["kind"] == "R"}
+        batch = _accept_batch(top_rows, left_max, right_max)
+        batch = batch[: iters - len(merges)]
+        if not batch:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((a, b, n))
+        merges.extend(batch)
+        rounds += 1
         # checkpoint each round: the merge is cheap but lineage would
-        # otherwise grow one mapInPandas stage per iteration
-        vocab = eager_checkpoint(_merge_pair(vocab, a, b))
+        # otherwise grow one mapInPandas stage per round
+        vocab = eager_checkpoint(
+            _merge_pairs(vocab, [(a, b) for a, b, _ in batch])
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return merges, vocab
 
 
