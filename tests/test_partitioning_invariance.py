@@ -38,6 +38,11 @@ SAMPLE = [
     "q_token_entropy",         # quantized 1e-6 log terms summed as BIGINT
     "q_tfidf_cosine_pairs",    # integer weights, DECIMAL dots, quantized cos
     "q_autocorrelation",       # DECIMAL(38,0) paired moments
+    # r4 curation family: fold-cosine + quantized argmin under join
+    # reordering (VERDICT r4 item 6)
+    "q_semdedup_prune",        # quantized argmin clustering + fold cosine pairs
+    "q_emb_outliers",          # quantized distance-to-own-centroid top-k
+    "q_triplet_mining",        # fold cosine argmax margins over anchor scan
 ]
 
 
