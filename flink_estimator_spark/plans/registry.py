@@ -218,6 +218,9 @@ _SF001_SEC_PAIRS = [
     # round-4 session additions + re-measured conversions (sf0.01, warm)
     ("q_semdedup_prune", 0.72), ("q_emb_outliers", 0.52),
     ("q_kmeans_iterate", 2.2), ("q_triplet_mining", 0.9),
+    # round-5: the streaming-runtime evidence query (real micro-batch
+    # execution; time is state-store startup, measured warm at sf0.01)
+    ("q_stream_tumble_runtime", 3.0),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
