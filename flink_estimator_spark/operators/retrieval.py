@@ -82,10 +82,9 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
-@query(
-    "q_bm25_search",
-    oracle=rf"""
-        WITH toks AS (
+# BM25 pipeline as DuckDB CTEs — shared verbatim by the q_bm25_search oracle
+# and the hybrid-RRF oracle so the two can never drift
+_BM25_CTES = rf"""toks AS (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
             FROM documents),
@@ -102,7 +101,7 @@ def q_inverted_index(spark, sf_dir):
             SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
                    CAST((SELECT count(*) FROM toks) AS DOUBLE)
                        / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
-        scored AS (
+        bm_scored AS (
             SELECT tf.doc_id,
                    CAST(floor(
                        ln(1.0 + (stats.n_docs - CAST(df.df AS DOUBLE) + 0.5)
@@ -113,10 +112,19 @@ def q_inverted_index(spark, sf_dir):
                                      / stats.avgdl))
                        * 1000000) AS BIGINT) AS s_q
             FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
-            CROSS JOIN stats)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-               CAST(sum(s_q) AS BIGINT) AS score_q
-        FROM scored GROUP BY doc_id
+            CROSS JOIN stats),
+        bm AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(s_q) AS BIGINT) AS score_q
+            FROM bm_scored GROUP BY doc_id)"""
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+        WITH {_BM25_CTES}
+        SELECT doc_id, n_terms, score_q
+        FROM bm
         ORDER BY score_q DESC, doc_id
         LIMIT 10
     """,
@@ -131,6 +139,17 @@ def q_bm25_search(spark, sf_dir):
     Per-(doc,term) scores are floor-quantized to 1e-6 and summed as exact
     BIGINTs — the ranking value-gates cross-engine despite ln/divide
     arithmetic."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, n_terms, score_q) for every document matching >=1 query
+    term — the un-truncated BM25 relation shared by ``q_bm25_search`` and
+    the hybrid RRF fusion."""
     # no .cache(): Catalyst already reuses the single tokenize subplan
     # across tf/dl/df (ReusedExchange), and a cache marked inside a
     # registered builder would outlive the query in a long-running session
@@ -172,8 +191,6 @@ def q_bm25_search(spark, sf_dir):
         .select("doc_id", s_q.alias("s_q"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_terms"), F.sum("s_q").alias("score_q"))
-        .orderBy(F.desc("score_q"), "doc_id")
-        .limit(10)
     )
 
 
@@ -323,4 +340,115 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
             F.floor(cos * 1_000_000).cast("bigint").alias("cosine_q6"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_FUSE_TOP = 60    # fuse the top-60 list from each modality
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+        WITH {_BM25_CTES},
+        lex AS (
+            SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rn
+                FROM bm)
+            WHERE rn <= {_FUSE_TOP}),
+        sem AS (
+            SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+                SELECT a.vec_id,
+                       row_number() OVER (ORDER BY {{cos}} DESC, a.vec_id) AS rn
+                FROM embeddings a,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+                WHERE a.vec_id != 0)
+            WHERE rn <= {_FUSE_TOP})
+        SELECT doc_id, lex_rank, sem_rank,
+               CAST(COALESCE(1000000000000 // ({_RRF_K} + lex_rank), 0)
+                  + COALESCE(1000000000000 // ({_RRF_K} + sem_rank), 0)
+                    AS BIGINT) AS rrf_q
+        FROM lex FULL JOIN sem USING (doc_id)
+        ORDER BY rrf_q DESC, doc_id
+        LIMIT 10
+    """.replace("{cos}", (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        "  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    )),
+    tags=("llm", "retrieval", "hybrid", "rrf", "embedding"),
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG/data-curation
+    ranking shape: fuse the BM25 lexical top-60 (query terms {spark, merge,
+    window}) with the embedding-cosine semantic top-60 (query vector =
+    vec 0) as sum over modalities of 1/(60+rank), realized as the exact
+    integer 1e12 div (60+rank) so fusion scores are BIGINT on both engines.
+
+    Scale shape: each modality first reduces to its top-K via TakeOrdered
+    (distributed partial top-K, no global sort of the corpus); the
+    partition-less rank windows then see exactly K=60 rows each (the
+    ALLOWED_GLOBAL_WINDOW bound), and the fusion join is 60x60 at most.
+    The lexical side scores only term-matching docs via posting joins
+    (never corpus x query), the semantic side is one broadcast query vector
+    against a linear scan — at production scale the semantic list would
+    come from the ANN paths (lsh_ann / ivf_ann), identical downstream."""
+    from pyspark.sql import Window as W
+
+    from .similarity import cosine_pre, norm
+
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score_q")
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(_FUSE_TOP)
+    )
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_q"), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "lex_rank")
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"), norm(F.col("embedding")).alias("q_nrm")
+    )
+    sem_top = (
+        spread(emb, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("c_vec"),
+            norm(F.col("embedding")).alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_FUSE_TOP)
+    )
+    sem = sem_top.withColumn(
+        "sem_rank",
+        F.row_number().over(W.orderBy(F.desc("cos_sim"), "vec_id")).cast("long"),
+    ).select(F.col("vec_id").alias("doc_id"), "sem_rank")
+
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000000000 div ({_RRF_K} + sem_rank)"), F.lit(0)
+        )
+    ).cast("bigint")
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_q"))
+        .orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(10)
     )

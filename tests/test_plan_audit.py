@@ -108,6 +108,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per calendar day (~2.4k forever) — q_rolling_median's class
     "q_change_point",
     "q_autocorrelation",
+    # two rank windows, each over a TakeOrdered top-60 list (K rows forever,
+    # SF-invariant by construction): the corpus-size work is the distributed
+    # partial top-K upstream, not the window
+    "q_hybrid_rrf",
 }
 
 
