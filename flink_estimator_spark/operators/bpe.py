@@ -354,3 +354,171 @@ def q_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank int, sym_a string, sym_b string, weighted_count bigint"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLICATION (encode) — the other half of the tokenizer lifecycle:
+# after merges are learned, every training document must be encoded with them.
+# ---------------------------------------------------------------------------
+
+# Pinned certificate merge list (ordered!) — the oracle-able analogue of the
+# pinned LSH hyperplanes: any fixed merge table is a valid tokenizer, and a
+# literal one lets DuckDB replay the exact greedy application.  Chain-heavy
+# on purpose (later merges consume earlier ones' outputs).
+CERT_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("o", "n"), ("e", "r"), ("er", "</w>"), ("an", "d"),
+    ("s", "</w>"), ("o", "r"),
+]
+
+
+def _greedy_apply(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Standard BPE application: each merge rule, in list order, applied
+    greedily left-to-right over the symbol sequence (the `_merge_pairs`
+    inner loop, shared semantics with training)."""
+    out = list(syms)
+    for a, b in merges:
+        nxt, i, n = [], 0, len(out)
+        while i < n:
+            if i + 1 < n and out[i] == a and out[i + 1] == b:
+                nxt.append(a + b)
+                i += 2
+            else:
+                nxt.append(out[i])
+                i += 1
+        out = nxt
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a document corpus with a learned merge list — the production
+    tokenizer-application pass: one Arrow-batched ``mapInPandas`` over the
+    documents (embarrassingly parallel, no shuffle), with a per-batch
+    word -> token-count memo (real corpora repeat words heavily, so each
+    distinct word pays the merge loop once per batch).  Words are lowercased
+    whitespace tokens restricted to ``[a-z]+`` (the certificate query's
+    domain).  Returns (doc_id, n_words, n_chars, n_tokens)."""
+    import re as _re
+
+    word_ok = _re.compile(r"^[a-z]+$")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_words, n_chars, n_tokens = [], [], []
+            for text in pdf[text_col]:
+                words = [
+                    w for w in _re.split(r"\s+", str(text).lower().strip())
+                    if word_ok.match(w)
+                ]
+                toks = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(_greedy_apply(list(w) + ["</w>"], merges))
+                    toks += memo[w]
+                n_words.append(len(words))
+                n_chars.append(sum(len(w) for w in words))
+                n_tokens.append(toks)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+
+    return spread(df, id_col).mapInPandas(
+        run, f"{id_col} long, n_words long, n_chars long, n_tokens long"
+    )
+
+
+def _cert_replace_chain_sql() -> str:
+    """DuckDB expression: bracket-delimited symbols + the CERT_MERGES
+    replace chain.  ``replace`` scans left-to-right non-overlapping and
+    resumes after each replacement — with exact ``(sym)`` delimiters that
+    is precisely greedy BPE application of one merge rule (verified against
+    ``_greedy_apply`` in tests/test_bpe.py)."""
+    expr = "'(' || array_to_string(string_split(word, ''), ')(') || ')(</w>)'"
+    for a, b in CERT_MERGES:
+        expr = f"replace({expr}, '({a})({b})', '({a}{b})')"
+    return expr
+
+
+@query(
+    "q_bpe_encode_cert",
+    oracle=rf"""
+        WITH words AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                FROM documents)
+            WHERE regexp_full_match(word, '[a-z]+')),
+        enc AS (
+            SELECT doc_id, word,
+                   {_cert_replace_chain_sql()} AS e
+            FROM words)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(word)) AS BIGINT) AS n_chars,
+               CAST(sum(length(e) - length(replace(e, '(', ''))) AS BIGINT)
+                   AS n_tokens
+        FROM enc
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "tokenizer", "bpe", "encode"),
+)
+def q_bpe_encode_cert(spark, sf_dir):
+    """Tokenizer application with the pinned CERT_MERGES table: per
+    document, word/char/token counts after greedy BPE encoding — entirely
+    in built-in string functions, so the whole encode is JVM-side
+    whole-stage-codegen AND replayable by the DuckDB oracle.
+
+    The trick making encode relational: symbols are bracket-delimited
+    (``(t)(h)(e</w>)``) and each ordered merge rule is one ``replace`` —
+    leftmost non-overlapping scan == greedy BPE application (equivalence
+    vs the Python encoder proven in tests/test_bpe.py).  The production
+    path for learned (non-literal) merge tables is ``bpe_encode`` (Arrow
+    pass with per-batch word memoization), differentially tested against
+    this query on CERT_MERGES."""
+    from functools import reduce
+
+    d = t(spark, sf_dir, "documents")
+    words = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), _WORD_RE)
+            ).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    sym = F.concat(
+        F.lit("("), F.array_join(F.split("word", ""), ")("), F.lit(")(</w>)")
+    )
+    enc = reduce(
+        lambda c, m: F.replace(c, F.lit(f"({m[0]})({m[1]})"), F.lit(f"({m[0]}{m[1]})")),
+        CERT_MERGES,
+        sym,
+    )
+    per_word = words.select(
+        "doc_id",
+        F.length("word").alias("wlen"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))).alias("wtok"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wlen").alias("n_chars"),
+            F.sum("wtok").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

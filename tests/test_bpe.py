@@ -198,3 +198,72 @@ def test_merges_compose_into_multichar_tokens(spark):
         key=len,
     )
     assert len(longest.replace("</w>", "")) >= 2
+
+
+# --------------------------- encode (application) ---------------------------
+
+
+def _py_replace_chain(word: str, merges) -> int:
+    """Token count via the SQL trick in pure Python: bracket-delimited
+    symbols + str.replace per ordered merge (Python's str.replace is also
+    leftmost non-overlapping, resuming after each replacement)."""
+    s = "(" + ")(".join(list(word)) + ")(</w>)"
+    for a, b in merges:
+        s = s.replace(f"({a})({b})", f"({a}{b})")
+    return s.count("(")
+
+
+def test_replace_chain_equals_greedy_apply():
+    """The replace-chain realization of BPE application (what the oracle'd
+    q_bpe_encode_cert runs on both engines) must equal true greedy BPE
+    (_greedy_apply) — including repeat-heavy and chain-heavy words."""
+    from flink_estimator_spark.operators.bpe import CERT_MERGES, _greedy_apply
+
+    adversarial = [
+        "the", "thethe", "another", "singing", "ingoing", "error",
+        "onion", "anand", "sss", "ert", "inin", "ananan", "x",
+        "interesting", "thermodynamics", "ooooo", "eeee",
+    ]
+    for w in adversarial:
+        assert _py_replace_chain(w, CERT_MERGES) == len(
+            _greedy_apply(list(w) + ["</w>"], CERT_MERGES)
+        ), w
+    # repeated-symbol stress with a self-feeding merge table
+    nasty = [("a", "a"), ("aa", "aa"), ("aaaa", "a")]
+    for w in ["a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaa", "aaaaaaa"]:
+        assert _py_replace_chain(w, nasty) == len(
+            _greedy_apply(list(w) + ["</w>"], nasty)
+        ), w
+
+
+def test_encode_cert_matches_production_encoder(spark):
+    """q_bpe_encode_cert (pure built-in replace chain, oracle'd) and
+    bpe_encode (Arrow mapInPandas with word memoization — the production
+    path for learned merge tables) must agree row-for-row."""
+    from flink_estimator_spark.operators.bpe import (
+        CERT_MERGES,
+        bpe_encode,
+        q_bpe_encode_cert,
+    )
+
+    docs = t(spark, SF_DIR, "documents")
+    cert = q_bpe_encode_cert(spark, SF_DIR).collect()
+    prod = bpe_encode(docs, CERT_MERGES).orderBy("doc_id").collect()
+    assert cert == prod
+
+
+def test_encode_with_learned_merges(spark):
+    """End-to-end tokenizer lifecycle: train on the corpus, then encode the
+    corpus with the learned merges — encoding must be deterministic and
+    strictly compress (tokens <= chars+1 per word, with at least one merge
+    actually firing on the fixture)."""
+    from flink_estimator_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = t(spark, SF_DIR, "documents")
+    merges, _ = bpe_train(docs, iters=6)
+    pairs = [(a, b) for a, b, _n in merges]
+    enc = bpe_encode(docs, pairs).orderBy("doc_id")
+    rows = enc.collect()
+    assert rows == bpe_encode(docs, pairs).orderBy("doc_id").collect()
+    assert all(r["n_tokens"] <= r["n_chars"] + r["n_words"] for r in rows)
+    assert any(r["n_tokens"] < r["n_chars"] + r["n_words"] for r in rows)
