@@ -326,6 +326,131 @@ def embedding_near_dups(
     ).drop("_barrier")
 
 
+def embedding_near_dups_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """EXACT near-duplicate pairs via triangle-inequality cluster blocking —
+    the scale path that keeps the all-pairs answer without the all-pairs
+    plan.
+
+    ``cos(u, v) >= θ`` iff the normalized vectors satisfy
+    ``||û - v̂|| <= t`` with ``t = sqrt(2 - 2θ)``.  For any cluster
+    assignment with per-cluster pivot ``c_i`` and radius
+    ``r_i = max ||û - c_i||``, a qualifying pair spanning clusters (i, j)
+    forces ``||c_i - c_j|| <= r_i + r_j + t`` (triangle inequality), so
+    every other cluster pair is pruned EXACTLY — no recall loss, unlike
+    LSH/IVF candidates.  Survivor pairs join members by cluster id
+    (equi-joins; the k x k pivot comparison is a bounded broadcast of
+    one row per cluster) and pay the same fold-cosine + threshold as the
+    brute path, so results are bit-identical (asserted vs
+    ``embedding_near_dups`` in tests/test_blocked_near_dups.py; the
+    registered query's all-pairs DuckDB oracle is unchanged).
+
+    Honesty notes, measured at sf0.1 (isotropic fixture, 2000 vecs):
+    pruning power is data-dependent — on real embedding corpora (strongly
+    clustered) most of the k^2 cluster pairs die, but the near-isotropic
+    fixture prunes NOTHING (radii span the threshold band), and there the
+    blocked plan measures 3.79 s vs 1.09 s brute: the survivor member
+    joins key on low-cardinality cluster ids (k tasks; AQE skew-split
+    helps but the pair relation still materializes through a shuffle,
+    where the brute broadcast-nested-loop streams it).  That is why the
+    registered ``q_dedup_embedding`` keeps the brute plan — the right plan
+    when nothing prunes — and this operator is the documented exact path
+    for corpora whose cluster structure actually blocks; at mega-cluster
+    scale its surviving pairs additionally want id-range salting
+    (``operators.skew``) to break the cluster-key skew.  A small epsilon
+    on the bound absorbs float roundoff in the pivot/radius arithmetic
+    (the exact-equivalence argument is over reals)."""
+    import math
+
+    tband = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    mem = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).withColumn(
+        "nvec", F.transform("vec", lambda x: x.cast("double") / F.col("nrm"))
+    )
+    # per-cluster pivot = mean of normalized members (any point yields a
+    # valid bound; the mean minimizes the radius), radius = max distance
+    ex = mem.select("cid", F.posexplode("nvec").alias("pos", "x"))
+    cent = (
+        ex.groupBy("cid", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    d_to_pivot = F.sqrt(
+        F.aggregate(
+            F.zip_with("nvec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    stats = (
+        mem.join(F.broadcast(cent), "cid")
+        .select("cid", "cvec", d_to_pivot.alias("d"))
+        .groupBy("cid")
+        .agg(F.first("cvec").alias("cvec"), F.max("d").alias("r"))
+    )
+    # symmetric k x k survivor list (id_a < id_b dedups member pairs, so
+    # both (i, j) and (j, i) must survive for cross-cluster pairs)
+    sa = stats.select(
+        F.col("cid").alias("cid_a"), F.col("cvec").alias("ca"),
+        F.col("r").alias("ra"),
+    )
+    sb = stats.select(
+        F.col("cid").alias("cid_b"), F.col("cvec").alias("cb"),
+        F.col("r").alias("rb"),
+    )
+    pivot_d = F.sqrt(
+        F.aggregate(
+            F.zip_with("ca", "cb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    allowed = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(pivot_d <= F.col("ra") + F.col("rb") + F.lit(tband))
+        .select("cid_a", "cid_b")
+    )
+    a = mem.select(
+        F.col("id").alias("id_a"), F.col("cid").alias("cid_a"),
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = mem.select(
+        F.col("id").alias("id_b"), F.col("cid").alias("cid_b"),
+        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.join(F.broadcast(allowed), "cid_a")
+        .join(b, "cid_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
+    )
+    return scored.filter(
+        (F.col("cos_sim") >= threshold) | (F.col("_barrier") < 0)
+    ).drop("_barrier")
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -907,9 +1032,15 @@ def q_emb_ivf_recall(spark, sf_dir):
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact, threshold 0.40).
 
-    The exact all-pairs baseline; at corpus scale the same threshold filter
-    runs over LSH/IVF candidate pairs instead (``lsh_ann`` / ``ivf_ann``
-    buckets), turning O(n^2) into O(sum(bucket^2))."""
+    The exact all-pairs baseline — deliberately kept as the registered
+    plan: the fixture is near-isotropic, and when cluster blocking cannot
+    prune, the streaming broadcast-nested-loop is the fastest exact plan
+    (1.09 s vs 3.79 s blocked at sf0.1 — see
+    ``embedding_near_dups_blocked``, the equality-tested exact scale path
+    for corpora whose cluster structure does block).  For
+    approximate-but-cheaper corpus dedup the same threshold filter runs
+    over LSH/IVF candidate pairs (``lsh_ann`` / ``ivf_ann`` buckets),
+    turning O(n^2) into O(sum(bucket^2))."""
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.40).orderBy("id_a", "id_b")
 
