@@ -43,6 +43,9 @@ SAMPLE = [
     "q_semdedup_prune",        # quantized argmin clustering + fold cosine pairs
     "q_emb_outliers",          # quantized distance-to-own-centroid top-k
     "q_triplet_mining",        # fold cosine argmax margins over anchor scan
+    # r5 additions: rank-fusion and string-fold families
+    "q_hybrid_rrf",            # two TakeOrdered top-K lists + integer RRF div
+    "q_bpe_encode_cert",       # replace-chain greedy BPE token counts
 ]
 
 
