@@ -3,26 +3,31 @@
 
 Every other streaming dual in ``flink_estimator_spark.streaming`` is
 pytest-shadowed only, because the driver's DuckDB gate cannot execute a
-stream.  This module registers ONE query that actually drives the streaming
+stream.  This module registers queries that actually drive the streaming
 runtime end-to-end under the gate's own SparkSession: the events fixture is
 read through ``readStream`` (the real file stream source, micro-batched),
-aggregated with the streaming TUMBLE dual (``streaming.windows.tumble_agg``
-— watermark and all), executed with ``trigger(availableNow=True)`` through a
-``foreachBatch`` sink, and the final complete-mode batch is returned as the
-result DataFrame.
+processed by a stateful streaming operator, executed with
+``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
+bounded result is returned as the query's DataFrame.
 
-Because complete-mode output over a bounded stream is exactly the batch
-aggregate, the query is fully ORACLE-able — the gate value-checks the
-streaming runtime itself, not just a stable row count (stronger than the
-rows-only registration the r4 verdict asked for).
+Two distinct stateful paths get gate rows:
 
-Scale notes: ``foreachBatch`` collecting the aggregate is bounded by
-window x event_type cardinality (the aggregate state), never by input rows —
-at 100 TB this is the same contract as any complete-mode sink.  Production
-posture stays append-mode into a transactional sink with watermark-closed
-windows (``streaming/sinks.py``, exactly-once test in tests/test_streaming);
-complete-mode-then-collect here is what makes the runtime's answer visible
-to a batch-only gate.
+* ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
+  (streaming agg state store, complete mode: the final batch carries the
+  full aggregate, which over a bounded stream equals the batch TUMBLE
+  aggregate — fully oracle-able).
+* ``q_stream_dedup_runtime`` — watermarked DROP DUPLICATES (streaming
+  dedup state store, append mode: the union of batch outputs is the
+  distinct key set, deterministic regardless of which physical row wins
+  inside a batch — fully oracle-able).
+
+Scale notes: ``foreachBatch`` collecting is bounded by the streaming STATE
+(window x type cardinality / distinct keys), never by input rows — the
+same contract as any complete-mode sink.  Production posture stays
+append-mode into a transactional sink with watermark-closed windows
+(``streaming/sinks.py``, exactly-once test in tests/test_streaming);
+collect-then-return here is what makes the runtime's answer visible to a
+batch-only gate.
 """
 
 from __future__ import annotations
@@ -30,6 +35,8 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+
+from pyspark.sql import functions as F
 
 from ..streaming.sources import events_stream
 from ..streaming.windows import tumble_agg
@@ -47,6 +54,51 @@ def _checkpoint_dir() -> str:
         repo_root, "spark-warehouse", "_checkpoints",
         f"stream_runtime_{uuid.uuid4().hex}",
     )
+
+
+def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
+    """Stage the fixture as a file-stream directory (symlink — the file
+    stream source needs a DIRECTORY and the fixture is read-only), run
+    ``build(stream_df)`` through foreachBatch with availableNow, and
+    return (list of (batch_id, rows), output schema).
+
+    Streaming state partitions are pinned at the FIRST run from
+    shuffle.partitions, and each one instantiates a state store — size
+    them to the state volume (thousands of rows here), not the input
+    parallelism (32 stores: 7.1 s, 4: 2.3 s at sf0.1 on local[32]; the
+    stateless file scan is unaffected)."""
+    ckpt = _checkpoint_dir()
+    stream_dir = ckpt + "_src"
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    batches: list[tuple[int, list]] = []
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        out = build(events_stream(spark, stream_dir))
+
+        def sink(batch_df, batch_id):
+            batches.append((batch_id, batch_df.collect()))
+
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return batches, out.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 @query(
@@ -70,50 +122,52 @@ def q_stream_tumble_runtime(spark, sf_dir):
     ``q_tumble_window`` aggregate bit-for-bit (DECIMAL sums are
     order-independent), so the DuckDB oracle value-checks the whole
     streaming execution path."""
-    ckpt = _checkpoint_dir()
-    # the file stream source needs a DIRECTORY; stage one with a symlink to
-    # the (read-only) fixture file rather than copying data
-    stream_dir = ckpt + "_src"
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda src: tumble_agg(src, size="10 minutes", watermark="30 minutes"),
+        output_mode="complete",
     )
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        # streaming state partitions are pinned at the FIRST run from
-        # shuffle.partitions, and each one instantiates a state store —
-        # size them to the aggregate-state volume (a few thousand window
-        # rows), not the input parallelism (32 stores: 7.1 s, 4: 2.3 s at
-        # sf0.1 on local[32]; the stateless file scan is unaffected)
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        src = events_stream(spark, stream_dir)
-        agg = tumble_agg(src, size="10 minutes", watermark="30 minutes")
-
-        batches: list[tuple[int, list]] = []
-
-        def sink(batch_df, batch_id):
-            # complete mode: each invocation carries the FULL aggregate state
-            batches.append((batch_id, batch_df.collect()))
-
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(stream_dir, ignore_errors=True)
-
+    # complete mode: each invocation carries the FULL aggregate state —
+    # the last batch is the answer
     rows = max(batches)[1] if batches else []
     return (
-        spark.createDataFrame(rows, schema=agg.schema)
+        spark.createDataFrame(rows, schema=schema)
         .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "q_stream_dedup_runtime",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "runtime", "dedup", "stateful"),
+)
+def q_stream_dedup_runtime(spark, sf_dir):
+    """The streaming DEDUP state store, driver-gated: watermarked
+    ``dropDuplicates`` on (user_id, event_type) run as an actual streaming
+    query in append mode; the union of emitted batches is the distinct key
+    set.  Which physical ROW wins inside a batch is nondeterministic, so
+    the query projects the KEY COLUMNS ONLY — the emitted set is then
+    layout-independent and the DuckDB oracle is a plain SELECT DISTINCT.
+    (The batch dual ``q_dedup_by_key`` pins the winning row by event time;
+    this query's purpose is gate evidence for the streaming dedup-state
+    path itself.)"""
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda src: (
+            src.withWatermark("ts", "30 minutes")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        ),
+        output_mode="append",
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("user_id", "event_type")
     )
