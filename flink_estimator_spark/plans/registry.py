@@ -224,6 +224,7 @@ _SF001_SEC_PAIRS = [
     ("q_hybrid_rrf", 1.2),
     ("q_bpe_encode_cert", 0.9),
     ("q_stream_dedup_runtime", 2.2),
+    ("q_curation_funnel", 0.8),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
