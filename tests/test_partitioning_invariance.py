@@ -46,6 +46,7 @@ SAMPLE = [
     # r5 additions: rank-fusion and string-fold families
     "q_hybrid_rrf",            # two TakeOrdered top-K lists + integer RRF div
     "q_bpe_encode_cert",       # replace-chain greedy BPE token counts
+    "q_curation_funnel",       # composed md5-fingerprint funnel counts
 ]
 
 
