@@ -1,0 +1,332 @@
+"""Learned relational scorers for LLM data curation: a trained hashed
+Naive-Bayes quality classifier and DSIR-style importance resampling.
+
+Both operators TRAIN a model and APPLY it in one declarative pipeline — no
+driver-side learning loop, no Python UDFs.  The shared trick is the hashed
+feature space (the fastText / DSIR hashing trick): tokens/n-grams map to a
+FIXED number of buckets via the engine-portable md5 hash, so the learned
+weight table is bounded by the bucket count — never by corpus vocabulary —
+and always broadcastable at any corpus scale.  Log-probability weights are
+floor-quantized to 1e-6 and summed as exact BIGINTs (the q_doc_nll
+portability contract: order-independent, absorbs last-ulp libm divergence
+between engines), which makes a *trained classifier's scores* value-gateable
+against DuckDB.
+
+Reference parity note: the reference (jbcodeforce/flink-estimator) models no
+ML operators; these extend the engine for the 100 TB training-data-pipeline
+surface (quality filtering and distribution-matched data selection are the
+two standard curation screens an LLM pipeline runs after dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+from .dedup import md5_word
+
+# --- hashed Naive Bayes quality classifier -------------------------------
+_NB_BUCKETS = 65_536          # fixed feature space: weight table <= 64k rows
+_NB_HOLD = 4                  # doc_id % 5 == 4 is the held-out scoring split
+
+# --- DSIR importance resampling ------------------------------------------
+_DSIR_BUCKETS = 10_000        # hashed bigram feature space (paper uses 10k)
+_DSIR_TARGET = ("src0", "src1", "src2")   # the "curated target domain" proxy
+_DSIR_TOP = 100
+
+_Q = 1_000_000                # 1e-6 log-space quantum
+
+
+def nb_tokens(d, extra=("lang",)):
+    """(doc_id, *extra, bucket) hashed unigram stream — the shared feature
+    extraction: lowercase whitespace tokens hashed into the fixed bucket
+    space by the portable md5 word."""
+    cols = ["doc_id", *extra]
+    return (
+        d.select(
+            *cols,
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .withColumn("b", md5_word(F.col("tok"), 1, 12) % _NB_BUCKETS)
+        .drop("tok")
+    )
+
+
+_NB_TOKS_SQL = rf"""
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {_NB_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        )
+"""
+
+
+@query(
+    "q_quality_classifier",
+    oracle=rf"""
+        WITH toks AS ({_NB_TOKS_SQL}),
+        train AS (SELECT * FROM toks WHERE doc_id % 5 != {_NB_HOLD}),
+        bc AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+            FROM train GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+                   CAST(sum(c_neg) AS BIGINT) AS t_neg,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM bc
+        ),
+        w AS (
+            SELECT b,
+                   CAST(floor((ln(CAST(c_pos + 1 AS DOUBLE)) - ln(CAST(t_pos + v AS DOUBLE))
+                             - ln(CAST(c_neg + 1 AS DOUBLE)) + ln(CAST(t_neg + v AS DOUBLE)))
+                             * {_Q}) AS BIGINT) AS w_q
+            FROM bc CROSS JOIN tot
+        ),
+        consts AS (
+            SELECT CAST(floor((ln(CAST(t_neg + v AS DOUBLE))
+                             - ln(CAST(t_pos + v AS DOUBLE))) * {_Q}) AS BIGINT) AS w_oov_q,
+                   (SELECT CAST(floor((ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE))
+                                     - ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)))
+                                     * {_Q}) AS BIGINT)
+                    FROM documents WHERE doc_id % 5 != {_NB_HOLD}) AS prior_q
+            FROM tot
+        )
+        SELECT toks.doc_id,
+               max(toks.lang) AS lang,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(max(consts.prior_q)
+                    + sum(COALESCE(w.w_q, consts.w_oov_q)) AS BIGINT) AS score_q,
+               CAST(CASE WHEN max(consts.prior_q)
+                              + sum(COALESCE(w.w_q, consts.w_oov_q)) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS pred_en
+        FROM toks LEFT JOIN w USING (b) CROSS JOIN consts
+        WHERE toks.doc_id % 5 = {_NB_HOLD}
+        GROUP BY toks.doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "classifier", "quality", "naive-bayes", "trained"),
+)
+def q_quality_classifier(spark, sf_dir):
+    """Hashed multinomial Naive-Bayes quality classifier, trained AND
+    applied relationally — the fastText-style quality screen of LLM data
+    pipelines (train on a labeled slice, score the rest), here with
+    lang=='en' as the supervised label, an 80/20 doc_id-hash train/score
+    split, Laplace smoothing, and log-odds scores.
+
+    Scale shape: the learned model is a <=64k-row (bucket, weight) table —
+    bounded by the FIXED hashed feature space, not the corpus vocabulary —
+    so it broadcasts at any corpus size.  Training is one pass over the
+    token stream partial-aggregated to (bucket, class-count); scoring is a
+    second pass with a broadcast-hash left join.  Token instances never
+    shuffle; only bucket-keyed partials do.  Per-bucket log-odds are
+    floor-quantized to 1e-6 BIGINTs, so the trained scores are exact and
+    order-independent (gate-able), with out-of-vocabulary buckets scored
+    by the Laplace default weight."""
+    d = t(spark, sf_dir, "documents")
+    toks = nb_tokens(spread(d, "doc_id"))
+    is_pos = (F.col("lang") == "en").cast("bigint")
+
+    train = toks.filter(F.col("doc_id") % 5 != _NB_HOLD)
+    bc = train.groupBy("b").agg(
+        F.sum(is_pos).alias("c_pos"),
+        F.sum(F.lit(1) - is_pos).alias("c_neg"),
+    )
+    tot = bc.agg(
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
+        F.count("*").alias("v"),
+    )
+
+    def q6(col):
+        return F.floor(col * _Q).cast("bigint")
+
+    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        q6(
+            lnd(F.col("c_pos") + 1) - lnd(F.col("t_pos") + F.col("v"))
+            - lnd(F.col("c_neg") + 1) + lnd(F.col("t_neg") + F.col("v"))
+        ).alias("w_q"),
+    )
+    prior = (
+        d.filter(F.col("doc_id") % 5 != _NB_HOLD)
+        .agg(
+            q6(lnd(F.sum(is_pos)) - lnd(F.sum(F.lit(1) - is_pos))).alias("prior_q")
+        )
+    )
+    consts = (
+        tot.select(
+            q6(
+                lnd(F.col("t_neg") + F.col("v")) - lnd(F.col("t_pos") + F.col("v"))
+            ).alias("w_oov_q")
+        )
+        .crossJoin(prior)
+    )
+
+    score = F.max("prior_q") + F.sum(F.coalesce(F.col("w_q"), F.col("w_oov_q")))
+    return (
+        toks.filter(F.col("doc_id") % 5 == _NB_HOLD)
+        .join(F.broadcast(w), "b", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count("*").alias("n_tok"),
+            score.cast("bigint").alias("score_q"),
+            F.when(score > 0, 1).otherwise(0).cast("bigint").alias("pred_en"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_GRAMS_SQL = rf"""
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(t[i] || '_' || t[i + 1]), 1, 12)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+            FROM (
+                SELECT doc_id, source,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            )
+        )
+"""
+
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "q_dsir_select",
+    oracle=rf"""
+        WITH grams AS ({_DSIR_GRAMS_SQL}),
+        raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_raw FROM grams GROUP BY b),
+        tgt AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS c_tgt
+            FROM grams WHERE source IN ({_DSIR_TARGET_SQL}) GROUP BY b
+        ),
+        tot AS (
+            SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw) AS t_raw,
+                   (SELECT CAST(COALESCE(sum(c_tgt), 0) AS BIGINT) FROM tgt) AS t_tgt
+        ),
+        w AS (
+            SELECT raw.b,
+                   CAST(floor((ln(CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE))
+                             - ln(CAST(t_tgt + {_DSIR_BUCKETS} AS DOUBLE))
+                             - ln(CAST(raw.c_raw + 1 AS DOUBLE))
+                             + ln(CAST(t_raw + {_DSIR_BUCKETS} AS DOUBLE)))
+                             * {_Q}) AS BIGINT) AS w_q
+            FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT grams.doc_id,
+                   max(grams.source) AS source,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(w.w_q) AS BIGINT) AS weight_q
+            FROM grams JOIN w USING (b)
+            GROUP BY grams.doc_id
+        ),
+        top AS (
+            SELECT * FROM scored ORDER BY weight_q DESC, doc_id LIMIT {_DSIR_TOP}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, source, n_grams, weight_q
+        FROM top
+        ORDER BY rank
+    """,
+    tags=("llm", "curation", "dsir", "importance-sampling", "trained"),
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): estimate hashed-bigram unigram LMs
+    over a curated TARGET domain and over the RAW corpus, weight every raw
+    document by its log importance ratio sum(ln p_tgt(b) - ln p_raw(b)),
+    and keep the top-100 — the distribution-matched selection screen that
+    follows dedup in a pretraining pipeline.  (The paper samples with
+    Gumbel noise; selection here is deterministic top-k so the learned
+    weights themselves are value-gated.)
+
+    Scale shape: both LMs live in the FIXED 10k-bucket hashed feature
+    space (c_raw covers every bucket present, so target-only smoothing is
+    a left join), making the weight table broadcastable at any corpus
+    size.  Two passes over the bigram stream (count, score), both
+    partial-aggregated map-side; the global top-100 reduces via
+    distributed TakeOrdered before a bounded 100-row rank window (the
+    ALLOWED_GLOBAL_WINDOW contract).  Per-bucket log ratios are
+    floor-quantized 1e-6 BIGINTs: exact, order-independent."""
+    d = t(spark, sf_dir, "documents")
+    tks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # build the token array once, then the bigram explode over it
+    grams = (
+        spread(d, "doc_id")
+        .withColumn("tks", tks)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tks) - 1),"
+                    " i -> concat(element_at(tks, i), '_', element_at(tks, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .withColumn("b", md5_word(F.col("g"), 1, 12) % _DSIR_BUCKETS)
+        .drop("g")
+    )
+    raw = grams.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        grams.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    tot = raw.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
+    )
+    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    lnd(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                    - lnd(F.col("t_tgt") + _DSIR_BUCKETS)
+                    - lnd(F.col("c_raw") + 1)
+                    + lnd(F.col("t_raw") + _DSIR_BUCKETS)
+                )
+                * _Q
+            )
+            .cast("bigint")
+            .alias("w_q"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count("*").alias("n_grams"),
+            F.sum("w_q").alias("weight_q"),
+        )
+    )
+    top = scored.orderBy(F.desc("weight_q"), "doc_id").limit(_DSIR_TOP)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("weight_q"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("rank", "doc_id", "source", "n_grams", "weight_q")
+        .orderBy("rank")
+    )

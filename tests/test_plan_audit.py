@@ -112,6 +112,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # SF-invariant by construction): the corpus-size work is the distributed
     # partial top-K upstream, not the window
     "q_hybrid_rrf",
+    # one rank window over a TakeOrdered top-100 list (q_hybrid_rrf's class):
+    # the corpus-size work is the distributed scoring + partial top-K
+    "q_dsir_select",
 }
 
 
