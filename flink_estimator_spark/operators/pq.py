@@ -1,0 +1,303 @@
+"""Product quantization (PQ) for embedding search — train subspace
+codebooks, encode the corpus to compact codes, and answer top-k queries by
+asymmetric distance computation (ADC) over a per-query lookup table.
+
+This is the billion-scale ANN memory trick (Jegou et al. 2011, "Product
+Quantization for Nearest Neighbor Search", public): a 64-dim float vector
+(256 B) compresses to M=8 one-byte codes by splitting into 8 subspaces of 8
+dims and snapping each subvector to the nearest of K=16 per-subspace
+centroids.  Search never decompresses: a query precomputes its distance to
+every (subspace, centroid) cell — an M x K lookup table — and a candidate's
+approximate distance is the sum of M table lookups on its codes.
+
+Spark-first realization — every stage is a declarative join/agg, so Catalyst
+partial-aggregates map-side and the shuffles carry only codebook-bounded
+keys:
+
+* codebook training = two grouped means over (subspace, code, dim) — a
+  K*M*dsub-row aggregate (1,024 rows here), broadcastable forever;
+* encoding = corpus join broadcast-codebook -> per-(vec, subspace) argmin:
+  a 16x fan-out that partial-aggregates before the (vec, sub, code) shuffle;
+* ADC = code table join broadcast-LUT -> per-(query, candidate) sum of M
+  BIGINT terms + per-query shortlist window;
+* rerank = exact distances for the bounded (query x shortlist) pairs only —
+  the ADC+R pattern: the compressed scan prunes the corpus, the raw vectors
+  are touched for 50 candidates per query, never corpus-wide.
+
+Cross-engine exactness (what makes a *compressed-domain ANN* value-gateable):
+codebook means use the q_emb_centroids quantized-BIGINT-sum protocol, every
+squared-distance term is floor-quantized to 1e-12 and summed exactly, and
+argmin ties break on code id — identical on any engine/partitioning.  The
+seed assignment is the portable md5 word (random-partition init), followed by
+3 unrolled Lloyd refinements (the q_kmeans_iterate trick, per subspace).
+
+Production posture at 100 TB: train the codebooks on a SAMPLE (the grouped
+means are sample-sized), broadcast them, and encode the corpus in one pass
+(the numpy-matmul batch path of lsh_ann applies verbatim); the stored code
+table is ~M bytes/vector — 8 GB per billion vectors — and ADC reranking runs
+as a linear scan over codes with the 640-cell LUT broadcast.  Here both
+phases run on the full fixture so the oracle replays them end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..plans._helpers import spread, t
+from ..plans.registry import query
+from .dedup import md5_word
+
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace (8 x 8 = 64-dim vectors)
+_PQ_K = 16         # centroids per subspace -> 4-bit codes
+_PQ_ITERS = 3      # Lloyd refinements after the md5 random-partition seed
+_PQ_NQ = 5         # query vectors: vec_id < 5
+_PQ_SHORTLIST = 50  # ADC candidates kept per query for exact reranking
+_PQ_TOPK = 10
+_T6 = 1_000_000
+_T12 = 1_000_000_000_000
+
+
+def _components(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, pos, v): posexploded components tagged with their
+    subspace — the relational form of the split-into-subvectors step."""
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .withColumn("sub", F.floor(F.col("pos") / _PQ_DSUB).cast("long"))
+    )
+
+
+def _grouped_mean(tagged: DataFrame) -> DataFrame:
+    """Per-(sub, code, pos) centroid component via the order-independent
+    quantized-BIGINT-sum mean (the q_emb_centroids protocol)."""
+    return tagged.groupBy("sub", "code", "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * _T6).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(float(_T6))
+        ).alias("c")
+    )
+
+
+def _assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest centroid per subspace by exact quantized
+    squared L2, ties to the lowest code id."""
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(_T12)).cast("bigint")
+    d2 = (
+        ex.join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def pq_codebooks_and_codes(
+    e: DataFrame, iters: int = _PQ_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks (md5 random-partition init + ``iters`` Lloyd
+    refinements) and encode every vector.  Returns (codebook, codes):
+    codebook = (sub, code, pos, c), codes = (vec_id, sub, code).  The loop
+    is plan composition only (no actions, no caches): each refinement's
+    codebook is a K*M*dsub-row aggregate, and Catalyst deduplicates the
+    repeated component-scan subtree via ReusedExchange within the single
+    final action."""
+    ex = _components(e)
+    seed = md5_word(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")), 1, 12) % _PQ_K
+    cb = _grouped_mean(ex.withColumn("code", seed))
+    for _ in range(iters):
+        a = _assign(ex, cb)
+        cb = _grouped_mean(
+            ex.join(a, ["vec_id", "sub"]).select("sub", "code", "pos", "v")
+        )
+    return cb, _assign(ex, cb)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay of the full train -> encode -> ADC pipeline
+# ---------------------------------------------------------------------------
+
+_MEAN_SQL = (
+    "CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)"
+    " / CAST(count(*) AS DOUBLE) / 1000000.0"
+)
+_TERM_SQL = "CAST(floor((ex.v - {cb}.c) * (ex.v - {cb}.c) * 1000000000000) AS BIGINT)"
+
+def _pq_ctes(iters: int = _PQ_ITERS) -> str:
+    """Generate the train->encode->LUT CTE chain: seed codebook, then
+    ``iters`` unrolled (assign, re-mean) Lloyd steps — the q_kmeans_iterate
+    unrolling trick applied per subspace."""
+    parts = [
+        f"""ex AS (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(floor((i - 1) / {_PQ_DSUB}) AS BIGINT) AS sub,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+        )""",
+        f"""seed AS (
+            SELECT vec_id,
+                   CAST(('0x' || substr(md5('pq#' || CAST(vec_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % {_PQ_K} AS code
+            FROM embeddings
+        )""",
+        f"""cb0 AS (
+            SELECT ex.sub, seed.code, ex.pos, {_MEAN_SQL} AS c
+            FROM ex JOIN seed USING (vec_id)
+            GROUP BY ex.sub, seed.code, ex.pos
+        )""",
+    ]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"""d{i} AS (
+            SELECT ex.vec_id, ex.sub, {prev}.code,
+                   sum({_TERM_SQL.format(cb=prev)}) AS d2
+            FROM ex JOIN {prev} ON ex.sub = {prev}.sub AND ex.pos = {prev}.pos
+            GROUP BY ex.vec_id, ex.sub, {prev}.code
+        )""",
+            f"""a{i} AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, code) AS rk
+                FROM d{i}
+            ) WHERE rk = 1
+        )""",
+            f"""cb{i} AS (
+            SELECT ex.sub, a{i}.code, ex.pos, {_MEAN_SQL} AS c
+            FROM ex JOIN a{i} ON ex.vec_id = a{i}.vec_id AND ex.sub = a{i}.sub
+            GROUP BY ex.sub, a{i}.code, ex.pos
+        )""",
+        ]
+        prev = f"cb{i}"
+    parts += [
+        f"""de AS (
+            SELECT ex.vec_id, ex.sub, {prev}.code,
+                   sum({_TERM_SQL.format(cb=prev)}) AS d2
+            FROM ex JOIN {prev} ON ex.sub = {prev}.sub AND ex.pos = {prev}.pos
+            GROUP BY ex.vec_id, ex.sub, {prev}.code
+        )""",
+        """codes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, code) AS rk
+                FROM de
+            ) WHERE rk = 1
+        )""",
+        f"""lut AS (
+            SELECT ex.vec_id AS qid, {prev}.sub, {prev}.code,
+                   sum({_TERM_SQL.format(cb=prev)}) AS d2
+            FROM ex JOIN {prev} ON ex.sub = {prev}.sub AND ex.pos = {prev}.pos
+            WHERE ex.vec_id < {_PQ_NQ}
+            GROUP BY ex.vec_id, {prev}.sub, {prev}.code
+        )""",
+    ]
+    return ",\n        ".join(parts)
+
+
+@query(
+    "q_emb_pq_adc",
+    oracle=f"""
+        WITH {_pq_ctes()},
+        adc AS (
+            SELECT lut.qid, codes.vec_id AS cand_id,
+                   CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+            FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+            WHERE codes.vec_id != lut.qid
+            GROUP BY lut.qid, codes.vec_id
+        ),
+        shortlist AS (
+            SELECT qid, cand_id, adc_d2 FROM (
+                SELECT qid, cand_id, adc_d2,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc_d2, cand_id) AS rk
+                FROM adc
+            ) WHERE rk <= {_PQ_SHORTLIST}
+        ),
+        rerank AS (
+            SELECT s.qid, s.cand_id, s.adc_d2,
+                   CAST(sum(CAST(floor((q.v - c.v) * (q.v - c.v)
+                                       * 1000000000000) AS BIGINT)) AS BIGINT) AS d2
+            FROM shortlist s
+            JOIN ex c ON c.vec_id = s.cand_id
+            JOIN ex q ON q.vec_id = s.qid AND q.pos = c.pos
+            GROUP BY s.qid, s.cand_id, s.adc_d2
+        )
+        SELECT qid, cand_id, adc_d2, d2, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT qid, cand_id, adc_d2, d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2, cand_id) AS rk
+            FROM rerank
+        ) WHERE rk <= {_PQ_TOPK}
+        ORDER BY qid, rk
+    """,
+    tags=("llm", "similarity", "ann", "pq", "compression", "trained"),
+)
+def q_emb_pq_adc(spark, sf_dir):
+    """Product-quantization ANN, end to end: train 8x16 subspace codebooks
+    (md5-seeded random-partition init + 3 exact Lloyd refinements), encode
+    every vector to 8 codes, scan the compressed domain by asymmetric
+    distance (broadcast per-query 8x16 lookup tables), keep an ADC
+    shortlist of 50 per query, and exact-rerank the shortlist to the final
+    top-10 — the standard ADC+R search shape (compressed scan prunes the
+    corpus; the exact pass touches only shortlist-many raw vectors).  See
+    the module docstring for the scale analysis; the whole pipeline —
+    training means, code assignments, ADC sums, reranked ranks — is
+    replayed by the DuckDB oracle in exact quantized-BIGINT arithmetic."""
+    e = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    cb, codes = pq_codebooks_and_codes(e)
+
+    ex = _components(e)
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(_T12)).cast("bigint")
+    lut = (
+        ex.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy(F.col("vec_id").alias("qid"), "sub", "code")
+        .agg(F.sum(term).alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w_adc = W.partitionBy("qid").orderBy("adc_d2", "cand_id")
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("qid", "cand_id", "adc_d2")
+    )
+
+    qex = ex.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    rdiff = F.col("qv") - F.col("v")
+    rterm = F.floor(rdiff * rdiff * F.lit(_T12)).cast("bigint")
+    rerank = (
+        ex.join(
+            F.broadcast(shortlist), ex["vec_id"] == F.col("cand_id")
+        )
+        .join(F.broadcast(qex), ["qid", "pos"])
+        .groupBy("qid", "cand_id", "adc_d2")
+        .agg(F.sum(rterm).cast("bigint").alias("d2"))
+    )
+    w_ex = W.partitionBy("qid").orderBy("d2", "cand_id")
+    return (
+        rerank.withColumn("rk", F.row_number().over(w_ex).cast("bigint"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "cand_id", "adc_d2", "d2", "rk")
+        .orderBy("qid", "rk")
+    )
