@@ -225,6 +225,12 @@ _SF001_SEC_PAIRS = [
     ("q_bpe_encode_cert", 0.9),
     ("q_stream_dedup_runtime", 2.2),
     ("q_curation_funnel", 0.8),
+    # round-5 second batch: learned relational scorers, PQ-ADC ANN, the
+    # session-window streaming-state runtime query
+    ("q_quality_classifier", 1.3),
+    ("q_dsir_select", 1.1),
+    ("q_emb_pq_adc", 2.5),
+    ("q_stream_session_runtime", 2.2),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Two distinct stateful paths get gate rows:
+Three distinct stateful paths get gate rows:
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -20,6 +20,11 @@ Two distinct stateful paths get gate rows:
   dedup state store, append mode: the union of batch outputs is the
   distinct key set, deterministic regardless of which physical row wins
   inside a batch — fully oracle-able).
+* ``q_stream_session_runtime`` — SESSION WINDOW aggregation (the
+  merging-window state store, a genuinely different state machine from
+  fixed windows: per-key sessions merge as gaps fill; complete mode's
+  final batch carries the fully-merged sessions, which over a bounded
+  stream equal the batch gaps-and-islands sessionization).
 
 Scale notes: ``foreachBatch`` collecting is bounded by the streaming STATE
 (window x type cardinality / distinct keys), never by input rows — the
@@ -170,4 +175,70 @@ def q_stream_dedup_runtime(spark, sf_dir):
     return (
         spark.createDataFrame(rows, schema=schema)
         .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q_stream_session_runtime",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(epoch_us(ts)) AS sess_start_us,
+               max(epoch_us(ts)) + 1800 * 1000000 AS sess_end_us,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+        ORDER BY user_id, sess_start_us
+    """,
+    tags=("streaming", "runtime", "session", "stateful"),
+)
+def q_stream_session_runtime(spark, sf_dir):
+    """The streaming SESSION-WINDOW state store, driver-gated: a 30-minute
+    ``F.session_window`` aggregation run as an actual Structured Streaming
+    query (merging-window state: per-key open sessions extend and MERGE as
+    late-arriving gaps fill — the state machine fixed windows don't
+    exercise) over the bounded events fixture, returning the final
+    complete-mode batch.  Over a bounded stream the fully-merged sessions
+    equal batch gaps-and-islands sessionization (new session when the gap
+    exceeds 30 min; session end = last event + gap), so the DuckDB oracle
+    value-checks the merge logic itself.  Session-count state is bounded
+    by active keys x open sessions, sized via the shared harness's
+    state-partition rule."""
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda src: (
+            src.filter(F.col("user_id") < 50)
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+                F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+                "n_events",
+            )
+        ),
+        output_mode="complete",
+    )
+    rows = max(batches)[1] if batches else []
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("user_id", "sess_start_us")
     )

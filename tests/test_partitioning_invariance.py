@@ -47,6 +47,9 @@ SAMPLE = [
     "q_hybrid_rrf",            # two TakeOrdered top-K lists + integer RRF div
     "q_bpe_encode_cert",       # replace-chain greedy BPE token counts
     "q_curation_funnel",       # composed md5-fingerprint funnel counts
+    # r5 second batch: trained-scorer and compressed-domain families
+    "q_quality_classifier",    # ln-quantized trained NB weights + hashed buckets
+    "q_emb_pq_adc",            # unrolled PQ Lloyd + ADC sums + exact rerank
 ]
 
 
