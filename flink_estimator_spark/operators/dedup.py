@@ -1165,3 +1165,70 @@ def q_containment_pairs(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_dup_ngram_fraction",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        docfreq AS (
+            SELECT shingle, CAST(count(*) AS BIGINT) AS df_ FROM sh GROUP BY 1
+        )
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sh,
+               CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_bp,
+               CAST(CASE WHEN sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) * 10000
+                              >= 3000 * count(*)
+                         THEN 1 ELSE 0 END AS BIGINT) AS flag_dup
+        FROM sh JOIN docfreq USING (shingle)
+        GROUP BY sh.doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "quality", "gopher", "duplicated-ngrams"),
+)
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicated n-gram screen (the MassiveText/Gopher
+    "duplicate text fraction" quality rule): for every document, the
+    fraction of its distinct 5-gram shingles that also occur in at least
+    one OTHER document, flagging docs above 30% — the per-document dual of
+    the pairwise near-dup queries (those ask "which pairs overlap"; this
+    asks "how much of EACH doc is boilerplate shared with the corpus").
+
+    Scale shape: one shingle pass (8-byte hashed shingles — see
+    ``shingle_df``), one count-by-shingle aggregate (partial map-side), one
+    join back on the shingle hash, one count-by-doc aggregate.  No pairs
+    are ever formed — this screen is linear in total shingles where the
+    pairwise queries are quadratic in hot-shingle buckets, which is why a
+    100 TB curation funnel runs it FIRST.  The duplicated fraction is exact
+    integer basis points (dup*10000 DIV n); no doubles anywhere."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_df(d, "doc_id", "text", 5)
+    docfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    dup = F.sum((F.col("df_") >= 2).cast("bigint"))
+    n = F.count("*")
+    return (
+        sh.join(docfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_sh"),
+            dup.alias("dup_sh"),
+            F.expr(
+                "sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) * 10000 DIV count(*)"
+            ).alias("dup_bp"),
+            F.when(dup * 10000 >= 3000 * n, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flag_dup"),
+        )
+        .orderBy("doc_id")
+    )

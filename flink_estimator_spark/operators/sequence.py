@@ -162,3 +162,103 @@ def q_cep_four_step(spark, sf_dir):
         within_s=172800,
         absent=et == "error",
     ).orderBy("user_id")
+
+
+@query(
+    "q_markov_anomaly",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev,
+                   event_type AS cur
+            FROM events
+        ),
+        trans AS (SELECT user_id, prev, cur FROM seq WHERE prev IS NOT NULL),
+        cnt AS (
+            SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+            FROM trans GROUP BY prev, cur
+        ),
+        tot AS (
+            SELECT prev, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY prev
+        ),
+        w AS (
+            SELECT cnt.prev, cnt.cur,
+                   CAST(floor((ln(CAST(t + 5 AS DOUBLE))
+                             - ln(CAST(c + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS w_q
+            FROM cnt JOIN tot USING (prev)
+        ),
+        scored AS (
+            SELECT trans.user_id,
+                   CAST(count(*) AS BIGINT) AS n_trans,
+                   CAST(sum(w.w_q) AS BIGINT) AS nll_q,
+                   CAST(sum(w.w_q) // count(*) AS BIGINT) AS avg_nll_q
+            FROM trans JOIN w USING (prev, cur)
+            GROUP BY trans.user_id
+        ),
+        top AS (
+            SELECT * FROM scored ORDER BY avg_nll_q DESC, user_id LIMIT 20
+        )
+        SELECT CAST(row_number() OVER (ORDER BY avg_nll_q DESC, user_id) AS BIGINT) AS rank,
+               user_id, n_trans, nll_q, avg_nll_q
+        FROM top
+        ORDER BY rank
+    """,
+    tags=("complex", "sequence", "markov", "anomaly", "trained"),
+)
+def q_markov_anomaly(spark, sf_dir):
+    """Trained first-order Markov-chain sequence anomaly scorer: fit the
+    event-type transition matrix on the whole corpus (Laplace-smoothed),
+    then score every user's event sequence by its total and per-transition
+    negative log-likelihood — users whose behavior least fits the learned
+    transition dynamics rank first.  The sequence-model sibling of the
+    relational scorers in ``operators/classifier.py`` (CEP asks "did the
+    pattern occur"; this asks "how improbable was the sequence").
+
+    Scale shape: transitions come from ONE lag window per user (single
+    shuffle on user_id); the learned model is a |types|^2-row weight table
+    (25 here — bounded by the event-type alphabet, never by rows), joined
+    back by broadcast.  Per-transition -ln p is floor-quantized to 1e-6
+    BIGINTs (the q_doc_nll portability contract: exact, order-independent),
+    the per-user mean is exact integer division, and the global top-20
+    reduces via distributed TakeOrdered before a bounded 20-row rank
+    window."""
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+        F.col("event_type").alias("cur"),
+    )
+    trans = seq.filter(F.col("prev").isNotNull())
+    cnt = trans.groupBy("prev", "cur").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("prev").agg(F.sum("c").alias("t"))
+    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
+    w = cnt.join(tot, "prev").select(
+        "prev",
+        "cur",
+        F.floor((lnd(F.col("t") + 5) - lnd(F.col("c") + 1)) * 1_000_000)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    scored = (
+        trans.join(F.broadcast(w), ["prev", "cur"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_trans"),
+            F.sum("w_q").alias("nll_q"),
+            F.expr("sum(w_q) DIV count(*)").alias("avg_nll_q"),
+        )
+    )
+    top = scored.orderBy(F.desc("avg_nll_q"), "user_id").limit(20)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("avg_nll_q"), "user_id"))
+            .cast("bigint"),
+        )
+        .select("rank", "user_id", "n_trans", "nll_q", "avg_nll_q")
+        .orderBy("rank")
+    )

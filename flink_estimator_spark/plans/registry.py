@@ -231,6 +231,11 @@ _SF001_SEC_PAIRS = [
     ("q_dsir_select", 1.1),
     ("q_emb_pq_adc", 2.5),
     ("q_stream_session_runtime", 2.2),
+    # round-5 third batch: stream-stream join state runtime, the trained
+    # Markov sequence scorer, the cross-doc duplicated-ngram screen
+    ("q_stream_join_runtime", 3.8),
+    ("q_markov_anomaly", 1.1),
+    ("q_dup_ngram_fraction", 1.5),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

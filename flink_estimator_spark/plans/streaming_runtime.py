@@ -25,6 +25,11 @@ Three distinct stateful paths get gate rows:
   fixed windows: per-key sessions merge as gaps fill; complete mode's
   final batch carries the fully-merged sessions, which over a bounded
   stream equal the batch gaps-and-islands sessionization).
+* ``q_stream_join_runtime`` — STREAM-STREAM interval JOIN (the symmetric
+  hash-join state store: both sides buffer rows keyed by user until the
+  watermark passes the time-range bound; an inner join's emitted union
+  over a bounded stream is exactly the batch interval join — fully
+  oracle-able).
 
 Scale notes: ``foreachBatch`` collecting is bounded by the streaming STATE
 (window x type cardinality / distinct keys), never by input rows — the
@@ -64,8 +69,11 @@ def _checkpoint_dir() -> str:
 def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     """Stage the fixture as a file-stream directory (symlink — the file
     stream source needs a DIRECTORY and the fixture is read-only), run
-    ``build(stream_df)`` through foreachBatch with availableNow, and
-    return (list of (batch_id, rows), output schema).
+    ``build(make_stream)`` through foreachBatch with availableNow, and
+    return (list of (batch_id, rows), output schema).  ``build`` receives a
+    zero-arg factory so multi-input operators (stream-stream joins) can
+    instantiate INDEPENDENT sources over the same staged directory — each
+    ``readStream`` tracks its own offsets under the shared checkpoint.
 
     Streaming state partitions are pinned at the FIRST run from
     shuffle.partitions, and each one instantiates a state store — size
@@ -83,7 +91,7 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     batches: list[tuple[int, list]] = []
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        out = build(events_stream(spark, stream_dir))
+        out = build(lambda: events_stream(spark, stream_dir))
 
         def sink(batch_df, batch_id):
             batches.append((batch_id, batch_df.collect()))
@@ -130,7 +138,7 @@ def q_stream_tumble_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark,
         sf_dir,
-        lambda src: tumble_agg(src, size="10 minutes", watermark="30 minutes"),
+        lambda make: tumble_agg(make(), size="10 minutes", watermark="30 minutes"),
         output_mode="complete",
     )
     # complete mode: each invocation carries the FULL aggregate state —
@@ -164,8 +172,8 @@ def q_stream_dedup_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark,
         sf_dir,
-        lambda src: (
-            src.withWatermark("ts", "30 minutes")
+        lambda make: (
+            make().withWatermark("ts", "30 minutes")
             .dropDuplicates(["user_id", "event_type"])
             .select("user_id", "event_type")
         ),
@@ -222,8 +230,8 @@ def q_stream_session_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark,
         sf_dir,
-        lambda src: (
-            src.filter(F.col("user_id") < 50)
+        lambda make: (
+            make().filter(F.col("user_id") < 50)
             .groupBy(
                 F.session_window("ts", "30 minutes").alias("w"), "user_id"
             )
@@ -241,4 +249,81 @@ def q_stream_session_runtime(spark, sf_dir):
     return (
         spark.createDataFrame(rows, schema=schema)
         .orderBy("user_id", "sess_start_us")
+    )
+
+
+@query(
+    "q_stream_join_runtime",
+    oracle="""
+        SELECT a.event_id AS view_id,
+               b.event_id AS purchase_id,
+               a.user_id,
+               epoch_us(a.ts) AS view_us,
+               epoch_us(b.ts) AS purchase_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "runtime", "join", "stateful"),
+)
+def q_stream_join_runtime(spark, sf_dir):
+    """The STREAM-STREAM JOIN state store, driver-gated: views joined to
+    purchases by the same user within the following 60 minutes, run as an
+    actual Structured Streaming inner interval join (two independent file
+    sources -> per-side watermarks -> symmetric hash-join state: each side
+    buffers rows keyed by user until the watermark clears the time bound)
+    over the bounded events fixture, append mode.  An inner join's emitted
+    union over a bounded stream is exactly the batch interval join —
+    deterministic row SET — so the DuckDB oracle value-checks the join-state
+    machinery itself.  (The batch dual ``q_interval_join`` gates the same
+    semantics through the batch planner; this query's purpose is gate
+    evidence for the streaming join-state path.)  Join-state volume is
+    bounded by rows inside the watermark horizon per side, partitioned by
+    user_id — state partitions sized via the shared harness rule."""
+
+    def build(make):
+        v = (
+            make()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        p = (
+            make()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        return v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + INTERVAL 60 MINUTES"
+            ),
+        ).select(
+            "view_id",
+            F.col("purchase_id"),
+            F.col("v_user").alias("user_id"),
+            F.unix_micros(F.col("v_ts")).alias("view_us"),
+            F.unix_micros(F.col("p_ts")).alias("purchase_us"),
+        )
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="append"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("view_id", "purchase_id")
     )

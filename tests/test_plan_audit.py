@@ -115,6 +115,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one rank window over a TakeOrdered top-100 list (q_hybrid_rrf's class):
     # the corpus-size work is the distributed scoring + partial top-K
     "q_dsir_select",
+    # one rank window over a TakeOrdered top-20 list (same class): the
+    # corpus-size work is the lag window + broadcast-scored aggregate
+    "q_markov_anomaly",
 }
 
 
