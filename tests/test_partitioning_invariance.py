@@ -50,6 +50,9 @@ SAMPLE = [
     # r5 second batch: trained-scorer and compressed-domain families
     "q_quality_classifier",    # ln-quantized trained NB weights + hashed buckets
     "q_emb_pq_adc",            # unrolled PQ Lloyd + ADC sums + exact rerank
+    # r5 third batch: sequence-scorer and linear-dedup-screen families
+    "q_markov_anomaly",        # ln-quantized transition weights via lag window
+    "q_dup_ngram_fraction",    # hashed-shingle docfreq counts, integer bp
 ]
 
 
