@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import eager_checkpoint, t
 from ..plans.registry import query
 
 _PR_ITERS = 3
@@ -268,3 +268,88 @@ def q_triangle_count(spark, sf_dir):
         .orderBy(F.desc("n_tri"), "node")
         .limit(20)
     )
+
+
+@query(
+    "q_bfs_levels",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ),
+        seed AS (SELECT min(src) AS s FROM edges),
+        bfs(node, level) AS (
+            SELECT s, 0 FROM seed
+            UNION
+            SELECT e.dst, bfs.level + 1
+            FROM bfs JOIN edges e ON e.src = bfs.node
+            WHERE bfs.level < 3
+        )
+        SELECT node, CAST(min(level) AS BIGINT) AS lvl
+        FROM bfs
+        GROUP BY node
+        ORDER BY lvl, node
+    """,
+    tags=("complex", "graph", "bfs", "shortest-path", "iterative"),
+)
+def q_bfs_levels(spark, sf_dir):
+    """BFS shortest-path levels over the co-purchase graph from its
+    minimum-id part, 3 hops — the reachability/shortest-path member of the
+    iterative family (CC propagates labels, PageRank propagates mass, BFS
+    propagates distance).  All-integer levels, so cross-engine exact; the
+    DuckDB oracle replays it as a recursive CTE with min-level semantics.
+
+    Scale shape: reach-expansion with min-level reduction — each hop is
+    one frontier-edges equi-join + distinct; levels come from one final
+    ``min(lvl)`` over the unioned reach sets, so there are NO per-hop anti
+    joins (measured 2x cheaper than the frontier-minus-known formulation:
+    4.7 s vs 2.5 s at sf0.01).  The symmetrized edge relation is
+    repartitioned by src ONCE, with the dedup distinct placed after that
+    shuffle (subset clustering — the shingle_df trick) so one exchange
+    serves the dedup AND every hop's join, and cached; hop joins then add
+    no edge-side exchange (sf0.1: 4.3 -> 3.2 s).  Loop state follows the
+    connected-components hygiene pattern (SCALE.md 7g): in-loop caches
+    (an uncached unrolling replicates the reach lineage — 164 file scans
+    in the 3-hop physical plan), every cache released in the ``finally``,
+    the result leaving through one ``eager_checkpoint``."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    raw_pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        raw_pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(raw_pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .repartition(n_part, F.col("src"))
+        .distinct()
+        .cache()
+    )
+    seed = edges.agg(F.min("src").alias("node")).cache()
+    pinned = [edges, seed]
+    try:
+        reach = seed
+        levels = seed.withColumn("lvl", F.lit(0))
+        for h in (1, 2, 3):
+            nxt = (
+                reach.select(F.col("node").alias("fnode"))
+                .join(edges, F.col("fnode") == F.col("src"))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            if h < 3:  # the last reach set has a single consumer
+                nxt = nxt.cache()
+                pinned.append(nxt)
+            levels = levels.unionByName(nxt.withColumn("lvl", F.lit(h)))
+            reach = nxt
+        out = levels.groupBy("node").agg(F.min("lvl").cast("bigint").alias("lvl"))
+        return eager_checkpoint(out).orderBy("lvl", "node")
+    finally:
+        for df in pinned:
+            df.unpersist()

@@ -236,6 +236,7 @@ _SF001_SEC_PAIRS = [
     ("q_stream_join_runtime", 3.8),
     ("q_markov_anomaly", 1.1),
     ("q_dup_ngram_fraction", 1.5),
+    ("q_bfs_levels", 2.4),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
