@@ -237,6 +237,7 @@ _SF001_SEC_PAIRS = [
     ("q_markov_anomaly", 1.1),
     ("q_dup_ngram_fraction", 1.5),
     ("q_bfs_levels", 2.4),
+    ("q_stream_count_runtime", 2.8),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

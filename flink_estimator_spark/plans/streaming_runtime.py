@@ -327,3 +327,57 @@ def q_stream_join_runtime(spark, sf_dir):
         spark.createDataFrame(rows, schema=schema)
         .orderBy("view_id", "purchase_id")
     )
+
+
+@query(
+    "q_stream_count_runtime",
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events),
+        w AS (
+            SELECT user_id, (rn - 1) // 3 AS win_id, event_id, rn
+            FROM numbered)
+        SELECT user_id, CAST(win_id AS BIGINT) AS win_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(arg_min(event_id, rn) AS BIGINT) AS first_event,
+               CAST(arg_max(event_id, rn) AS BIGINT) AS last_event
+        FROM w
+        GROUP BY user_id, win_id
+        HAVING count(*) = 3
+        ORDER BY user_id, win_id
+    """,
+    tags=("streaming", "runtime", "count-window", "stateful", "custom-state"),
+)
+def q_stream_count_runtime(spark, sf_dir):
+    """The CUSTOM-STATE streaming path, driver-gated: Flink countWindow(3)
+    — an operator Spark has no native TVF for — executed as a real
+    streaming query through ``applyInPandasWithState``
+    (``streaming/stateful.py count_window``: per-user O(1) state carrying
+    the open-window accumulator; windows emit the moment their 3rd
+    event-time-ordered event arrives).  Append-mode emissions are exactly
+    the CLOSED windows, deterministic over the bounded fixture, so the
+    DuckDB oracle (row_number -> integer-division buckets, complete
+    triples only, first/last by event-time position) value-checks the
+    user-defined state machine itself — evidence the built-in-state
+    runtime queries can't give.  The value sum stays out of the
+    projection: the processor's half-even micro-unit rounding is the
+    batch-shadow contract (tests/test_streaming.py), not a cross-engine
+    one."""
+    from ..streaming.stateful import count_window
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: count_window(make()).select(
+            "user_id", "win_id", "n", "first_event", "last_event"
+        ),
+        output_mode="append",
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("user_id", "win_id")
+    )
