@@ -66,11 +66,11 @@ _NB_TOKS_SQL = rf"""
         )
 """
 
-
-@query(
-    "q_quality_classifier",
-    oracle=rf"""
-        WITH toks AS ({_NB_TOKS_SQL}),
+# the full train-and-score pipeline as reusable CTE text: held-out per-doc
+# rows (doc_id, lang, n_tok, score_q, pred_en) — q_quality_classifier emits
+# them verbatim; q_classifier_eval aggregates the confusion matrix over them
+_NB_SCORED_CTES = rf"""
+        toks AS ({_NB_TOKS_SQL}),
         train AS (SELECT * FROM toks WHERE doc_id % 5 != {_NB_HOLD}),
         bc AS (
             SELECT b,
@@ -99,38 +99,29 @@ _NB_TOKS_SQL = rf"""
                                      * {_Q}) AS BIGINT)
                     FROM documents WHERE doc_id % 5 != {_NB_HOLD}) AS prior_q
             FROM tot
+        ),
+        scored AS (
+            SELECT toks.doc_id,
+                   max(toks.lang) AS lang,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(max(consts.prior_q)
+                        + sum(COALESCE(w.w_q, consts.w_oov_q)) AS BIGINT) AS score_q,
+                   CAST(CASE WHEN max(consts.prior_q)
+                                  + sum(COALESCE(w.w_q, consts.w_oov_q)) > 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS pred_en
+            FROM toks LEFT JOIN w USING (b) CROSS JOIN consts
+            WHERE toks.doc_id % 5 = {_NB_HOLD}
+            GROUP BY toks.doc_id
         )
-        SELECT toks.doc_id,
-               max(toks.lang) AS lang,
-               CAST(count(*) AS BIGINT) AS n_tok,
-               CAST(max(consts.prior_q)
-                    + sum(COALESCE(w.w_q, consts.w_oov_q)) AS BIGINT) AS score_q,
-               CAST(CASE WHEN max(consts.prior_q)
-                              + sum(COALESCE(w.w_q, consts.w_oov_q)) > 0
-                         THEN 1 ELSE 0 END AS BIGINT) AS pred_en
-        FROM toks LEFT JOIN w USING (b) CROSS JOIN consts
-        WHERE toks.doc_id % 5 = {_NB_HOLD}
-        GROUP BY toks.doc_id
-        ORDER BY doc_id
-    """,
-    tags=("llm", "classifier", "quality", "naive-bayes", "trained"),
-)
-def q_quality_classifier(spark, sf_dir):
-    """Hashed multinomial Naive-Bayes quality classifier, trained AND
-    applied relationally — the fastText-style quality screen of LLM data
-    pipelines (train on a labeled slice, score the rest), here with
-    lang=='en' as the supervised label, an 80/20 doc_id-hash train/score
-    split, Laplace smoothing, and log-odds scores.
+"""
 
-    Scale shape: the learned model is a <=64k-row (bucket, weight) table —
-    bounded by the FIXED hashed feature space, not the corpus vocabulary —
-    so it broadcasts at any corpus size.  Training is one pass over the
-    token stream partial-aggregated to (bucket, class-count); scoring is a
-    second pass with a broadcast-hash left join.  Token instances never
-    shuffle; only bucket-keyed partials do.  Per-bucket log-odds are
-    floor-quantized to 1e-6 BIGINTs, so the trained scores are exact and
-    order-independent (gate-able), with out-of-vocabulary buckets scored
-    by the Laplace default weight."""
+
+def _nb_scored(spark, sf_dir):
+    """Held-out per-doc NB scores (doc_id, lang, n_tok, score_q, pred_en) —
+    the train-and-apply pipeline shared by the score listing
+    (q_quality_classifier) and the confusion-matrix evaluation
+    (q_classifier_eval); mirrors ``_NB_SCORED_CTES`` statement-for-
+    statement."""
     d = t(spark, sf_dir, "documents")
     toks = nb_tokens(spread(d, "doc_id"))
     is_pos = (F.col("lang") == "en").cast("bigint")
@@ -184,7 +175,79 @@ def q_quality_classifier(spark, sf_dir):
             score.cast("bigint").alias("score_q"),
             F.when(score > 0, 1).otherwise(0).cast("bigint").alias("pred_en"),
         )
-        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES}
+        SELECT doc_id, lang, n_tok, score_q, pred_en
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("llm", "classifier", "quality", "naive-bayes", "trained"),
+)
+def q_quality_classifier(spark, sf_dir):
+    """Hashed multinomial Naive-Bayes quality classifier, trained AND
+    applied relationally — the fastText-style quality screen of LLM data
+    pipelines (train on a labeled slice, score the rest), here with
+    lang=='en' as the supervised label, an 80/20 doc_id-hash train/score
+    split, Laplace smoothing, and log-odds scores.
+
+    Scale shape: the learned model is a <=64k-row (bucket, weight) table —
+    bounded by the FIXED hashed feature space, not the corpus vocabulary —
+    so it broadcasts at any corpus size.  Training is one pass over the
+    token stream partial-aggregated to (bucket, class-count); scoring is a
+    second pass with a broadcast-hash left join.  Token instances never
+    shuffle; only bucket-keyed partials do.  Per-bucket log-odds are
+    floor-quantized to 1e-6 BIGINTs, so the trained scores are exact and
+    order-independent (gate-able), with out-of-vocabulary buckets scored
+    by the Laplace default weight."""
+    return _nb_scored(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "q_classifier_eval",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES}
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = 'en' AND pred_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN lang != 'en' AND pred_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN lang = 'en' AND pred_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN lang != 'en' AND pred_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN (lang = 'en') = (pred_en = 1) THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS accuracy_bp
+        FROM scored
+    """,
+    tags=("llm", "classifier", "evaluation", "trained"),
+)
+def q_classifier_eval(spark, sf_dir):
+    """Held-out evaluation of the trained NB quality classifier: the
+    confusion matrix (tp/fp/fn/tn against the lang=='en' label) and exact
+    basis-point accuracy over the 20% scoring split — completing the
+    train -> apply -> EVALUATE lifecycle as declarative relational
+    pipeline (a production curation funnel gates classifier rollouts on
+    exactly this aggregate).
+
+    Scale shape: q_quality_classifier's scored rows (see ``_nb_scored``)
+    reduced by one global all-integer aggregate — a single partial-
+    aggregated pass, one 1-row result; accuracy is exact integer division,
+    no doubles anywhere."""
+    s = _nb_scored(spark, sf_dir)
+    is_en = F.col("lang") == "en"
+    pred = F.col("pred_en") == 1
+    cell = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    return s.agg(
+        F.count("*").alias("n_docs"),
+        cell(is_en & pred).alias("tp"),
+        cell(~is_en & pred).alias("fp"),
+        cell(is_en & ~pred).alias("fn"),
+        cell(~is_en & ~pred).alias("tn"),
+        F.expr(
+            "sum(CASE WHEN (lang = 'en') = (pred_en = 1) THEN 1 ELSE 0 END)"
+            " * 10000 DIV count(*)"
+        ).alias("accuracy_bp"),
     )
 
 
