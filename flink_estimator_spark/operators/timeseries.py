@@ -987,3 +987,60 @@ def q_price_elasticity(spark, sf_dir):
         "n",
         F.floor(num / den * 1_000_000).cast("bigint").alias("elasticity_q6"),
     ).orderBy("p_brand")
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        contrib AS (
+            SELECT ud.user_id, ud.day + i AS win_day
+            FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i)
+        ),
+        uw AS (SELECT DISTINCT user_id, win_day FROM contrib)
+        SELECT days.day,
+               CAST(count(*) AS BIGINT) AS distinct_users_7d
+        FROM uw JOIN days ON uw.win_day = days.day
+        GROUP BY days.day
+        ORDER BY day
+    """,
+    tags=("complex", "time-series", "rolling-distinct", "window-explode"),
+)
+def q_rolling_distinct(spark, sf_dir):
+    """Exact trailing-7-day distinct active users per day — the rolling
+    COUNT(DISTINCT) over a time range that window functions cannot express
+    (no DISTINCT aggregates over frames in Spark OR ANSI SQL), realized by
+    the window-explode trick: each distinct (user, day) contributes to the
+    7 trailing windows it falls inside, so one explode by a literal 0..6
+    range + one distinct + one count replaces a per-day distinct scan.
+
+    Scale shape: linear — |distinct user-days| x 7 rows through two
+    hash aggregates, versus the naive per-window self-join (|days| scans)
+    or a sliding collect_set window (state = users per frame on ONE task
+    per partition key).  All-integer epoch-day arithmetic; windows are
+    emitted only for days present in the data (inner join with the day
+    spine), keeping the output SF-bounded and spine-exact."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).distinct()
+    days = ud.select(F.col("day").alias("spine_day")).distinct()
+    uw = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+        )
+        .distinct()
+    )
+    return (
+        uw.join(days, F.col("win_day") == F.col("spine_day"))
+        .groupBy(F.col("spine_day").alias("day"))
+        .agg(F.count("*").alias("distinct_users_7d"))
+        .orderBy("day")
+    )

@@ -239,6 +239,7 @@ _SF001_SEC_PAIRS = [
     ("q_bfs_levels", 2.4),
     ("q_stream_count_runtime", 2.8),
     ("q_classifier_eval", 1.0),
+    ("q_rolling_distinct", 0.9),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
