@@ -53,6 +53,7 @@ SAMPLE = [
     # r5 third batch: sequence-scorer and linear-dedup-screen families
     "q_markov_anomaly",        # ln-quantized transition weights via lag window
     "q_dup_ngram_fraction",    # hashed-shingle docfreq counts, integer bp
+    "q_bfs_levels",            # iterative cached reach-expansion, min levels
 ]
 
 
