@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Three distinct stateful paths get gate rows:
+Five distinct stateful paths get gate rows:
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -30,6 +30,10 @@ Three distinct stateful paths get gate rows:
   watermark passes the time-range bound; an inner join's emitted union
   over a bounded stream is exactly the batch interval join — fully
   oracle-able).
+* ``q_stream_count_runtime`` — CUSTOM STATE via ``applyInPandasWithState``
+  (Flink countWindow(3): a user-defined per-key open-window accumulator;
+  append emissions are exactly the closed windows, deterministic over the
+  bounded fixture — fully oracle-able).
 
 Scale notes: ``foreachBatch`` collecting is bounded by the streaming STATE
 (window x type cardinality / distinct keys), never by input rows — the
