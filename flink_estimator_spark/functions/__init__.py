@@ -60,3 +60,10 @@ from ..operators.bpe import bpe_train  # noqa: F401
 from ..streaming.dedup import screen_docs_against_corpus  # noqa: F401
 from ..streaming.curation import screen_embeddings_against_corpus  # noqa: F401
 from ..streaming.sketches import windowed_cms_cells  # noqa: F401
+
+# round-5 additions
+from ..operators.bpe import bpe_encode, build_vocab  # noqa: F401
+from ..operators.classifier import nb_tokens  # noqa: F401
+from ..operators.pq import pq_codebooks_and_codes  # noqa: F401
+from ..operators.similarity import embedding_near_dups_blocked, triplet_mining_ann  # noqa: F401
+from ..streaming.stateful import count_window, running_totals  # noqa: F401

@@ -52,9 +52,14 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ..streaming.sources import events_stream
-from ..streaming.windows import tumble_agg
 from .registry import query
+
+# NOTE: ..streaming imports stay function-local in this module.  The plans
+# package initializer imports every plan module (including this one), and
+# operators/similarity.py imports plans._helpers — so a module-level import
+# of the streaming package here closes a cycle (similarity -> plans ->
+# streaming_runtime -> streaming.curation -> similarity) that breaks
+# ``import flink_estimator_spark.functions`` as a first touch.
 
 
 def _checkpoint_dir() -> str:
@@ -84,6 +89,8 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     them to the state volume (thousands of rows here), not the input
     parallelism (32 stores: 7.1 s, 4: 2.3 s at sf0.1 on local[32]; the
     stateless file scan is unaffected)."""
+    from ..streaming.sources import events_stream
+
     ckpt = _checkpoint_dir()
     stream_dir = ckpt + "_src"
     os.makedirs(stream_dir, exist_ok=True)
@@ -139,6 +146,8 @@ def q_stream_tumble_runtime(spark, sf_dir):
     ``q_tumble_window`` aggregate bit-for-bit (DECIMAL sums are
     order-independent), so the DuckDB oracle value-checks the whole
     streaming execution path."""
+    from ..streaming.windows import tumble_agg
+
     batches, schema = _run_bounded_stream(
         spark,
         sf_dir,
