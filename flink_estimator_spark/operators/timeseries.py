@@ -1044,3 +1044,102 @@ def q_rolling_distinct(spark, sf_dir):
         .agg(F.count("*").alias("distinct_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "q_ks_statistic",
+    oracle="""
+        WITH counts AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS cent,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_view,
+                   CAST(sum(nb) AS BIGINT) AS n_purchase
+            FROM counts
+        ),
+        cum AS (
+            SELECT cent,
+                   sum(na) OVER (ORDER BY cent) AS cum_a,
+                   sum(nb) OVER (ORDER BY cent) AS cum_b
+            FROM counts
+        ),
+        gaps AS (
+            SELECT cent,
+                   abs(cum_a * n_purchase - cum_b * n_view) AS gap
+            FROM cum CROSS JOIN tot
+        ),
+        m AS (SELECT CAST(max(gap) AS BIGINT) AS max_gap FROM gaps)
+        SELECT max(tot.n_view) AS n_view,
+               max(tot.n_purchase) AS n_purchase,
+               CAST(max(m.max_gap) * 1000000
+                    // (max(tot.n_view) * max(tot.n_purchase)) AS BIGINT) AS ks_e6,
+               CAST(min(gaps.cent) AS BIGINT) AS ks_at_cent
+        FROM gaps CROSS JOIN m CROSS JOIN tot
+        WHERE gaps.gap = m.max_gap
+    """,
+    tags=("complex", "statistics", "ks-test", "drift", "nonparametric"),
+)
+def q_ks_statistic(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of 'view' and 'purchase' events — the nonparametric
+    drift detector (no binning choice, unlike the per-bucket KL of
+    q_distribution_drift): KS = max_x |F_view(x) - F_purchase(x)|,
+    reported in exact millionths plus the cent value where the maximum
+    gap occurs (min on ties).
+
+    All-integer realization: values quantize to cents, per-cent counts
+    cumulate in one ordered window, and the CDF gap cross-multiplies —
+    |cum_a*NB - cum_b*NA| — so no division happens until the final exact
+    integral DIV.  The global sort window runs over DISTINCT CENTS, which
+    the value RANGE bounds (~56k forever, SF-invariant once saturated) —
+    the q_rolling_median boundedness class, not row count.  At samples
+    beyond ~3e9 rows each the cross-multiplied gap would overflow BIGINT;
+    the production variant divides the cumulative counts into quantized
+    fractions first (one more floor-quantization, same protocol)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    counts = (
+        ev.select(
+            F.floor(F.col("value") * 100).cast("bigint").alias("cent"),
+            (F.col("event_type") == "view").cast("bigint").alias("is_a"),
+            (F.col("event_type") == "purchase").cast("bigint").alias("is_b"),
+        )
+        .groupBy("cent")
+        .agg(F.sum("is_a").alias("na"), F.sum("is_b").alias("nb"))
+    )
+    tot = counts.agg(
+        F.sum("na").alias("n_view"), F.sum("nb").alias("n_purchase")
+    )
+    w = W.orderBy("cent")
+    cum = counts.select(
+        "cent",
+        F.sum("na").over(w).alias("cum_a"),
+        F.sum("nb").over(w).alias("cum_b"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "cent",
+        "n_view",
+        "n_purchase",
+        F.abs(
+            F.col("cum_a") * F.col("n_purchase") - F.col("cum_b") * F.col("n_view")
+        ).alias("gap"),
+    )
+    m = gaps.agg(F.max("gap").alias("max_gap"))
+    return (
+        gaps.crossJoin(F.broadcast(m))
+        .filter(F.col("gap") == F.col("max_gap"))
+        .agg(
+            F.max("n_view").alias("n_view"),
+            F.max("n_purchase").alias("n_purchase"),
+            F.expr("max(max_gap) * 1000000 DIV (max(n_view) * max(n_purchase))")
+            .cast("bigint")
+            .alias("ks_e6"),
+            F.min("cent").alias("ks_at_cent"),
+        )
+    )

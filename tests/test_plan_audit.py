@@ -118,6 +118,11 @@ ALLOWED_GLOBAL_WINDOW = {
     # one rank window over a TakeOrdered top-20 list (same class): the
     # corpus-size work is the lag window + broadcast-scored aggregate
     "q_markov_anomaly",
+    # one cumulative window over DISTINCT CENT VALUES — bounded by the
+    # value range (~56k forever, SF-invariant once saturated), the
+    # q_rolling_median boundedness class; per-cent counts pre-aggregate
+    # distributed before the window
+    "q_ks_statistic",
 }
 
 
