@@ -119,3 +119,26 @@ def test_rolling_distinct_matches_python(spark):
             users |= by_day.get(d - back, set())
         expect.append((d, len(users)))
     assert _rows(spark, "q_rolling_distinct") == expect
+
+
+def test_ks_statistic_matches_python(spark):
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet' "
+        "WHERE event_type IN ('view', 'purchase')"
+    ).fetchall()
+    a = sorted(math.floor(v * 100) for t, v in ev if t == "view")
+    b = sorted(math.floor(v * 100) for t, v in ev if t == "purchase")
+    na, nb = len(a), len(b)
+    ca: Counter = Counter(a)
+    cb: Counter = Counter(b)
+    cents = sorted(set(a) | set(b))
+    cum_a = cum_b = 0
+    best_gap, best_cent = -1, None
+    for c in cents:
+        cum_a += ca.get(c, 0)
+        cum_b += cb.get(c, 0)
+        gap = abs(cum_a * nb - cum_b * na)
+        if gap > best_gap:
+            best_gap, best_cent = gap, c
+    expect = [(na, nb, best_gap * 1_000_000 // (na * nb), best_cent)]
+    assert _rows(spark, "q_ks_statistic") == expect
