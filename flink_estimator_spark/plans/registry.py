@@ -241,6 +241,7 @@ _SF001_SEC_PAIRS = [
     ("q_classifier_eval", 1.0),
     ("q_rolling_distinct", 0.9),
     ("q_ks_statistic", 0.8),
+    ("q_stream_outer_join_runtime", 3.6),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Five distinct stateful paths get gate rows:
+Six distinct stateful paths get gate rows:
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -34,6 +34,10 @@ Five distinct stateful paths get gate rows:
   (Flink countWindow(3): a user-defined per-key open-window accumulator;
   append emissions are exactly the closed windows, deterministic over the
   bounded fixture — fully oracle-able).
+* ``q_stream_outer_join_runtime`` — LEFT OUTER stream-stream join (the
+  EVICTION state machine: unmatched rows null-emit only when the
+  watermark passes their join horizon; gated on the margin-restricted
+  subset both engines can decide — fully oracle-able).
 
 Scale notes: ``foreachBatch`` collecting is bounded by the streaming STATE
 (window x type cardinality / distinct keys), never by input rows — the
@@ -52,6 +56,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from ._helpers import t
 from .registry import query
 
 # NOTE: ..streaming imports stay function-local in this module.  The plans
@@ -393,4 +398,111 @@ def q_stream_count_runtime(spark, sf_dir):
     return (
         spark.createDataFrame(rows, schema=schema)
         .orderBy("user_id", "win_id")
+    )
+
+
+_OUTER_GAP_US = 60 * 60 * 1_000_000          # 60-minute join bound
+_OUTER_WM_US = 30 * 60 * 1_000_000           # per-side watermark delay
+_OUTER_MARGIN_US = 10 * 60 * 1_000_000       # boundary exclusion margin
+
+
+@query(
+    "q_stream_outer_join_runtime",
+    oracle=f"""
+        WITH wm AS (
+            SELECT least(
+                       (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+                       (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+                   ) - {_OUTER_WM_US} AS wm_us
+        )
+        SELECT a.event_id AS view_id,
+               COALESCE(b.event_id, -1) AS purchase_id,
+               a.user_id,
+               epoch_us(a.ts) AS view_us
+        FROM events a
+        LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        CROSS JOIN wm
+        WHERE a.event_type = 'view'
+          AND (b.event_id IS NOT NULL
+               OR epoch_us(a.ts) + {_OUTER_GAP_US}
+                  <= wm.wm_us - {_OUTER_MARGIN_US})
+        ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "runtime", "join", "outer", "stateful", "eviction"),
+)
+def q_stream_outer_join_runtime(spark, sf_dir):
+    """The stream-stream LEFT OUTER join's EVICTION state machine,
+    driver-gated: unmatched views null-emit only when the watermark passes
+    their join horizon — a semantics the inner join (q_stream_join_runtime)
+    never exercises.  Run as a real streaming left-outer interval join
+    (views -> purchases within 60 minutes per user, per-side 30-minute
+    watermarks, append mode); over a bounded stream the emitted set is the
+    batch left join RESTRICTED to rows whose outcome the final watermark
+    has decided: matched rows always emit, null rows emit iff
+    ``v_ts + 60min < final_watermark``.  Rows within a 10-minute margin of
+    that eviction boundary are excluded ON BOTH ENGINES (the builder
+    recomputes the final watermark from the fixture), so sub-minute
+    eviction-boundary semantics can't flip a row between runs or engines;
+    NULL purchase ids surface as -1 (no cross-engine NULL ordering/hash
+    hazard).  State volume per side is bounded by rows inside the
+    watermark horizon, keyed by user."""
+
+    def build(make):
+        v = (
+            make()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        p = (
+            make()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        return v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + INTERVAL 60 MINUTES"
+            ),
+            "left_outer",
+        ).select(
+            "view_id",
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            F.col("v_user").alias("user_id"),
+            F.unix_micros(F.col("v_ts")).alias("view_us"),
+        )
+
+    # the final watermark the bounded stream reaches, recomputed from the
+    # fixture: min over sides of (max event time) minus the delay
+    ev = t(spark, sf_dir, "events")
+    mx = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("mv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("mp"),
+    ).collect()[0]
+    wm_us = min(mx["mv"], mx["mp"]) - _OUTER_WM_US
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="append"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(
+            (F.col("purchase_id") != -1)
+            | (F.col("view_us") + _OUTER_GAP_US <= wm_us - _OUTER_MARGIN_US)
+        )
+        .orderBy("view_id", "purchase_id")
     )
