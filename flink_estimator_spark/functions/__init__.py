@@ -67,3 +67,5 @@ from ..operators.classifier import nb_tokens  # noqa: F401
 from ..operators.pq import pq_codebooks_and_codes  # noqa: F401
 from ..operators.similarity import embedding_near_dups_blocked, triplet_mining_ann  # noqa: F401
 from ..streaming.stateful import count_window, running_totals  # noqa: F401
+from ..operators.sequence import markov_sequence_scores  # noqa: F401
+from ..operators.timeseries import ks_two_sample  # noqa: F401

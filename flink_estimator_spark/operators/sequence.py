@@ -164,6 +164,49 @@ def q_cep_four_step(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def markov_sequence_scores(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    laplace_k: int = 5,
+) -> DataFrame:
+    """Per-key Markov-chain sequence scores (key, n_trans, nll_q,
+    avg_nll_q): fit the Laplace-smoothed first-order transition matrix on
+    the whole input, score every key's sequence by 1e-6-quantized -ln p
+    sums with exact integer means.  Keys with fewer than two events have
+    no transitions and drop out (a one-event sequence has no dynamics to
+    score).  See ``q_markov_anomaly`` for the scale analysis; hypothesis
+    differential vs a pure-Python scorer in tests/test_property_scorers."""
+    seq = ev.select(
+        key_col,
+        F.lag(type_col)
+        .over(W.partitionBy(key_col).orderBy(*order_cols))
+        .alias("prev"),
+        F.col(type_col).alias("cur"),
+    )
+    trans = seq.filter(F.col("prev").isNotNull())
+    cnt = trans.groupBy("prev", "cur").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("prev").agg(F.sum("c").alias("t"))
+    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
+    w = cnt.join(tot, "prev").select(
+        "prev",
+        "cur",
+        F.floor((lnd(F.col("t") + laplace_k) - lnd(F.col("c") + 1)) * 1_000_000)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    return (
+        trans.join(F.broadcast(w), ["prev", "cur"])
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_trans"),
+            F.sum("w_q").alias("nll_q"),
+            F.expr("sum(w_q) DIV count(*)").alias("avg_nll_q"),
+        )
+    )
+
+
 @query(
     "q_markov_anomaly",
     oracle="""
@@ -223,35 +266,9 @@ def q_markov_anomaly(spark, sf_dir):
     the per-user mean is exact integer division, and the global top-20
     reduces via distributed TakeOrdered before a bounded 20-row rank
     window."""
-    ev = t(spark, sf_dir, "events")
-    seq = ev.select(
-        "user_id",
-        F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev"),
-        F.col("event_type").alias("cur"),
-    )
-    trans = seq.filter(F.col("prev").isNotNull())
-    cnt = trans.groupBy("prev", "cur").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("prev").agg(F.sum("c").alias("t"))
-    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
-    w = cnt.join(tot, "prev").select(
-        "prev",
-        "cur",
-        F.floor((lnd(F.col("t") + 5) - lnd(F.col("c") + 1)) * 1_000_000)
-        .cast("bigint")
-        .alias("w_q"),
-    )
-    scored = (
-        trans.join(F.broadcast(w), ["prev", "cur"])
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_trans"),
-            F.sum("w_q").alias("nll_q"),
-            F.expr("sum(w_q) DIV count(*)").alias("avg_nll_q"),
-        )
-    )
-    top = scored.orderBy(F.desc("avg_nll_q"), "user_id").limit(20)
+    top = markov_sequence_scores(t(spark, sf_dir, "events")).orderBy(
+        F.desc("avg_nll_q"), "user_id"
+    ).limit(20)
     return (
         top.withColumn(
             "rank",

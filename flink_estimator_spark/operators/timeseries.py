@@ -15,6 +15,7 @@ deterministic cross-engine arithmetic:
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -1104,18 +1105,29 @@ def q_ks_statistic(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    counts = (
-        ev.select(
-            F.floor(F.col("value") * 100).cast("bigint").alias("cent"),
-            (F.col("event_type") == "view").cast("bigint").alias("is_a"),
-            (F.col("event_type") == "purchase").cast("bigint").alias("is_b"),
-        )
-        .groupBy("cent")
-        .agg(F.sum("is_a").alias("na"), F.sum("is_b").alias("nb"))
+    tagged = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("cent"),
+        (F.col("event_type") == "view").cast("bigint").alias("is_a"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("is_b"),
     )
-    tot = counts.agg(
-        F.sum("na").alias("n_view"), F.sum("nb").alias("n_purchase")
+    return ks_two_sample(tagged).select(
+        F.col("n_a").alias("n_view"),
+        F.col("n_b").alias("n_purchase"),
+        "ks_e6",
+        "ks_at_cent",
     )
+
+
+def ks_two_sample(tagged: DataFrame) -> DataFrame:
+    """Exact two-sample KS over a tagged frame (cent BIGINT, is_a 0/1,
+    is_b 0/1): one row (n_a, n_b, ks_e6, ks_at_cent).  Both samples must
+    be non-empty (KS is undefined otherwise; the integral division would
+    hit zero).  See ``q_ks_statistic`` for the arithmetic and boundedness
+    analysis; hypothesis differential in tests/test_property_scorers."""
+    counts = tagged.groupBy("cent").agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    tot = counts.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
     w = W.orderBy("cent")
     cum = counts.select(
         "cent",
@@ -1124,10 +1136,10 @@ def q_ks_statistic(spark, sf_dir):
     )
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         "cent",
-        "n_view",
-        "n_purchase",
+        "n_a",
+        "n_b",
         F.abs(
-            F.col("cum_a") * F.col("n_purchase") - F.col("cum_b") * F.col("n_view")
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
         ).alias("gap"),
     )
     m = gaps.agg(F.max("gap").alias("max_gap"))
@@ -1135,9 +1147,9 @@ def q_ks_statistic(spark, sf_dir):
         gaps.crossJoin(F.broadcast(m))
         .filter(F.col("gap") == F.col("max_gap"))
         .agg(
-            F.max("n_view").alias("n_view"),
-            F.max("n_purchase").alias("n_purchase"),
-            F.expr("max(max_gap) * 1000000 DIV (max(n_view) * max(n_purchase))")
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.expr("max(max_gap) * 1000000 DIV (max(n_a) * max(n_b))")
             .cast("bigint")
             .alias("ks_e6"),
             F.min("cent").alias("ks_at_cent"),
