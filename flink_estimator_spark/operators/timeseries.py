@@ -1099,9 +1099,11 @@ def q_ks_statistic(spark, sf_dir):
     integral DIV.  The global sort window runs over DISTINCT CENTS, which
     the value RANGE bounds (~56k forever, SF-invariant once saturated) —
     the q_rolling_median boundedness class, not row count.  At samples
-    beyond ~3e9 rows each the cross-multiplied gap would overflow BIGINT;
-    the production variant divides the cumulative counts into quantized
-    fractions first (one more floor-quantization, same protocol)."""
+    beyond ~3e6 per side (n_a*n_b > (2^63-1)/1e6) the scaled gap would
+    leave exact-BIGINT range — ``ks_two_sample`` raises at evaluation
+    time rather than letting non-ANSI arithmetic wrap; the production
+    variant divides the cumulative counts into quantized fractions first
+    (one more floor-quantization, same protocol)."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
@@ -1127,7 +1129,31 @@ def ks_two_sample(tagged: DataFrame) -> DataFrame:
     counts = tagged.groupBy("cent").agg(
         F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
     )
-    tot = counts.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    # Overflow guard (ADVICE r5): gap <= n_a*n_b and ks_e6 multiplies the
+    # max gap by 1e6, so exact-BIGINT arithmetic holds only while
+    # n_a*n_b <= (2^63-1)/1e6 (~9.2e12, ~3e6 distinct-cent mass per side
+    # squared).  With ANSI off Spark would WRAP silently past that and
+    # return a wrong ks_e6 — so the guard raises at evaluation time
+    # instead (DECIMAL(38,0) product, immune to the overflow it checks
+    # for).  Beyond the guard: the documented quantized-fraction variant.
+    _KS_LIMIT = (2**63 - 1) // 1_000_000
+    d38 = "decimal(38,0)"
+    tot = counts.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b")).select(
+        F.when(
+            F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+            <= F.lit(_KS_LIMIT).cast(d38),
+            F.col("n_a"),
+        )
+        .otherwise(
+            F.raise_error(
+                "ks_two_sample: n_a*n_b exceeds the exact-BIGINT range "
+                "(max_gap*1e6 would overflow); use the quantized-fraction "
+                "variant"
+            )
+        )
+        .alias("n_a"),
+        "n_b",
+    )
     w = W.orderBy("cent")
     cum = counts.select(
         "cent",

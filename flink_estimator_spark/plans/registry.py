@@ -49,93 +49,114 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
     return deco
 
 
-# The driver's correctness gate processes `queries()` in dict order and, in
-# round 1, produced rows for exactly the first 50 entries (CORRECTNESS_r01:
-# the registry prefix) — so ordering decides who gets a hard correctness
-# signal.  Rotate: queries with no green gate row yet go first, previously
-# gated ones (below — all green or value-verified in r1) last, so every
-# registered query accumulates a driver-verified row across rounds.
-_GATED_PRIOR_ROUNDS = frozenset({
-    # --- round 1 greens (CORRECTNESS_r01) ---
-    # q_sessionization and q12_priority_shipping are deliberately ABSENT:
-    # their oracles were CAST-fixed after r1's hash mismatch and they must
-    # re-enter the gate front to earn a green row (VERDICT r2 item 1).
-    "q_scan_filter_project", "q_filter_compound", "q_scalar_math",
-    "q_string_funcs", "q_date_parts", "q_case_when", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "q10_returned_items",
-    "q_join_left_order_counts", "q_join_full_nation_coverage", "q_semi_join",
-    "q_anti_join", "q_supplier_stats", "q_tumble_window", "q_hop_window",
-    "q_dedup_by_key", "q_distinct_pairs", "q_topk_per_group",
-    "q_running_revenue", "q_lag_delta", "q_rollup",
-    "q_cube", "q_grouping_sets", "q_json_extract", "q_set_ops",
-    "q_scalar_subquery", "q_moving_avg", "q_ntile_rank", "q_pivot_status",
-    "q_cep_funnel", "q6_forecast_revenue", "q4_late_orders",
-    "q7_nation_trade", "q13_order_histogram", "q14_promo_share",
-    "q18_large_orders", "q22_idle_balances", "q8_market_share",
-    "q15_top_supplier", "q17_small_quantity", "q19_disjunctive_predicates",
-    "q21_sole_late_shipper", "q9_nation_profit",
-    "q16_supplier_variety", "q_asof_join", "q_range_join_bands",
-    # --- round 2 greens (CORRECTNESS_r02, 50/50) ---
-    "q_approx_sketches", "q_cep_four_step", "q_cep_three_step",
-    "q_class_weights", "q_contamination_screen", "q_cumulate_window",
-    "q_data_mixing", "q_dedup_embedding", "q_dedup_exact_docs",
-    "q_dedup_keep_list", "q_emb_cosine_topk", "q_emb_label_knn",
-    "q_hash_sample", "q_incremental_rollup", "q_interval_join",
-    "q_join_right_customer_coverage", "q_lang_mismatch",
-    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
-    "q_multistage_windows", "q_ngram_lm", "q_pandas_grouped_agg",
-    "q_pandas_udf_score", "q_percentiles", "q_pii_redaction",
-    "q_quality_funnel", "q_resample_ffill", "q_reservoir_per_group",
-    "q_scd2_history", "q_sequence_packing", "q_session_dynamic_gap",
-    "q_shared_spans", "q_skew_salted_agg", "q_temporal_join",
-    "q_text_fingerprint", "q_text_lang_guess", "q_text_quality",
-    "q_text_repetition", "q_text_tfidf_top", "q_text_token_stats",
-    "q_time_range_frame", "q_training_order", "q_udtf_tokens", "q_unpivot",
-    "q_value_outliers", "q_vocab_growth", "q_window_dedup", "q_window_join",
-    "q_window_topn",
-    # --- round 3 greens (CORRECTNESS_r03: 44 oracle'd green) ---
-    "q12_priority_shipping", "q_asof_forward", "q_corr_qty_price",
-    "q_doc_chunks", "q_doc_nll", "q_emb_centroids", "q_fuzzy_digit_pairs",
-    "q_grouped_concat", "q_hll_rollup", "q_kll_rollup", "q_kmeans_assign",
-    "q_percent_rank", "q_resample_interp", "q_sessionization",
-    "q_set_ops_all", "q_value_histogram", "q_weighted_sample",
-    "q_fuzzy_name_pairs", "q11_important_parts", "q20_majority_shippers",
-    "q2_min_cost_supplier", "q_emb_ivf_recall", "q_minhash_recall",
-    "q_grouped_pandas_minmax", "q_simhash_recall", "q_dedup_clusters",
-    "q_emb_lsh_recall", "q_dedup_jaccard_pairs", "q_share_of_total",
-    "q_train_split", "q_rolling_median", "q_lateral_topn",
-    "q_inverted_index", "q_mode_per_group", "q_skew_salted_join",
-    "q_first_last_window", "q_correlated_subquery", "q_click_trigrams",
-    "q_yoy_growth", "q_autocorrelation", "q_distribution_drift",
-    "q_linreg_by_group", "q_null_aware_anti", "q_ab_test_lift",
-    # r3 rows-only that ran under the gate with a stable count and stays
-    # rows-only by declaration (Plane-A Arrow math, not SQL-expressible):
-    "q_whatif_capacity_grid",
-    # NOTE: q_dedup_minhash_lsh / q_dedup_simhash / q_emb_lsh_ann /
-    # q_emb_ivf_ann / q_kmeans_iterate ran rows-only in r3 but are
-    # deliberately ABSENT: in round 4 they gained DuckDB-replayable oracles
-    # (md5-derived hashes, unrolled quantized Lloyd SQL — see
-    # operators/dedup.py, similarity.py, multimodal.py) and must re-enter
-    # the gate front to earn value-verified green rows.
-    # --- round 4 greens (CORRECTNESS_r04: 50/50 value-verified) ---
-    "q_emb_outliers", "q_cms_heavy_hitters", "q_null_ordering",
-    "q_ts_pattern_match", "q_ref_integrity", "q_semdedup_prune",
-    "q_variant_extract", "q_conversion_latency", "q_bloom_join_prune",
-    "q_emb_ivf_ann", "q_asof_nearest", "q_interval_union", "q_abc_by_brand",
-    "q_seasonal_index", "q_lang_balance", "q_max_concurrency",
-    "q_time_weighted_avg", "q_running_anomaly", "q_triplet_mining",
-    "q_basket_rules", "q_union_by_name_drift", "q_change_point",
-    "q_cohort_retention", "q_winsorized_stats", "q_gini_by_nation",
-    "q_length_buckets", "q_incremental_dedup", "q_geo_radius_join",
-    "q_multimodal_phash", "q_rfm_by_nation", "q_audience_overlap",
-    "q_repeated_ngrams", "q_snapshot_diff", "q_benford_audit",
-    "q_sla_attainment", "q_count_window", "q_attribution_linear",
-    "q_emb_quantized_topk", "q_forget_cascade", "q_bm25_search",
-    "q_dedup_minhash_lsh", "q_new_vs_returning", "q_event_transitions",
-    "q_survival_steps", "q_copurchase_pairs", "q_budget_allocation",
-    "q_mutual_information", "q_order_streaks", "q_skew_advisor",
-    "q_dedup_simhash",
-})
+# The driver's correctness gate processes `queries()` in dict order and,
+# in round 1, produced rows for exactly the first 50 entries
+# (CORRECTNESS_r01: the registry prefix) — so ordering decides who gets a
+# hard correctness signal.  Rotation policy (VERDICT r5 item 4):
+#   1. queries with NO green gate row yet go first (oracle'd before
+#      rows-only, then fastest-first) so new work gets value-verified the
+#      round it lands;
+#   2. previously-gated queries follow OLDEST-EVIDENCE-FIRST — each name
+#      carries the round of its most recent green driver row below, and
+#      the regression tail sorts ascending on it, so the ~45 spare slots
+#      per 50-cap round bound every query's evidence age instead of
+#      letting registration order decide who gets re-checked.
+# A query re-sampled green in a later round moves to that round (e.g. the
+# r1 TPC-H prefix re-verified in r5's tail).  Rows-only entries
+# (q_whatif_capacity_grid, q_bpe_merges) stay in the pool with the round
+# their driver row was recorded; they can only ever earn row-count
+# evidence, which is still staleness-bounded like everything else.
+_EVIDENCE_ROUND: dict[str, int] = {
+    # --- last green driver row: round 1 (31 queries) ---
+    "q13_order_histogram": 1, "q14_promo_share": 1, "q15_top_supplier": 1,
+    "q16_supplier_variety": 1, "q17_small_quantity": 1,
+    "q18_large_orders": 1, "q19_disjunctive_predicates": 1,
+    "q21_sole_late_shipper": 1, "q22_idle_balances": 1, "q4_late_orders": 1,
+    "q6_forecast_revenue": 1, "q7_nation_trade": 1, "q8_market_share": 1,
+    "q9_nation_profit": 1, "q_asof_join": 1, "q_cep_funnel": 1, "q_cube": 1,
+    "q_dedup_by_key": 1, "q_distinct_pairs": 1, "q_grouping_sets": 1,
+    "q_json_extract": 1, "q_lag_delta": 1, "q_moving_avg": 1,
+    "q_ntile_rank": 1, "q_pivot_status": 1, "q_range_join_bands": 1,
+    "q_rollup": 1, "q_running_revenue": 1, "q_scalar_subquery": 1,
+    "q_set_ops": 1, "q_topk_per_group": 1,
+    # --- last green driver row: round 2 (49 queries) ---
+    "q_approx_sketches": 2, "q_cep_four_step": 2, "q_cep_three_step": 2,
+    "q_class_weights": 2, "q_contamination_screen": 2,
+    "q_cumulate_window": 2, "q_data_mixing": 2, "q_dedup_embedding": 2,
+    "q_dedup_exact_docs": 2, "q_dedup_keep_list": 2, "q_emb_cosine_topk": 2,
+    "q_emb_label_knn": 2, "q_hash_sample": 2, "q_incremental_rollup": 2,
+    "q_interval_join": 2, "q_lang_mismatch": 2, "q_multimodal_features": 2,
+    "q_multimodal_frames": 2, "q_multimodal_resize": 2,
+    "q_multistage_windows": 2, "q_ngram_lm": 2, "q_pandas_grouped_agg": 2,
+    "q_pandas_udf_score": 2, "q_percentiles": 2, "q_pii_redaction": 2,
+    "q_quality_funnel": 2, "q_resample_ffill": 2, "q_reservoir_per_group": 2,
+    "q_scd2_history": 2, "q_sequence_packing": 2, "q_session_dynamic_gap": 2,
+    "q_shared_spans": 2, "q_skew_salted_agg": 2, "q_temporal_join": 2,
+    "q_text_fingerprint": 2, "q_text_lang_guess": 2, "q_text_quality": 2,
+    "q_text_repetition": 2, "q_text_tfidf_top": 2, "q_text_token_stats": 2,
+    "q_time_range_frame": 2, "q_training_order": 2, "q_udtf_tokens": 2,
+    "q_unpivot": 2, "q_value_outliers": 2, "q_vocab_growth": 2,
+    "q_window_dedup": 2, "q_window_join": 2, "q_window_topn": 2,
+    # --- last green driver row: round 3 (45 queries) ---
+    "q11_important_parts": 3, "q12_priority_shipping": 3,
+    "q20_majority_shippers": 3, "q2_min_cost_supplier": 3,
+    "q_ab_test_lift": 3, "q_asof_forward": 3, "q_autocorrelation": 3,
+    "q_click_trigrams": 3, "q_corr_qty_price": 3, "q_correlated_subquery": 3,
+    "q_dedup_clusters": 3, "q_dedup_jaccard_pairs": 3,
+    "q_distribution_drift": 3, "q_doc_chunks": 3, "q_doc_nll": 3,
+    "q_emb_centroids": 3, "q_emb_ivf_recall": 3, "q_emb_lsh_recall": 3,
+    "q_first_last_window": 3, "q_fuzzy_digit_pairs": 3,
+    "q_fuzzy_name_pairs": 3, "q_grouped_concat": 3,
+    "q_grouped_pandas_minmax": 3, "q_hll_rollup": 3, "q_inverted_index": 3,
+    "q_kll_rollup": 3, "q_kmeans_assign": 3, "q_lateral_topn": 3,
+    "q_linreg_by_group": 3, "q_minhash_recall": 3, "q_mode_per_group": 3,
+    "q_null_aware_anti": 3, "q_percent_rank": 3, "q_resample_interp": 3,
+    "q_rolling_median": 3, "q_sessionization": 3, "q_set_ops_all": 3,
+    "q_share_of_total": 3, "q_simhash_recall": 3, "q_skew_salted_join": 3,
+    "q_train_split": 3, "q_value_histogram": 3, "q_weighted_sample": 3,
+    "q_whatif_capacity_grid": 3, "q_yoy_growth": 3,
+    # --- last green driver row: round 4 (50 queries) ---
+    "q_abc_by_brand": 4, "q_asof_nearest": 4, "q_attribution_linear": 4,
+    "q_audience_overlap": 4, "q_basket_rules": 4, "q_benford_audit": 4,
+    "q_bloom_join_prune": 4, "q_bm25_search": 4, "q_budget_allocation": 4,
+    "q_change_point": 4, "q_cms_heavy_hitters": 4, "q_cohort_retention": 4,
+    "q_conversion_latency": 4, "q_copurchase_pairs": 4, "q_count_window": 4,
+    "q_dedup_minhash_lsh": 4, "q_dedup_simhash": 4, "q_emb_ivf_ann": 4,
+    "q_emb_outliers": 4, "q_emb_quantized_topk": 4, "q_event_transitions": 4,
+    "q_forget_cascade": 4, "q_geo_radius_join": 4, "q_gini_by_nation": 4,
+    "q_incremental_dedup": 4, "q_interval_union": 4, "q_lang_balance": 4,
+    "q_length_buckets": 4, "q_max_concurrency": 4, "q_multimodal_phash": 4,
+    "q_mutual_information": 4, "q_new_vs_returning": 4, "q_null_ordering": 4,
+    "q_order_streaks": 4, "q_ref_integrity": 4, "q_repeated_ngrams": 4,
+    "q_rfm_by_nation": 4, "q_running_anomaly": 4, "q_seasonal_index": 4,
+    "q_semdedup_prune": 4, "q_skew_advisor": 4, "q_sla_attainment": 4,
+    "q_snapshot_diff": 4, "q_survival_steps": 4, "q_time_weighted_avg": 4,
+    "q_triplet_mining": 4, "q_ts_pattern_match": 4,
+    "q_union_by_name_drift": 4, "q_variant_extract": 4,
+    "q_winsorized_stats": 4,
+    # --- last green driver row: round 5 (50 queries) ---
+    "q10_returned_items": 5, "q1_pricing_summary": 5,
+    "q3_shipping_priority": 5, "q5_region_revenue": 5, "q_anti_join": 5,
+    "q_bfs_levels": 5, "q_bpe_encode_cert": 5, "q_bpe_merges": 5,
+    "q_case_when": 5, "q_classifier_eval": 5, "q_containment_pairs": 5,
+    "q_curation_funnel": 5, "q_date_parts": 5, "q_dsir_select": 5,
+    "q_dup_ngram_fraction": 5, "q_emb_lsh_ann": 5, "q_emb_pq_adc": 5,
+    "q_filter_compound": 5, "q_hop_window": 5, "q_hybrid_rrf": 5,
+    "q_jaccard_prefix_pairs": 5, "q_join_full_nation_coverage": 5,
+    "q_join_left_order_counts": 5, "q_join_right_customer_coverage": 5,
+    "q_kmeans_iterate": 5, "q_ks_statistic": 5, "q_mad_outliers": 5,
+    "q_markov_anomaly": 5, "q_month_spine_gapfill": 5,
+    "q_ngram_decontamination": 5, "q_pagerank_parts": 5,
+    "q_price_elasticity": 5, "q_quality_classifier": 5,
+    "q_rolling_distinct": 5, "q_scalar_math": 5, "q_scan_filter_project": 5,
+    "q_semi_join": 5, "q_stream_count_runtime": 5,
+    "q_stream_dedup_runtime": 5, "q_stream_join_runtime": 5,
+    "q_stream_outer_join_runtime": 5, "q_stream_session_runtime": 5,
+    "q_stream_tumble_runtime": 5, "q_string_funcs": 5, "q_supplier_stats": 5,
+    "q_table_profile": 5, "q_tfidf_cosine_pairs": 5, "q_token_entropy": 5,
+    "q_triangle_count": 5, "q_tumble_window": 5,
+}
+_GATED_PRIOR_ROUNDS = frozenset(_EVIDENCE_ROUND)
 
 
 # Measured sf0.01 gate-replica runtimes (bench.py, this round).  If the gate
@@ -257,7 +278,8 @@ def _gate_order() -> list[str]:
     (oracle is None, measured sf0.01 sec, name) so every capped driver slot
     verifies a value-checkable query first; rows-only queries (which can
     only ever produce a row-count record) follow, then previously-gated
-    queries last for regression sampling if the budget allows.
+    queries last, OLDEST evidence first, so regression sampling bounds
+    every query's evidence age (see _EVIDENCE_ROUND).
     """
     names = list(QUERIES)
     ungated = [n for n in names if n not in _GATED_PRIOR_ROUNDS]
@@ -268,7 +290,9 @@ def _gate_order() -> list[str]:
             n,
         )
     )
-    return ungated + [n for n in names if n in _GATED_PRIOR_ROUNDS]
+    gated = [n for n in names if n in _GATED_PRIOR_ROUNDS]
+    gated.sort(key=lambda n: (_EVIDENCE_ROUND[n], n))
+    return ungated + gated
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -89,6 +89,13 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     instantiate INDEPENDENT sources over the same staged directory — each
     ``readStream`` tracks its own offsets under the shared checkpoint.
 
+    Batching contract: the staged directory holds exactly ONE file and no
+    maxFilesPerTrigger is set, so availableNow delivers the whole fixture
+    in a single micro-batch.  Operators whose oracle parity depends on
+    global event-time ordering (count_window, CEP chains — anything that
+    sorts only within a batch) assume this; they assert single-batch
+    arrival on their emissions rather than trusting it silently.
+
     Streaming state partitions are pinned at the FIRST run from
     shuffle.partitions, and each one instantiates a state store — size
     them to the state volume (thousands of rows here), not the input
@@ -393,6 +400,18 @@ def q_stream_count_runtime(spark, sf_dir):
             "user_id", "win_id", "n", "first_event", "last_event"
         ),
         output_mode="append",
+    )
+    # Oracle-parity precondition (ADVICE r5): count_window orders by
+    # (ts, event_id) only WITHIN a micro-batch, while the oracle's
+    # row_number is a global event-time order — they agree because the
+    # single-file staging in _run_bounded_stream arrives as ONE batch.
+    # If the source ever splits (multi-file fixture, maxFilesPerTrigger),
+    # fail loudly here instead of silently diverging from the oracle.
+    non_empty = [bid for bid, rs in batches if rs]
+    assert len(non_empty) <= 1, (
+        f"count-window gate expects a single-batch source; got emissions in "
+        f"batches {non_empty} — window membership would no longer match the "
+        f"oracle's global event-time ordering"
     )
     rows = [r for _bid, rs in batches for r in rs]
     return (

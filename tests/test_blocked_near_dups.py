@@ -9,6 +9,7 @@ import pytest
 import flink_estimator_spark.plans  # noqa: F401  (finish registry init first)
 from flink_estimator_spark.operators.similarity import (
     embedding_near_dups,
+    embedding_near_dups_auto,
     embedding_near_dups_blocked,
 )
 from flink_estimator_spark.sources.tables import read_table
@@ -33,6 +34,32 @@ def test_blocked_equals_brute(spark, emb, threshold):
         map(tuple, embedding_near_dups_blocked(emb, threshold=threshold).collect())
     )
     assert blocked == brute
+
+
+def test_auto_cutover_routes_by_row_count(spark, emb):
+    """The registered q_dedup_embedding goes through the auto cutover
+    (VERDICT r5 item 2): corpora at or below the cap keep the measured-
+    faster brute BNLJ plan, corpora above it get the blocked equi-join
+    plan — same answer either way."""
+    n = emb.count()
+
+    # the blocked plan's structural marker is the salted member equi-join;
+    # the brute plan has no _salt column anywhere (the k x k PIVOT
+    # comparison in the blocked plan is itself a bounded broadcast BNLJ,
+    # so join-type strings can't distinguish the branches)
+    def salted(df):
+        return "_salt" in df._jdf.queryExecution().analyzed().toString()
+
+    brute_branch = embedding_near_dups_auto(emb, threshold=0.40, brute_cap=n)
+    assert not salted(brute_branch)
+
+    blocked_branch = embedding_near_dups_auto(
+        emb, threshold=0.40, brute_cap=n - 1
+    )
+    assert salted(blocked_branch)
+    assert sorted(map(tuple, blocked_branch.collect())) == sorted(
+        map(tuple, brute_branch.collect())
+    )
 
 
 def test_blocking_prunes_on_clustered_data(spark):

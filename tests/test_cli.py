@@ -23,8 +23,11 @@ def test_list_filters_by_tag():
     proc = _cli("list", "--tag", "ks-test")
     assert proc.returncode == 0, proc.stderr[-500:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1 and lines[0].startswith("q_ks_statistic")
-    assert "[oracle]" in lines[0]
+    # membership, not exact count: future queries may reuse the tag
+    # (ADVICE r5) — the wiring under test is tag filtering, not registry size
+    ks = [ln for ln in lines if ln.startswith("q_ks_statistic")]
+    assert len(ks) == 1, lines
+    assert "[oracle]" in ks[0]
 
 
 def test_oracle_prints_sql_and_flags_rows_only():

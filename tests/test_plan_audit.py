@@ -68,6 +68,10 @@ ALLOWED_CROSS = {
     # oracle'd forms are pure bucket/list equi-joins with no cartesian
     "q_emb_lsh_recall",  # embeds the exact brute-force side as its baseline
     "q_emb_ivf_recall",
+    # guarded all-pairs since r6: embedding_near_dups_auto routes corpora
+    # above EMBEDDING_BRUTE_CAP to the blocked equi-join plan (cutover
+    # tested in test_blocked_near_dups.py); at fixture scale the measured-
+    # faster brute BNLJ plan runs, which is what this exemption covers
     "q_dedup_embedding",
     "q_emb_quantized_topk",  # bounded broadcast query side x linear scan
     "q_triplet_mining",  # bounded broadcast anchor side x linear scan

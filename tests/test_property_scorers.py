@@ -98,3 +98,27 @@ def test_ks_two_sample_matches_python(spark, a, b):
         if gap > best_gap:
             best_gap, best_cent = gap, c
     assert got == [(na, nb, best_gap * 1_000_000 // (na * nb), best_cent)]
+
+
+def test_ks_two_sample_overflow_guard(spark):
+    """Beyond n_a*n_b <= (2^63-1)/1e6 the scaled gap leaves exact-BIGINT
+    range; with ANSI off Spark would wrap silently, so ks_two_sample must
+    RAISE instead of returning a wrong ks_e6 (ADVICE r5).  Weighted is_a/
+    is_b rows stand in for the ~3e6-rows-per-side corpus that would
+    actually trip it."""
+    import pytest
+
+    big = 4_000_000  # 4e6 per side -> n_a*n_b = 1.6e13 > 9.2e12 limit
+    df = spark.createDataFrame(
+        [(0, big, 0), (1, 0, big)], "cent long, is_a long, is_b long"
+    )
+    with pytest.raises(Exception, match="quantized-fraction"):
+        ks_two_sample(df).collect()
+
+    ok = 3_000_000  # 9e12 <= limit: passes the guard, exact answer
+    df_ok = spark.createDataFrame(
+        [(0, ok, 0), (1, 0, ok)], "cent long, is_a long, is_b long"
+    )
+    assert [tuple(r) for r in ks_two_sample(df_ok).collect()] == [
+        (ok, ok, 1_000_000, 0)
+    ]

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from flink_estimator_spark.plans.registry import (
     QUERIES,
+    _EVIDENCE_ROUND,
     _GATED_PRIOR_ROUNDS,
     _SF001_SEC,
     _SF001_SEC_PAIRS,
@@ -39,6 +40,18 @@ def test_gate_order_is_a_permutation_with_ungated_first():
             seen_gated = True
         else:
             assert not seen_gated, f"ungated {n} after a gated entry"
+
+
+def test_gated_tail_is_oldest_evidence_first():
+    """Regression re-sampling is age-aware (VERDICT r5 item 4): the gated
+    tail must be sorted ascending on the round of each query's last green
+    driver row, so the ~45 spare gate slots per round always hit the
+    stalest evidence first and bound every query's evidence age."""
+    tail = [n for n in _gate_order() if n in _GATED_PRIOR_ROUNDS]
+    ages = [_EVIDENCE_ROUND[n] for n in tail]
+    assert ages == sorted(ages)
+    # every gated name carries an evidence round and vice versa
+    assert set(_EVIDENCE_ROUND) == set(_GATED_PRIOR_ROUNDS)
 
 
 def test_ungated_oracled_queries_sort_before_rows_only():
