@@ -263,6 +263,9 @@ _SF001_SEC_PAIRS = [
     ("q_rolling_distinct", 0.9),
     ("q_ks_statistic", 0.8),
     ("q_stream_outer_join_runtime", 3.6),
+    # round-6: the CEP chain and dynamic-gap session-window runtime gates
+    ("q_stream_cep_runtime", 1.73),
+    ("q_stream_dynsession_runtime", 1.2),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

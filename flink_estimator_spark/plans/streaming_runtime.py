@@ -420,6 +420,157 @@ def q_stream_count_runtime(spark, sf_dir):
     )
 
 
+@query(
+    "q_stream_cep_runtime",
+    oracle="""
+        SELECT user_id,
+               epoch_us(t0) AS t0_us,
+               epoch_us(t1) AS t1_us,
+               epoch_us(t2) AS t2_us,
+               epoch_us(t3) AS t3_us,
+               (epoch_us(t3) - epoch_us(t0)) // 1000000 AS span_s
+        FROM (
+            SELECT DISTINCT user_id, t0, t1, t2, t3,
+                   sum(CASE WHEN event_type = 'error' AND ts > t0 AND ts < t3
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS n_err
+            FROM (
+                SELECT user_id, event_type, ts, t0, t1, t2,
+                       min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                THEN ts END) OVER (PARTITION BY user_id) AS t3
+                FROM (
+                    SELECT user_id, event_type, ts, t0, t1,
+                           min(CASE WHEN event_type = 'click' AND ts > t1
+                                    THEN ts END) OVER (PARTITION BY user_id) AS t2
+                    FROM (
+                        SELECT user_id, event_type, ts, t0,
+                               min(CASE WHEN event_type = 'view' AND ts > t0
+                                        THEN ts END) OVER (PARTITION BY user_id) AS t1
+                        FROM (
+                            SELECT user_id, event_type, ts,
+                                   min(CASE WHEN event_type = 'signup'
+                                            THEN ts END) OVER (PARTITION BY user_id) AS t0
+                            FROM events
+                        )
+                    )
+                )
+            )
+        )
+        WHERE t3 IS NOT NULL
+          AND epoch_us(t3) - epoch_us(t0) <= CAST(172800 AS BIGINT) * 1000000
+          AND n_err = 0
+        ORDER BY user_id
+    """,
+    tags=("streaming", "runtime", "cep", "pattern", "stateful", "custom-state"),
+)
+def q_stream_cep_runtime(spark, sf_dir):
+    """The CEP state machine, driver-gated — the 7th state-store path
+    (VERDICT r5 item 3) and the most complex custom state in the tree:
+    the generalized k-step matcher ``streaming/cep.py sequence_matches``
+    (signup -> view -> click -> purchase within 48 h, no error inside the
+    span, earliest-match per user) executed as a REAL streaming query
+    through ``applyInPandasWithState`` (per-key O(k) anchor state, one
+    emission per resolved chain).  Update-mode emissions over the bounded
+    fixture are exactly the matched chains, so the DuckDB oracle — the
+    same chained min-CASE window SQL that gates the batch
+    ``q_cep_four_step`` — value-checks the streaming NFA itself, not just
+    its batch shadow.  Chain anchoring assumes global event-time order,
+    which the single-file staging guarantees (single micro-batch,
+    asserted below like the count-window gate)."""
+    from ..streaming.cep import sequence_matches
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: sequence_matches(
+            make(),
+            steps=["signup", "view", "click", "purchase"],
+            within_s=172800,
+            absent="error",
+        ),
+        output_mode="update",
+    )
+    non_empty = [bid for bid, rs in batches if rs]
+    assert len(non_empty) <= 1, (
+        f"CEP gate expects a single-batch source; got emissions in batches "
+        f"{non_empty} — chain anchoring would no longer follow the oracle's "
+        f"global event-time order"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+
+
+@query(
+    "q_stream_dynsession_runtime",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CAST(CASE event_type WHEN 'purchase' THEN 2400
+                                        WHEN 'error' THEN 300
+                                        ELSE 900 END AS BIGINT) AS gap_s
+            FROM events
+            WHERE user_id < 50
+        ),
+        f AS (
+            SELECT user_id, ts, event_id, gap_s,
+                   max(epoch_us(ts) + gap_s * 1000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
+            FROM g
+        ),
+        s AS (
+            SELECT user_id, ts, gap_s,
+                   CAST(sum(CASE WHEN prev_end_us IS NULL
+                                   OR epoch_us(ts) >= prev_end_us
+                                 THEN 1 ELSE 0 END) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id,
+               min(epoch_us(ts)) AS sess_start_us,
+               max(epoch_us(ts) + gap_s * 1000000) AS sess_end_us,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, sess_start_us
+    """,
+    tags=("streaming", "runtime", "session", "dynamic-gap", "stateful"),
+)
+def q_stream_dynsession_runtime(spark, sf_dir):
+    """The DYNAMIC-GAP session-window state machine, driver-gated (VERDICT
+    r5 item 7): ``streaming/windows.py session_agg_dynamic`` — each event
+    extends its session by an event-type-dependent horizon (purchases
+    40 min, errors 5, else 15), Spark merging the per-event [ts, ts+gap)
+    intervals in the session state store — run as an actual Structured
+    Streaming query over the bounded events fixture, final complete-mode
+    batch returned.  This is a genuinely different state machine from the
+    fixed-gap ``q_stream_session_runtime``: merge decisions depend on a
+    RUNNING MAX of per-event horizons, not a constant gap.  Over a
+    bounded stream the fully-merged sessions equal batch running-max
+    gaps-and-islands with the same gap table (the oracle — the same SQL
+    family that gates the batch ``q_session_dynamic_gap``), so the gate
+    value-checks the dynamic interval-merge logic itself.  user_id < 50
+    bounds state like the fixed-gap gate."""
+    from ..streaming.windows import session_agg_dynamic
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: session_agg_dynamic(
+            make().filter(F.col("user_id") < 50), watermark="30 minutes"
+        ),
+        output_mode="complete",
+    )
+    rows = max(batches)[1] if batches else []
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .orderBy("user_id", "sess_start_us")
+    )
+
+
 _OUTER_GAP_US = 60 * 60 * 1_000_000          # 60-minute join bound
 _OUTER_WM_US = 30 * 60 * 1_000_000           # per-side watermark delay
 _OUTER_MARGIN_US = 10 * 60 * 1_000_000       # boundary exclusion margin
