@@ -320,6 +320,44 @@ def test_interval_join_stream_matches_batch(spark, stream_dir, tmp_path):
     assert got == exp
 
 
+def test_sequence_matches_tws_matches_batch(spark, stream_dir, tmp_path):
+    """The transformWithStateInPandas port of the k-step matcher must equal
+    the gated batch q_cep_four_step like the applyInPandasWithState variant
+    does.  Runtime path needs protobuf (state-server protocol), absent in
+    this container — the processor's state-machine logic is differentially
+    tested without it in tests/test_tws_processor.py."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state-server protocol"
+    )
+    from flink_estimator_spark.plans import QUERIES
+    from flink_estimator_spark.streaming import sequence_matches_tws
+
+    ev = events_stream(spark, stream_dir)
+    out = _run_stream(
+        spark,
+        sequence_matches_tws(
+            ev,
+            steps=["signup", "view", "click", "purchase"],
+            within_s=172800,
+            absent="error",
+            watermark="40 days",
+        ),
+        "seqtws_out",
+        tmp_path,
+        mode="update",
+    )
+    cols = ["user_id", "t0_us", "t1_us", "t2_us", "t3_us", "span_s"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in out.filter(F.col("user_id") != SENTINEL_USER).collect()
+    }
+    exp = {
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_cep_four_step"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == exp
+
+
 def test_transform_with_state_running_totals(spark, stream_dir, tmp_path):
     pytest.importorskip(
         "google.protobuf", reason="transformWithState state-server protocol"

@@ -1,0 +1,199 @@
+"""SequenceMatchProcessor (transformWithStateInPandas port of the CEP
+matcher) — dependency-free differentials.
+
+The container ships no protobuf, so the transformWithState runtime path
+cannot execute here (the full-stream shadow in test_streaming.py is
+importorskip-gated, like running_totals).  These tests close the gap the
+skip leaves: they drive the processor's handleInputRows/handleExpiredTimer
+directly through faked typed-state objects — the exact surface the runtime
+calls — and compare emissions against the gated batch ``q_cep_four_step``
+over the real fixture, plus targeted timer-lifecycle checks the batch
+shadow can't express.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+import flink_estimator_spark.plans  # noqa: F401  (finish registry init first)
+from flink_estimator_spark.streaming.stateful import SequenceMatchProcessor
+from tests.conftest import SF_SMALL
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class FakeListState:
+    def __init__(self):
+        self._rows = []
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def put(self, rows):
+        self._rows = [tuple(r) for r in rows]
+
+    def appendValue(self, v):
+        self._rows.append(tuple(v))
+
+    def clear(self):
+        self._rows = []
+
+
+class FakeHandle:
+    """Key-scoped stand-in for StatefulProcessorHandle: typed state vars by
+    name plus the timer registry (registerTimer/deleteTimer semantics as
+    documented — delete of a registered expiry removes it)."""
+
+    def __init__(self):
+        self._states = {}
+        self.timers = []
+
+    def getListState(self, name, schema):
+        return self._states.setdefault(name, FakeListState())
+
+    def getValueState(self, name, schema):
+        return self._states.setdefault(name, FakeValueState())
+
+    def registerTimer(self, expiry_ms):
+        self.timers.append(int(expiry_ms))
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.remove(int(expiry_ms))
+
+    def listTimers(self):
+        return iter(self.timers)
+
+
+STEPS = ["signup", "view", "click", "purchase"]
+WITHIN_S = 172800
+ABSENT = "error"
+
+
+def _drive(events_pdf, batches=1):
+    """Run one processor per key over its events split into ``batches``
+    event-time-ordered chunks; returns (emitted row tuples, handles)."""
+    out_rows = []
+    handles = {}
+    for uid, grp in events_pdf.groupby("user_id"):
+        proc = SequenceMatchProcessor(STEPS, within_s=WITHIN_S, absent=ABSENT)
+        h = FakeHandle()
+        handles[uid] = h
+        proc.init(h)
+        grp = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(grp)
+        for b in range(batches):
+            chunk = grp.iloc[b * n // batches : (b + 1) * n // batches]
+            if chunk.empty:
+                continue
+            for pdf in proc.handleInputRows((uid,), iter([chunk]), None):
+                out_rows.extend(map(tuple, pdf.itertuples(index=False)))
+    return out_rows, handles
+
+
+def _fixture_events(spark):
+    from flink_estimator_spark.sources.tables import read_table
+
+    return (
+        read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .toPandas()
+    )
+
+
+def _batch_expected(spark):
+    from flink_estimator_spark.plans import QUERIES
+
+    return sorted(
+        tuple(r)
+        for r in QUERIES["q_cep_four_step"].builder(spark, SF_SMALL).collect()
+    )
+
+
+def test_processor_matches_batch_single_batch(spark):
+    ev = _fixture_events(spark)
+    got, _ = _drive(ev, batches=1)
+    assert sorted(got) == _batch_expected(spark)
+    assert got, "fixture produced no matches — vacuous differential"
+
+
+def test_processor_matches_batch_split_batches(spark):
+    """State must carry chains across micro-batch boundaries: splitting
+    each key's event-time-ordered stream into 3 chunks must not change a
+    single emission."""
+    ev = _fixture_events(spark)
+    got, _ = _drive(ev, batches=3)
+    assert sorted(got) == _batch_expected(spark)
+
+
+def _mk(uid, rows):
+    return pd.DataFrame(
+        {
+            "user_id": [uid] * len(rows),
+            "event_id": list(range(len(rows))),
+            "ts": [pd.Timestamp(s, unit="s") for s, _ in rows],
+            "event_type": [et for _, et in rows],
+        }
+    )
+
+
+def test_timer_registered_at_t0_and_deleted_on_resolution():
+    proc = SequenceMatchProcessor(STEPS, within_s=WITHIN_S, absent=ABSENT)
+    h = FakeHandle()
+    proc.init(h)
+    pdf = _mk(7, [(100, "signup"), (200, "view")])
+    list(proc.handleInputRows((7,), iter([pdf]), None))
+    # chain open: exactly one timer, at (t0_us + bound_us) // 1000 ms
+    assert h.timers == [(100 * 1_000_000 + WITHIN_S * 1_000_000) // 1000]
+    pdf2 = _mk(7, [(300, "click"), (400, "purchase")])
+    emitted = [
+        t
+        for df in proc.handleInputRows((7,), iter([pdf2]), None)
+        for t in map(tuple, df.itertuples(index=False))
+    ]
+    assert emitted == [(7, 100_000_000, 200_000_000, 300_000_000, 400_000_000, 300)]
+    assert h.timers == []  # resolved chains leave no timer behind
+
+
+def test_expired_timer_resolves_dead_chain_and_sheds_state():
+    proc = SequenceMatchProcessor(STEPS, within_s=WITHIN_S, absent=ABSENT)
+    h = FakeHandle()
+    proc.init(h)
+    list(proc.handleInputRows((9,), iter([_mk(9, [(100, "signup")])]), None))
+    assert list(h.getListState("anchors", None).get())  # chain open
+    assert list(proc.handleExpiredTimer((9,), None, None)) == []
+    # resolved dead: anchors shed, done tombstone set
+    assert not list(h.getListState("anchors", None).get())
+    assert h.getValueState("meta", None).get()[1] is True
+    # post-expiry events can never re-anchor (earliest-match-once per key)
+    late = _mk(9, [(200, "view"), (250, "click"), (300, "purchase")])
+    assert list(proc.handleInputRows((9,), iter([late]), None)) == []
+    assert not list(h.getListState("anchors", None).get())
+
+
+def test_expired_timer_is_noop_after_match():
+    proc = SequenceMatchProcessor(["signup", "purchase"], within_s=1000)
+    h = FakeHandle()
+    proc.init(h)
+    pdf = _mk(3, [(10, "signup"), (20, "purchase")])
+    emitted = list(proc.handleInputRows((3,), iter([pdf]), None))
+    assert len(emitted) == 1
+    meta_before = h.getValueState("meta", None).get()
+    assert list(proc.handleExpiredTimer((3,), None, None)) == []
+    assert h.getValueState("meta", None).get() == meta_before
