@@ -251,6 +251,83 @@ def q_classifier_eval(spark, sf_dir):
     )
 
 
+@query(
+    "q_classifier_auc",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES},
+        sb AS (
+            SELECT score_q // 10000 AS s,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            FROM scored GROUP BY 1
+        ),
+        c AS (
+            SELECT s, np, nn,
+                   COALESCE(sum(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cnb
+            FROM sb
+        ),
+        auctot AS (
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM sb
+        )
+        SELECT max(auctot.n_pos) AS n_pos,
+               max(auctot.n_neg) AS n_neg,
+               CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+               CAST(sum(np * (2 * cnb + nn)) * 10000
+                    // (2 * max(auctot.n_pos) * max(auctot.n_neg)) AS BIGINT) AS auc_bp
+        FROM c CROSS JOIN auctot
+    """,
+    tags=("llm", "classifier", "evaluation", "auc", "trained"),
+)
+def q_classifier_auc(spark, sf_dir):
+    """Exact ROC AUC of the trained NB quality classifier over the held-out
+    split — the threshold-free counterpart to q_classifier_eval's fixed-
+    threshold confusion matrix, and the metric classifier-based curation
+    actually tunes on (a score cut is chosen AFTER ranking quality is
+    established).
+
+    All-integer Mann-Whitney realization: AUC = P(score_pos > score_neg)
+    + P(equal)/2, computed from per-score-bucket (positives, negatives)
+    counts and one cumulative window — u2 = sum over buckets of
+    np*(2*cum_neg_below + nn_ties) is exactly 2*U, and auc_bp is one
+    truncating integral division (both engines truncate alike), so no
+    doubles exist anywhere.  Scores coarsen through a MONOTONE truncating
+    division (1e-2 log-odds resolution) first: the window then runs over
+    DISTINCT COARSE BUCKETS — bounded by the score range over resolution
+    (the q_ks_statistic distinct-cents class), not by held-out rows.
+    Overflow posture matches ks_two_sample: u2*10000 stays in BIGINT
+    while n_pos*n_neg <= (2^63-1)/2e4, ~6e5 held-out docs per class
+    squared — beyond that the same quantized-fraction protocol applies."""
+    s = _nb_scored(spark, sf_dir)
+    is_pos = (F.col("lang") == "en").cast("bigint")
+    sb = (
+        s.select(F.expr("score_q DIV 10000").alias("s"), is_pos.alias("p"))
+        .groupBy("s")
+        .agg(F.sum("p").alias("np"), F.sum(F.lit(1) - F.col("p")).alias("nn"))
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = sb.select(
+        "s", "np", "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cnb"),
+    )
+    tot = sb.agg(F.sum("np").alias("n_pos"), F.sum("nn").alias("n_neg"))
+    return c.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cnb") + F.col("nn")))
+        .cast("bigint")
+        .alias("u2"),
+        F.expr(
+            "sum(np * (2 * cnb + nn)) * 10000 DIV (2 * max(n_pos) * max(n_neg))"
+        )
+        .cast("bigint")
+        .alias("auc_bp"),
+    )
+
+
 _DSIR_GRAMS_SQL = rf"""
         SELECT doc_id, source,
                CAST(('0x' || substr(md5(t[i] || '_' || t[i + 1]), 1, 12)) AS BIGINT)

@@ -452,3 +452,110 @@ def q_hybrid_rrf(spark, sf_dir):
         .orderBy(F.desc("rrf_q"), "doc_id")
         .limit(10)
     )
+
+
+# --- ranking-quality evaluation (nDCG@10) ---------------------------------
+# Rank discounts 1/log2(rank+1) precomputed as INTEGER 1e-6 literals shared
+# verbatim by the Spark builder and the DuckDB oracle: no engine log/pow
+# runs at query time, so the metric is pure BIGINT arithmetic on both sides
+# (stronger than the floor-after-libm pattern — there is no libm at all).
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W_E6 = tuple(
+    round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+_NDCG_CASE = "CASE rn " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in enumerate(_NDCG_W_E6, start=1)
+) + " END"
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+        WITH {_BM25_CTES},
+        rel AS (
+            SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+            FROM toks WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY doc_id),
+        ranked AS (
+            SELECT doc_id, rn FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rn
+                FROM bm)
+            WHERE rn <= {_NDCG_K}),
+        dcg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(sum(((1 << rel) - 1) * ({_NDCG_CASE})) AS BIGINT) AS dcg_q
+            FROM ranked JOIN rel USING (doc_id)),
+        ideal AS (
+            SELECT rel, rn FROM (
+                SELECT rel,
+                       row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+                FROM rel)
+            WHERE rn <= {_NDCG_K}),
+        idcg AS (
+            SELECT CAST(sum(((1 << rel) - 1) * ({_NDCG_CASE})) AS BIGINT) AS idcg_q
+            FROM ideal)
+        SELECT n_ranked, dcg_q, idcg_q,
+               CAST(dcg_q * 10000 // idcg_q AS BIGINT) AS ndcg_bp
+        FROM dcg CROSS JOIN idcg
+    """,
+    tags=("llm", "retrieval", "evaluation", "ndcg"),
+)
+def q_retrieval_ndcg(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking against graded term-coverage relevance
+    (rel = distinct query terms present, gain 2^rel - 1) — the ranking-
+    quality evaluation the retrieval stack (BM25 / hybrid RRF) gets tuned
+    on, completing retrieve -> fuse -> EVALUATE as relational pipeline.
+
+    Exactness: rank discounts are PRE-COMPUTED integer 1e-6 literals (one
+    per rank, shared verbatim with the oracle), gains are exact shifted
+    ints, so DCG/IDCG are BIGINT sums and ndcg_bp one truncating integral
+    division — zero runtime doubles.  Scale shape: relevance is one
+    grouped aggregate over term-matching postings only; both rankings
+    reduce via TakeOrdered to K=10 rows before their partition-less rank
+    windows (the q_hybrid_rrf ALLOWED_GLOBAL_WINDOW bound); the final
+    aggregate reads 2xK rows."""
+    from pyspark.sql import Window as W
+
+    terms = list(_BM25_TERMS)
+    rel = (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("bigint").alias("rel"))
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(w) for w in _NDCG_W_E6]), F.col("rn").cast("int")
+    )
+    # SQL shiftleft takes a column shift amount; the DataFrame helper
+    # insists on a Python int — go through expr
+    gain = F.expr("cast(shiftleft(1, cast(rel as int)) as bigint) - 1")
+
+    ranked = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score_q")
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("score_q"), "doc_id")),
+        )
+    )
+    dcg = ranked.join(rel, "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ranked"),
+        F.sum(gain * disc).cast("bigint").alias("dcg_q"),
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("rel"), "doc_id")))
+    )
+    idcg = ideal.agg(F.sum(gain * disc).cast("bigint").alias("idcg_q"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "n_ranked",
+        "dcg_q",
+        "idcg_q",
+        F.expr("dcg_q * 10000 DIV idcg_q").cast("bigint").alias("ndcg_bp"),
+    )

@@ -1181,3 +1181,82 @@ def ks_two_sample(tagged: DataFrame) -> DataFrame:
             F.min("cent").alias("ks_at_cent"),
         )
     )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+        WITH counts AS (
+            SELECT CAST(floor(value) AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_view,
+                   CAST(sum(nb) AS BIGINT) AS n_purchase,
+                   CAST(count(*) AS BIGINT) AS b
+            FROM counts
+        ),
+        terms AS (
+            SELECT CAST(floor(
+                       (CAST(na + 1 AS DOUBLE) / CAST(n_view + b AS DOUBLE)
+                        - CAST(nb + 1 AS DOUBLE) / CAST(n_purchase + b AS DOUBLE))
+                       * ln((CAST(na + 1 AS DOUBLE) / CAST(n_view + b AS DOUBLE))
+                            / (CAST(nb + 1 AS DOUBLE) / CAST(n_purchase + b AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS term_e6,
+                   n_view, n_purchase, b
+            FROM counts CROSS JOIN tot
+        )
+        SELECT max(b) AS n_buckets,
+               max(n_view) AS n_view,
+               max(n_purchase) AS n_purchase,
+               CAST(sum(term_e6) AS BIGINT) AS psi_e6
+        FROM terms
+    """,
+    tags=("complex", "statistics", "psi", "drift"),
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the value distributions of
+    'view' and 'purchase' events — the binned drift monitor production
+    scorecards run alongside the binning-free KS (q_ks_statistic): PSI =
+    sum over bins of (p_i - q_i) * ln(p_i / q_i), with Laplace-smoothed
+    bin shares so empty-on-one-side bins stay finite.
+
+    Determinism protocol: bins are unit value buckets (floor(value) —
+    bounded by the VALUE RANGE, the distinct-cents class), shares derive
+    from exact BIGINT counts, each bin's double term runs one fixed IEEE
+    sequence and floor-quantizes to 1e-6 BEFORE the sum — so the final
+    BIGINT is order-independent and engine-exact (every PSI term is >= 0:
+    (p-q) and ln(p/q) share sign, so per-term flooring is a one-sided
+    1e-6 bound, not a cancellation hazard).  One grouped aggregate, one
+    broadcast of the 1-row totals, one final fold — no windows at all."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    counts = ev.groupBy(
+        F.floor(F.col("value")).cast("bigint").alias("bucket")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("n_view"),
+        F.sum("nb").alias("n_purchase"),
+        F.count("*").alias("b"),
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("n_view") + F.col("b")).cast("double")
+    pb = (F.col("nb") + 1).cast("double") / (F.col("n_purchase") + F.col("b")).cast("double")
+    term = F.floor((pa - pb) * F.log(pa / pb) * 1_000_000).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(term.alias("term_e6"), "n_view", "n_purchase", "b")
+        .agg(
+            F.max("b").alias("n_buckets"),
+            F.max("n_view").alias("n_view"),
+            F.max("n_purchase").alias("n_purchase"),
+            F.sum("term_e6").cast("bigint").alias("psi_e6"),
+        )
+    )

@@ -266,6 +266,10 @@ _SF001_SEC_PAIRS = [
     # round-6: the CEP chain and dynamic-gap session-window runtime gates
     ("q_stream_cep_runtime", 1.73),
     ("q_stream_dynsession_runtime", 1.2),
+    # round-6 second batch: evaluation metrics (exact AUC, nDCG@10, PSI)
+    ("q_classifier_auc", 2.61),
+    ("q_retrieval_ndcg", 2.16),
+    ("q_psi_drift", 0.74),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -127,6 +127,14 @@ ALLOWED_GLOBAL_WINDOW = {
     # q_rolling_median boundedness class; per-cent counts pre-aggregate
     # distributed before the window
     "q_ks_statistic",
+    # one cumulative window over DISTINCT COARSE SCORE BUCKETS (1e-2
+    # log-odds resolution — q_ks_statistic's class): per-bucket counts
+    # pre-aggregate distributed before the window
+    "q_classifier_auc",
+    # two rank windows, each over a TakeOrdered top-10 list
+    # (q_hybrid_rrf's class): relevance and BM25 scoring upstream are the
+    # distributed work
+    "q_retrieval_ndcg",
 }
 
 
