@@ -1232,3 +1232,123 @@ def q_dup_ngram_fraction(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., "Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD 2003) — the local-fingerprint selection
+# behind MOSS-style partial-copy detection
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4      # window of consecutive k-gram hashes per selection
+_WINNOW_K = 5      # word k-grams (the repo's standard shingle width)
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=rf"""
+        WITH grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 12))
+                        AS BIGINT) AS h
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents
+            ), LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i)
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, n_grams, sel
+            FROM win
+            WHERE pos <= n_grams - {_WINNOW_W} + 1
+        )
+        SELECT doc_id,
+               CAST(max(n_grams) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(count(*) * 10000 // (max(n_grams) - {_WINNOW_W} + 1) AS BIGINT)
+                   AS density_bp,
+               CAST(min(sel) AS BIGINT) AS fp_min,
+               CAST(max(sel) AS BIGINT) AS fp_max
+        FROM sel
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "fingerprint", "winnowing"),
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer 2003, the MOSS selection
+    rule): hash every word 5-gram, slide a w=4 window over each document's
+    hash sequence, select each window's MINIMUM hash, and keep the distinct
+    selected set per document — the guarantee is LOCAL: any shared run of
+    at least w + k - 1 = 8 words between two documents shares at least one
+    selected fingerprint, so partial copies surface where whole-document
+    fingerprints (q_text_fingerprint) and set-similarity shingles
+    (jaccard/minhash) both need much larger overlap.  The fingerprint SET
+    is tie-rule-free by construction — selection keeps the minimum HASH
+    value, and equal hashes within a window are the same gram, so whichever
+    position wins contributes the same set element (the cross-engine
+    determinism that the original rightmost-tie rule would break).
+
+    Scale shape: the gram explode is map-local; the selection window is
+    partitioned BY DOCUMENT and ordered by position — per-doc state bounded
+    by doc length, never a global sort (the prefix-rank class); the
+    per-doc aggregate rides the same partitioning.  Emitted density_bp =
+    selected/windows in basis points tracks the expected 2/(w+1) selection
+    rate.  Documents shorter than k + w - 1 words have no full window and
+    drop out on both engines."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.size(words) - F.lit(_WINNOW_K - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        spread(d, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_word(F.col("gram"), 1, 12).alias("h"),
+        )
+    )
+    wdoc = W.partitionBy("doc_id")
+    wsel = wdoc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    win = ex.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wsel).alias("sel"),
+        F.count("*").over(wdoc).alias("n_grams"),
+    )
+    sel = (
+        win.filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W + 1)
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.expr(
+                f"count(*) * 10000 DIV (max(n_grams) - {_WINNOW_W} + 1)"
+            )
+            .cast("bigint")
+            .alias("density_bp"),
+            F.min("sel").cast("bigint").alias("fp_min"),
+            F.max("sel").cast("bigint").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )

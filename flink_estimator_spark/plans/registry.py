@@ -270,6 +270,7 @@ _SF001_SEC_PAIRS = [
     ("q_classifier_auc", 2.61),
     ("q_retrieval_ndcg", 2.16),
     ("q_psi_drift", 0.74),
+    ("q_winnow_fingerprints", 0.89),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
