@@ -571,6 +571,69 @@ def q_stream_dynsession_runtime(spark, sf_dir):
     )
 
 
+@query(
+    "q_stream_temporal_runtime",
+    oracle="""
+        WITH versions AS (
+            SELECT user_id, value,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts), value) AS valid_to_us
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               CAST(v.value AS DOUBLE) AS state_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN versions v
+          ON p.user_id = v.user_id
+         AND epoch_us(p.ts) >= v.valid_from_us
+         AND (v.valid_to_us IS NULL OR epoch_us(p.ts) < v.valid_to_us)
+        ORDER BY p.event_id
+    """,
+    tags=("streaming", "runtime", "join", "temporal", "scd2", "stream-static"),
+)
+def q_stream_temporal_runtime(spark, sf_dir):
+    """The STREAM-STATIC temporal join path, driver-gated — a genuinely
+    different runtime mechanism from the eight state-store gates: no state
+    store at all; each micro-batch probes a broadcast versioned dimension
+    (Flink ``FOR SYSTEM_TIME AS OF`` in streaming form,
+    ``streaming/joins.py enrich_with_scd2``).  Purchases stream through
+    the file source; the SCD2 dimension (per-user value versions built
+    from view events by ``scd2_from_log``) is static and broadcast; every
+    event joins the version valid AT ITS EVENT TIME, not the latest at
+    processing time.  Append-mode emissions over the bounded stream are
+    exactly the batch temporal join (the gated ``q_temporal_join``
+    semantics), so the DuckDB oracle value-checks the streaming probe path
+    row-for-row.  Left join keeps purchases that predate their user's
+    first version (NULL state — the hash compare handles NULLs; the batch
+    dual gates the same shape)."""
+    from ..operators.scd import scd2_from_log
+    from ..streaming.joins import enrich_with_scd2
+
+    ev_batch = t(spark, sf_dir, "events")
+    dim = scd2_from_log(ev_batch.filter(F.col("event_type") == "view"))
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: enrich_with_scd2(
+            make().filter(F.col("event_type") == "purchase"), dim
+        ),
+        output_mode="append",
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("dim_value").cast("double").alias("state_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _OUTER_GAP_US = 60 * 60 * 1_000_000          # 60-minute join bound
 _OUTER_WM_US = 30 * 60 * 1_000_000           # per-side watermark delay
 _OUTER_MARGIN_US = 10 * 60 * 1_000_000       # boundary exclusion margin
