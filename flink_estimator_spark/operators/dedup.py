@@ -1242,12 +1242,12 @@ def q_dup_ngram_fraction(spark, sf_dir):
 
 _WINNOW_W = 4      # window of consecutive k-gram hashes per selection
 _WINNOW_K = 5      # word k-grams (the repo's standard shingle width)
+_WINNOW_MAX_FP_DF = 100   # boilerplate guard for the pair join (max df per fp)
+_WINNOW_MIN_SHARED = 3    # pair-emission floor: shared fingerprints
 
-
-@query(
-    "q_winnow_fingerprints",
-    oracle=rf"""
-        WITH grams AS (
+# the selection pipeline as shared CTE text (grams -> window minima ->
+# distinct selected per doc), used verbatim by both winnowing oracles
+_WINNOW_SEL_CTES = rf"""grams AS (
             SELECT doc_id, i AS pos,
                    CAST(('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 12))
                         AS BIGINT) AS h
@@ -1268,7 +1268,53 @@ _WINNOW_K = 5      # word k-grams (the repo's standard shingle width)
             SELECT DISTINCT doc_id, n_grams, sel
             FROM win
             WHERE pos <= n_grams - {_WINNOW_W} + 1
+        )"""
+
+
+def winnow_selected(d: DataFrame) -> DataFrame:
+    """Distinct winnowing fingerprints per document: (doc_id, n_grams,
+    sel) — the selection shared by the per-doc listing and the
+    partial-copy pair join.  See ``q_winnow_fingerprints`` for the
+    algorithm and scale notes."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.size(words) - F.lit(_WINNOW_K - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        spread(d, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_word(F.col("gram"), 1, 12).alias("h"),
         )
+    )
+    wdoc = W.partitionBy("doc_id")
+    wsel = wdoc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    win = ex.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wsel).alias("sel"),
+        F.count("*").over(wdoc).alias("n_grams"),
+    )
+    return (
+        win.filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W + 1)
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=rf"""
+        WITH {_WINNOW_SEL_CTES}
         SELECT doc_id,
                CAST(max(n_grams) AS BIGINT) AS n_grams,
                CAST(count(*) AS BIGINT) AS n_fp,
@@ -1303,40 +1349,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     selected/windows in basis points tracks the expected 2/(w+1) selection
     rate.  Documents shorter than k + w - 1 words have no full window and
     drop out on both engines."""
-    from pyspark.sql import Window as W
-
-    d = t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    k = F.size(words) - F.lit(_WINNOW_K - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, _WINNOW_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = (
-        spread(d, "doc_id")
-        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            md5_word(F.col("gram"), 1, 12).alias("h"),
-        )
-    )
-    wdoc = W.partitionBy("doc_id")
-    wsel = wdoc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    win = ex.select(
-        "doc_id",
-        "pos",
-        F.min("h").over(wsel).alias("sel"),
-        F.count("*").over(wdoc).alias("n_grams"),
-    )
-    sel = (
-        win.filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W + 1)
-        .select("doc_id", "n_grams", "sel")
-        .distinct()
-    )
+    sel = winnow_selected(t(spark, sf_dir, "documents"))
     return (
         sel.groupBy("doc_id")
         .agg(
@@ -1351,4 +1364,60 @@ def q_winnow_fingerprints(spark, sf_dir):
             F.max("sel").cast("bigint").alias("fp_max"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_winnow_shared_pairs",
+    oracle=rf"""
+        WITH {_WINNOW_SEL_CTES},
+        fdf AS (
+            SELECT sel, count(*) AS d FROM sel GROUP BY 1
+        ),
+        keep AS (
+            SELECT s.doc_id, s.sel
+            FROM sel s JOIN fdf USING (sel)
+            WHERE fdf.d <= {_WINNOW_MAX_FP_DF}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM keep a JOIN keep b ON a.sel = b.sel AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_WINNOW_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "fingerprint", "winnowing", "pairs"),
+)
+def q_winnow_shared_pairs(spark, sf_dir):
+    """Partial-copy candidate pairs: documents sharing >= 3 winnowing
+    fingerprints — the MOSS detector itself, the operator the per-doc
+    selection exists to feed.  Because the guarantee is local, a planted
+    8-word run shares a fingerprint even between documents whose overall
+    Jaccard is negligible — the plagiarism/quotation/boilerplate-reuse
+    regime that set-similarity dedup is blind to.
+
+    Scale shape is the duplicated-ngram screen's, not the pair join's:
+    fingerprints meet by VALUE (equi-join on sel), so cost is
+    sum(df^2) over fingerprint document frequencies — winnowing keeps
+    ~2/(w+1) of grams, and the df <= {_WINNOW_MAX_FP_DF} boilerplate
+    guard caps any hot fingerprint's contribution exactly as
+    max_shingle_freq does for the naive shingle join (at the fixture's
+    max df of 3 the guard drops nothing; at 100 TB it is what keeps a
+    viral quotation from exploding the join).  The >= 3 emission floor is
+    the candidate-confidence knob: one shared fingerprint proves an
+    8-word run, three prove repeated or extended reuse."""
+    sel = winnow_selected(t(spark, sf_dir, "documents")).select("doc_id", "sel")
+    fdf = sel.groupBy("sel").agg(F.count("*").alias("d"))
+    keep = sel.join(
+        fdf.filter(F.col("d") <= _WINNOW_MAX_FP_DF), "sel"
+    ).select("doc_id", "sel")
+    a = keep.select(F.col("doc_id").alias("id_a"), "sel")
+    b = keep.select(F.col("doc_id").alias("id_b"), "sel")
+    return (
+        a.join(b, "sel")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
     )

@@ -273,6 +273,7 @@ _SF001_SEC_PAIRS = [
     ("q_winnow_fingerprints", 0.89),
     # round-6 third batch: the stream-static temporal-join runtime gate
     ("q_stream_temporal_runtime", 1.7),
+    ("q_winnow_shared_pairs", 1.8),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

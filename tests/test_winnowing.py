@@ -53,6 +53,31 @@ def test_locality_guarantee_on_random_partial_copies():
         assert fa & fb, f"trial {trial}: shared {span}-word run, no shared fp"
 
 
+def test_planted_partial_copy_surfaces_in_spark_pairs(spark):
+    """End-to-end partial-copy detection through the relational selection:
+    two documents that share only a 12-word run (and nothing else) must
+    share selected fingerprints — the q_winnow_shared_pairs join would
+    emit them while their overall similarity stays tiny."""
+    from flink_estimator_spark.operators.dedup import winnow_selected
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = [rng.choice(vocab) for _ in range(12)]
+    a = [rng.choice(vocab) for _ in range(30)] + shared + [
+        rng.choice(vocab) for _ in range(30)
+    ]
+    b = [rng.choice(vocab) for _ in range(25)] + shared + [
+        rng.choice(vocab) for _ in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string"
+    )
+    sel = winnow_selected(df).select("doc_id", "sel").collect()
+    s0 = {r["sel"] for r in sel if r["doc_id"] == 0}
+    s1 = {r["sel"] for r in sel if r["doc_id"] == 1}
+    assert s0 & s1, "12-word planted run produced no shared fingerprint"
+
+
 def test_selection_matches_spark(spark):
     """The relational selection equals the pure-Python winnowing shadow on
     the fixture corpus — per-doc fingerprint sets, not just counts."""
