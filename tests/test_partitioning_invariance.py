@@ -54,6 +54,11 @@ SAMPLE = [
     "q_markov_anomaly",        # ln-quantized transition weights via lag window
     "q_dup_ngram_fraction",    # hashed-shingle docfreq counts, integer bp
     "q_bfs_levels",            # iterative cached reach-expansion, min levels
+    # r6 additions: evaluation-metric and local-fingerprint families
+    "q_classifier_auc",        # Mann-Whitney 2U over distinct-bucket window
+    "q_retrieval_ndcg",        # literal-discount DCG over TakeOrdered lists
+    "q_psi_drift",             # per-bin floor-quantized ln terms summed
+    "q_winnow_shared_pairs",   # per-doc window minima met by value join
 ]
 
 
