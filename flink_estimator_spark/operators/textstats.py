@@ -654,3 +654,101 @@ def q_repeated_ngrams(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_ZIPF_TOP = 1000   # fit over the top-K terms (TakeOrdered-bounded)
+
+
+@query(
+    "q_zipf_slope",
+    oracle=rf"""
+        WITH tf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                FROM documents)
+            GROUP BY term
+        ),
+        top AS (
+            SELECT term, freq, rnk FROM (
+                SELECT term, freq,
+                       row_number() OVER (ORDER BY freq DESC, term) AS rnk
+                FROM tf)
+            WHERE rnk <= {_ZIPF_TOP}
+        ),
+        pts AS (
+            SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM top
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n,
+               CAST(floor(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * 1000000) AS BIGINT) AS slope_e6
+        FROM m
+    """,
+    tags=("llm", "text", "zipf", "corpus-stats"),
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf power-law slope of the corpus term-frequency distribution — the
+    classic corpus-health diagnostic (natural language sits near -1;
+    boilerplate-heavy or templated corpora flatten, machine-generated spam
+    steepens): OLS of ln(freq) on ln(rank) over the top-1000 terms.
+
+    Scale shape: term frequencies are one grouped aggregate over the token
+    stream; the ranking reduces via TakeOrdered to the fixed top-K BEFORE
+    its partition-less rank window (the q_hybrid_rrf bound), so the
+    regression reads K rows forever.  Exactness: ln(rank)/ln(freq) are
+    floor-quantized to 1e-6 BIGINTs per point, the four OLS moments sum as
+    exact BIGINTs (|x|,|y| <= ~2e7 -> x*y <= 5e14, x 1000 points well in
+    range), and the slope is one fixed IEEE sequence floor-quantized at
+    the end — the q_linreg_by_group protocol on log-log axes."""
+    from pyspark.sql import Window as W
+
+    tf = (
+        spread(t(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), "term")
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("freq"), "term"))
+        )
+    )
+    q6 = lambda c: F.floor(F.log(c.cast("double")) * 1_000_000).cast("bigint")  # noqa: E731
+    pts = top.select(q6(F.col("rnk")).alias("x"), q6(F.col("freq")).alias("y"))
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        "n", F.floor(slope * 1_000_000).cast("bigint").alias("slope_e6")
+    )

@@ -274,6 +274,7 @@ _SF001_SEC_PAIRS = [
     # round-6 third batch: the stream-static temporal-join runtime gate
     ("q_stream_temporal_runtime", 1.7),
     ("q_winnow_shared_pairs", 1.8),
+    ("q_zipf_slope", 1.29),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

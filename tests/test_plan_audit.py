@@ -135,6 +135,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # (q_hybrid_rrf's class): relevance and BM25 scoring upstream are the
     # distributed work
     "q_retrieval_ndcg",
+    # one rank window over a TakeOrdered top-1000 term list (same class):
+    # the corpus-size work is the distributed term-frequency aggregate
+    "q_zipf_slope",
 }
 
 
