@@ -470,3 +470,62 @@ def q_dsir_select(spark, sf_dir):
         .select("rank", "doc_id", "source", "n_grams", "weight_q")
         .orderBy("rank")
     )
+
+
+_CAL_BUCKET = 500_000   # calibration bin width: 0.5 log-odds units (1e-6 q)
+
+
+@query(
+    "q_classifier_calibration",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES},
+        binned AS (
+            SELECT score_q // {_CAL_BUCKET} AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+            FROM scored
+            GROUP BY 1
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               n, n_pos,
+               CAST(n_pos * 10000 // n AS BIGINT) AS pos_rate_bp
+        FROM binned
+        WHERE n >= 3
+        ORDER BY bin
+    """,
+    tags=("llm", "classifier", "evaluation", "calibration", "trained"),
+)
+def q_classifier_calibration(spark, sf_dir):
+    """Calibration table (reliability diagram) of the trained NB quality
+    classifier: held-out docs binned by coarse log-odds score (0.5-unit bins), each bin
+    reporting its empirical positive rate in basis points — the third leg
+    of the evaluation family (confusion matrix = one threshold, AUC =
+    ranking, calibration = do the SCORES mean what they claim), and what
+    decides whether a score cut can be chosen from the score scale
+    directly or needs recalibration first.
+
+    All-integer: bins by truncating division (0.5-log-odds width — both
+    engines truncate alike), counts exact, pos_rate one integral division;
+    bins with fewer than 3 docs are suppressed (rate estimates there are
+    noise, and the floor keeps the output stable under fixture growth).
+    One grouped aggregate over the scored rows — no windows, no joins
+    beyond the shared train-and-apply pipeline."""
+    s = _nb_scored(spark, sf_dir)
+    binned = (
+        s.select(
+            F.expr(f"score_q DIV {_CAL_BUCKET}").alias("bin"),
+            (F.col("lang") == "en").cast("bigint").alias("p"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("n_pos"))
+    )
+    return (
+        binned.filter(F.col("n") >= 3)
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n",
+            "n_pos",
+            F.expr("n_pos * 10000 DIV n").cast("bigint").alias("pos_rate_bp"),
+        )
+        .orderBy("bin")
+    )

@@ -301,3 +301,143 @@ def q_train_split(spark, sf_dir):
         "min_id",
         "max_id",
     ).orderBy("split")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", Google 2012) — the distributed bootstrap: each
+# (row, replicate) pair draws an independent Poisson(1) resample count, so a
+# replicate's weighted aggregate approximates a with-replacement resample
+# without ever materializing one, and the whole R-replicate ensemble is ONE
+# grouped aggregate over an R-way row explode.
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 200          # replicates (2.5%/97.5% picks at ranks 5 / 196)
+# truncated-Poisson(1) CDF thresholds scaled to the md5 48-bit word:
+# P(0)=e^-1, P(k)=P(k-1)/k; mass beyond 5 (6e-4) collapses into w=6
+_BOOT_T = (
+    103548857136060, 207097714272121, 258872142840152,
+    276130285696162, 280444821410164, 281307728552965,
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    """CASE text mapping a 48-bit uniform to its Poisson(1) draw — shared
+    verbatim by the Spark builder (via F.expr) and the DuckDB oracle, so
+    both engines draw identical weights from identical md5 words."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        draws AS (
+            SELECT r, cents,
+                   {_boot_w_sql("CAST(('0x' || substr(md5(event_id || '_' || r), 1, 12)) AS BIGINT)")} AS w
+            FROM base
+            CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS r)
+        ),
+        reps AS (
+            SELECT r,
+                   CAST(sum(w * cents) * 10000 // sum(w) AS BIGINT) AS mean_e4
+            FROM draws GROUP BY r HAVING sum(w) > 0
+        ),
+        ranked AS (
+            SELECT mean_e4,
+                   row_number() OVER (ORDER BY mean_e4, r) AS rk
+            FROM reps
+        ),
+        point AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(cents) * 10000 // count(*) AS BIGINT) AS point_e4
+            FROM base
+        )
+        SELECT point.n_rows,
+               CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+               point.point_e4 AS point_e4,
+               CAST(max(CASE WHEN rk = 5 THEN mean_e4 END) AS BIGINT) AS lo_e4,
+               CAST(max(CASE WHEN rk = 196 THEN mean_e4 END) AS BIGINT) AS hi_e4
+        FROM ranked CROSS JOIN point
+        GROUP BY point.n_rows, point.point_e4
+    """,
+    tags=("complex", "statistics", "bootstrap", "confidence-interval"),
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for the mean purchase value via
+    the DETERMINISTIC Poisson bootstrap — the uncertainty quantification a
+    metrics pipeline attaches to every reported aggregate, in the only
+    form that distributes: each (row, replicate) pair draws Poisson(1)
+    resample weight from its own md5 word (truncated at 6; the 6e-4 tail
+    mass collapses into the last branch), so replicate means are weighted
+    aggregates of ONE R-way explode — no resample materialization, no
+    driver loop, and bit-reproducible across engines, partitionings, and
+    runs (the md5-seeded determinism that makes a CI value-gateable at
+    all).
+
+    Scale shape: the explode is map-local (R x rows, combiner-reduced into
+    R partial sums per task before the shuffle); the replicate table is R
+    rows forever, so the rank window is literal-bounded (q_ntile_rank's
+    exemption class).  Exactness: cents are exact DECIMAL-derived BIGINTs,
+    replicate means are one truncating integral division at 1e-4 cent
+    resolution, and the CI picks are order statistics (ranks 5/196 of
+    200), not interpolated quantiles.  BIGINT headroom: sum(w*cents)*1e4
+    stays exact below ~9e14 total weighted cents (~1e10 purchase rows at
+    fixture prices); beyond that the sums move to DECIMAL(38,0) like the
+    KS guard's documented variant."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    u = "CAST(conv(substring(md5(concat(event_id, '_', r)), 1, 12), 16, 10) AS BIGINT)"
+    draws = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).withColumn("w", F.expr(_boot_w_sql(u)))
+    reps = (
+        draws.groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("r", F.expr("swc * 10000 DIV sw").cast("bigint").alias("mean_e4"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = reps.select(
+        "mean_e4",
+        F.row_number().over(W.orderBy("mean_e4", "r")).alias("rk"),
+    )
+    point = base.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("sum(cents) * 10000 DIV count(*)").cast("bigint").alias("point_e4"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("n_rows", "point_e4")
+        .agg(
+            F.lit(_BOOT_R).cast("bigint").alias("n_replicates"),
+            F.max(F.when(F.col("rk") == 5, F.col("mean_e4")))
+            .cast("bigint")
+            .alias("lo_e4"),
+            F.max(F.when(F.col("rk") == 196, F.col("mean_e4")))
+            .cast("bigint")
+            .alias("hi_e4"),
+        )
+        .select("n_rows", "n_replicates", "point_e4", "lo_e4", "hi_e4")
+    )

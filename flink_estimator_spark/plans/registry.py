@@ -275,6 +275,8 @@ _SF001_SEC_PAIRS = [
     ("q_stream_temporal_runtime", 1.7),
     ("q_winnow_shared_pairs", 1.8),
     ("q_zipf_slope", 1.29),
+    ("q_bootstrap_ci", 1.07),
+    ("q_classifier_calibration", 1.41),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

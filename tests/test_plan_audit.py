@@ -138,6 +138,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # one rank window over a TakeOrdered top-1000 term list (same class):
     # the corpus-size work is the distributed term-frequency aggregate
     "q_zipf_slope",
+    # one rank window over the replicate table — LITERAL-bounded at R=200
+    # rows forever (q_ntile_rank's class); the corpus-size work is the
+    # combiner-reduced R-way weighted aggregate upstream
+    "q_bootstrap_ci",
 }
 
 
