@@ -277,6 +277,7 @@ _SF001_SEC_PAIRS = [
     ("q_zipf_slope", 1.29),
     ("q_bootstrap_ci", 1.07),
     ("q_classifier_calibration", 1.41),
+    ("q_stream_funnel_runtime", 1.78),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

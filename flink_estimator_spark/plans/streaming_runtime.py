@@ -572,6 +572,51 @@ def q_stream_dynsession_runtime(spark, sf_dir):
 
 
 @query(
+    "q_stream_funnel_runtime",
+    oracle="""
+        SELECT s.user_id, count(*) AS n_conversions
+        FROM events s
+        JOIN events p
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts > s.ts
+         AND epoch(p.ts) - epoch(s.ts) <= 86400
+        WHERE s.event_type = 'signup'
+        GROUP BY s.user_id
+        ORDER BY s.user_id
+    """,
+    tags=("streaming", "runtime", "cep", "funnel", "stateful", "custom-state"),
+)
+def q_stream_funnel_runtime(spark, sf_dir):
+    """The PRUNED-LIST custom-state path, driver-gated — the 10th runtime
+    gate and a different state FLAVOR from the CEP chain's O(k) anchors:
+    ``streaming/cep.py funnel_conversions`` keeps each user's open signup
+    timestamps as a pattern-window-pruned LIST (state bounded by traffic
+    inside the 24 h window, not by stream length) and emits the user's
+    CUMULATIVE conversion total whenever purchases complete new matches.
+    Update-mode totals are monotone, so the final state is the per-user
+    MAX over all emissions — which over the bounded fixture equals the
+    batch interval self-join count (the same SQL that gates the batch
+    ``q_cep_funnel``), giving the oracle a value check of the list-prune
+    state machine itself."""
+    from ..streaming.cep import funnel_conversions
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: funnel_conversions(make()),
+        output_mode="update",
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .groupBy("user_id")
+        .agg(F.max("n_conversions").alias("n_conversions"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_stream_temporal_runtime",
     oracle="""
         WITH versions AS (
