@@ -100,6 +100,96 @@ def test_ks_two_sample_matches_python(spark, a, b):
     assert got == [(na, nb, best_gap * 1_000_000 // (na * nb), best_cent)]
 
 
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(-30_000_000, 30_000_000),  # score_q-like values
+            st.booleans(),                          # is-positive label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_classifier_auc_matches_python(spark, pts):
+    """The relational Mann-Whitney AUC (per-coarse-bucket counts + one
+    cumulative window) must equal a direct pure-Python AUC over the SAME
+    coarsened scores, with average-rank tie handling — shapes hypothesis
+    reaches that the fixture can't (all-one-class inputs are excluded:
+    AUC is undefined there and the query's fixture always has both)."""
+    if not any(p for _, p in pts) or all(p for _, p in pts):
+        return  # AUC undefined without both classes
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(int(s), bool(p)) for s, p in pts], "score_q long, pos boolean"
+    )
+    sb = (
+        df.select(
+            F.expr("score_q DIV 10000").alias("s"),
+            F.col("pos").cast("bigint").alias("p"),
+        )
+        .groupBy("s")
+        .agg(F.sum("p").alias("np"), F.sum(F.lit(1) - F.col("p")).alias("nn"))
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = sb.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cnb")
+    )
+    got = c.agg(
+        F.sum(F.col("np") * (2 * F.col("cnb") + F.col("nn"))).alias("u2")
+    ).collect()[0]["u2"]
+
+    # pure-Python 2U over the same truncating-coarsened scores
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    coarse = [(trunc_div(s, 10000), p) for s, p in pts]
+    u2 = 0
+    for sp, pp in coarse:
+        if not pp:
+            continue
+        for sn, pn in coarse:
+            if pn:
+                continue
+            if sp > sn:
+                u2 += 2
+            elif sp == sn:
+                u2 += 1
+    assert got == u2
+
+
+def test_bootstrap_weights_draw_truncated_poisson(spark):
+    """The md5-threshold CASE must realize the documented truncated
+    Poisson(1): exact branch values at the thresholds, and an empirical
+    mean weight near 1 over a deterministic id sweep (the property that
+    makes replicate totals unbiased resample sizes)."""
+    from pyspark.sql import functions as F
+
+    from flink_estimator_spark.operators.sampling import _BOOT_T, _boot_w_sql
+
+    # threshold semantics: u just below t_k -> weight k, at t_k -> k+1
+    probe = [(t - 1, k) for k, t in enumerate(_BOOT_T)]
+    probe += [(t, k + 1) for k, t in enumerate(_BOOT_T)]
+    df = spark.createDataFrame(probe, "u long, expect int")
+    got = df.withColumn("w", F.expr(_boot_w_sql("u"))).collect()
+    for r in got:
+        assert r["w"] == r["expect"], (r["u"], r["w"], r["expect"])
+
+    # empirical mean over 20k deterministic draws: Poisson(1) mean is 1
+    ids = spark.range(20_000).select(
+        F.expr(
+            _boot_w_sql(
+                "CAST(conv(substring(md5(concat(id, '_', 0)), 1, 12), 16, 10) AS BIGINT)"
+            )
+        ).alias("w")
+    )
+    mean_w = ids.agg(F.avg("w")).collect()[0][0]
+    assert 0.97 <= mean_w <= 1.03, mean_w
+
+
 def test_ks_two_sample_overflow_guard(spark):
     """Beyond n_a*n_b <= (2^63-1)/1e6 the scaled gap leaves exact-BIGINT
     range; with ANSI off Spark would wrap silently, so ks_two_sample must
