@@ -278,6 +278,10 @@ _SF001_SEC_PAIRS = [
     ("q_bootstrap_ci", 1.07),
     ("q_classifier_calibration", 1.41),
     ("q_stream_funnel_runtime", 1.78),
+    # round-6 fourth batch: running-moment anomaly + step-integral TWA
+    # custom-state runtime gates (warm sf0.01, min-of-2)
+    ("q_stream_anomaly_runtime", 2.67),
+    ("q_stream_twa_runtime", 1.99),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -10,7 +10,13 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Six distinct stateful paths get gate rows:
+Twelve distinct runtime paths get gate rows (the six below from round 5,
+plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
+``q_stream_dynsession_runtime``, pruned-list funnel
+``q_stream_funnel_runtime``, stream-static temporal probe
+``q_stream_temporal_runtime``, running-moment anomaly
+``q_stream_anomaly_runtime``, and step-integral TWA
+``q_stream_twa_runtime`` — each docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -783,4 +789,137 @@ def q_stream_outer_join_runtime(spark, sf_dir):
             | (F.col("view_us") + _OUTER_GAP_US <= wm_us - _OUTER_MARGIN_US)
         )
         .orderBy("view_id", "purchase_id")
+    )
+
+
+@query(
+    "q_stream_anomaly_runtime",
+    oracle="""
+        WITH cents AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM events),
+        stats AS (
+            SELECT user_id, event_id, ts_us, v,
+                   count(*) OVER w AS n,
+                   sum(v) OVER w AS s,
+                   sum(v * v) OVER w AS q
+            FROM cents
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        flagged AS (
+            SELECT user_id, event_id, ts_us, v, n,
+                   CAST(n * v - s AS DECIMAL(38,0)) * CAST(n * v - s AS DECIMAL(38,0))
+                       > CAST(9 * n AS DECIMAL(38,0)) * CAST(n * q - s * s AS DECIMAL(38,0))
+                       AS is_anomaly
+            FROM stats WHERE n >= 5)
+        SELECT user_id, event_id, ts_us, CAST(n AS BIGINT) AS n_prior
+        FROM flagged WHERE is_anomaly
+        ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("streaming", "runtime", "anomaly", "stateful", "custom-state"),
+)
+def q_stream_anomaly_runtime(spark, sf_dir):
+    """The RUNNING-MOMENT custom-state path, driver-gated — the 11th
+    runtime gate and a third custom-state flavor next to the count-window
+    accumulator and the CEP anchor chain: ``streaming/anomaly.py
+    running_anomalies`` carries three integers (n, Σcents, Σcents²) per
+    user FOREVER (O(1) state, no window, no eviction) and emits an event
+    the moment it breaks 3σ against its key's accumulated history.  The
+    n²-multiplied integer test runs in Python arbitrary precision and
+    agrees bit-for-bit with the batch query's DECIMAL(38,0) arithmetic,
+    so append-mode emissions over the bounded fixture are exactly the
+    batch ``q_running_anomaly`` rows — the DuckDB oracle (the same
+    expanding-frame SQL) value-checks the streaming moment accumulator
+    itself.  Prior-history order is event-time order, which the
+    single-file staging guarantees (single micro-batch, asserted below
+    like the count-window gate)."""
+    from ..streaming.anomaly import running_anomalies
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: running_anomalies(make()),
+        output_mode="append",
+    )
+    non_empty = [bid for bid, rs in batches if rs]
+    assert len(non_empty) <= 1, (
+        f"anomaly gate expects a single-batch source; got emissions in "
+        f"batches {non_empty} — per-key prior-history order would no longer "
+        f"match the oracle's global event-time frame"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+@query(
+    "q_stream_twa_runtime",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   epoch_us(ts) AS t_us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt_us
+            FROM events),
+        seg AS (
+            SELECT user_id, cents, nxt_us - t_us AS dt_us
+            FROM s WHERE nxt_us IS NOT NULL)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(dt_us) AS BIGINT) AS span_us,
+               CAST(CAST(sum(CAST(cents AS HUGEINT) * CAST(dt_us AS HUGEINT))
+                         * 1000000 AS HUGEINT)
+                    // CAST(sum(dt_us) AS HUGEINT) AS BIGINT) AS twa_cents_q6
+        FROM seg
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "runtime", "time-weighted", "stateful", "custom-state"),
+)
+def q_stream_twa_runtime(spark, sf_dir):
+    """The STEP-FUNCTION-INTEGRAL custom-state path, driver-gated — the
+    12th runtime gate: ``streaming/twa.py time_weighted_totals`` holds
+    (last_ts, last_cents, n_seg, span, numerator) per user — O(1) state
+    integrating Σ(cents·Δt) as each arriving event closes the segment the
+    previous one opened.  Update-mode emissions carry the exact integer
+    (n_segments, span, numerator) triple; over the single-batch bounded
+    fixture the one emission per key is the complete integral, which the
+    builder quantizes through the SAME DECIMAL(38,0) integral division as
+    the batch ``q_time_weighted_avg`` (numerators exceed 2^53, so no
+    double cast anywhere) — the DuckDB oracle value-checks the streaming
+    integrator against the lead()-frame batch SQL.  Keys with no CLOSED
+    segment (single-event users) emit a zero row the batch query has no
+    counterpart for and are filtered before the divide."""
+    from ..streaming.twa import time_weighted_totals
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: time_weighted_totals(make()),
+        output_mode="update",
+    )
+    non_empty = [bid for bid, rs in batches if rs]
+    assert len(non_empty) <= 1, (
+        f"TWA gate expects a single-batch source; got emissions in batches "
+        f"{non_empty} — a key emitting in several batches would need a "
+        f"latest-emission reduction before the quantizing projection"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("n_segments") >= 1)
+        .select(
+            "user_id",
+            "n_segments",
+            "span_us",
+            F.expr(
+                "CAST(CAST(num_cents_us AS DECIMAL(38,0))"
+                " * 1000000 AS DECIMAL(38,0)) div span_us"
+            ).alias("twa_cents_q6"),
+        )
+        .orderBy("user_id")
     )
