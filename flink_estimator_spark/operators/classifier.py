@@ -66,10 +66,9 @@ _NB_TOKS_SQL = rf"""
         )
 """
 
-# the full train-and-score pipeline as reusable CTE text: held-out per-doc
-# rows (doc_id, lang, n_tok, score_q, pred_en) — q_quality_classifier emits
-# them verbatim; q_classifier_eval aggregates the confusion matrix over them
-_NB_SCORED_CTES = rf"""
+# the train-side CTE chain (hashed token stream -> per-bucket class counts
+# -> totals) shared by the scoring pipeline and the chi-square term screen
+_NB_BC_CTES = rf"""
         toks AS ({_NB_TOKS_SQL}),
         train AS (SELECT * FROM toks WHERE doc_id % 5 != {_NB_HOLD}),
         bc AS (
@@ -83,7 +82,14 @@ _NB_SCORED_CTES = rf"""
                    CAST(sum(c_neg) AS BIGINT) AS t_neg,
                    CAST(count(*) AS BIGINT) AS v
             FROM bc
-        ),
+        )
+"""
+
+# the full train-and-score pipeline as reusable CTE text: held-out per-doc
+# rows (doc_id, lang, n_tok, score_q, pred_en) — q_quality_classifier emits
+# them verbatim; q_classifier_eval aggregates the confusion matrix over them
+_NB_SCORED_CTES = rf"""
+        {_NB_BC_CTES},
         w AS (
             SELECT b,
                    CAST(floor((ln(CAST(c_pos + 1 AS DOUBLE)) - ln(CAST(t_pos + v AS DOUBLE))
@@ -528,4 +534,258 @@ def q_classifier_calibration(spark, sf_dir):
             F.expr("n_pos * 10000 DIV n").cast("bigint").alias("pos_rate_bp"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "q_threshold_sweep",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES},
+        sb AS (
+            SELECT score_q // 10000 AS s,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            FROM scored GROUP BY 1
+        ),
+        c AS (
+            SELECT s,
+                   CAST(sum(np) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS tp,
+                   CAST(sum(nn) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS fp
+            FROM sb
+        ),
+        postot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos FROM sb)
+        SELECT CAST(s AS BIGINT) AS s, tp, fp,
+               CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+               CAST(tp * 10000 // n_pos AS BIGINT) AS recall_bp,
+               CAST(tp * 20000 // (tp + fp + n_pos) AS BIGINT) AS f1_bp
+        FROM c CROSS JOIN postot
+        ORDER BY s DESC
+    """,
+    tags=("llm", "classifier", "evaluation", "threshold", "trained"),
+)
+def q_threshold_sweep(spark, sf_dir):
+    """The operating-characteristic table of the trained NB classifier:
+    one row per DISTINCT coarse score bucket, treating that bucket as the
+    decision threshold and reporting exact precision / recall / F1 in
+    basis points — the sweep a curation pipeline reads to PICK the cut
+    q_classifier_eval then audits (AUC says the ranking is good;
+    this says where to cut it).
+
+    All-integer: cumulative (tp, fp) come from one descending window over
+    per-bucket counts — bounded by DISTINCT COARSE BUCKETS (the
+    q_classifier_auc boundedness class), never by held-out rows — and
+    precision/recall/F1 are single truncating integral divisions
+    (F1 = 2tp/(2tp+fp+fn) needs no intermediate ratio: with
+    fn = n_pos − tp it is exactly tp·20000 div (tp+fp+n_pos))."""
+    s = _nb_scored(spark, sf_dir)
+    is_pos = (F.col("lang") == "en").cast("bigint")
+    sb = (
+        s.select(F.expr("score_q DIV 10000").alias("s"), is_pos.alias("p"))
+        .groupBy("s")
+        .agg(F.sum("p").alias("np"), F.sum(F.lit(1) - F.col("p")).alias("nn"))
+    )
+    w = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, 0)
+    c = sb.select(
+        "s",
+        F.sum("np").over(w).cast("bigint").alias("tp"),
+        F.sum("nn").over(w).cast("bigint").alias("fp"),
+    )
+    tot = sb.agg(F.sum("np").cast("bigint").alias("n_pos"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").cast("bigint").alias("s"),
+            "tp",
+            "fp",
+            F.expr("tp * 10000 DIV (tp + fp)").alias("precision_bp"),
+            F.expr("tp * 10000 DIV n_pos").alias("recall_bp"),
+            F.expr("tp * 20000 DIV (tp + fp + n_pos)").alias("f1_bp"),
+        )
+        .orderBy(F.desc("s"))
+    )
+
+
+from .textstats import _SQL_LANG_GUESS  # noqa: E402  (shared oracle CTE)
+
+
+@query(
+    "q_cohen_kappa",
+    oracle=rf"""
+        WITH {_NB_SCORED_CTES},
+        guessed AS ({_SQL_LANG_GUESS}),
+        j AS (
+            SELECT scored.doc_id,
+                   scored.pred_en AS a,
+                   CASE WHEN guessed.lang_guess = 'en' THEN 1 ELSE 0 END AS b
+            FROM scored JOIN guessed USING (doc_id)
+        ),
+        cells AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM j
+        )
+        SELECT n_docs, n11, n10, n01, n00,
+               CAST((n11 + n00) * 10000 // n_docs AS BIGINT) AS po_bp,
+               CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                    * 10000 // (n_docs * n_docs) AS BIGINT) AS pe_bp,
+               CAST(CAST(n_docs * (n11 + n00)
+                         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                         AS HUGEINT) * 1000000
+                    // (n_docs * n_docs
+                        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                    AS BIGINT) AS kappa_e6
+        FROM cells
+    """,
+    tags=("llm", "classifier", "evaluation", "agreement", "trained"),
+)
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between the TRAINED NB classifier and the cheap
+    stopword-vote language heuristic over the held-out split — the
+    inter-rater-agreement question every trained curation screen faces:
+    does the model add information beyond the heuristic it would replace,
+    or does it merely replicate it?  Kappa corrects raw agreement for
+    chance: (p_o − p_e)/(1 − p_e) from the 2×2 rater table.
+
+    All-integer protocol: the four cells are one global aggregate over the
+    scored-docs ⋈ heuristic join (doc_id-keyed equi-join, both sides the
+    held-out 20%); kappa_e6 cross-multiplies through by n² so no ratio is
+    ever materialized — numerator n·(n11+n00) − Σ marginal products,
+    denominator n² − Σ marginal products, one truncating integral
+    division in DECIMAL(38,0)/HUGEINT (n²·1e6 leaves BIGINT past ~3e6
+    held-out docs; both raters degenerate-constant would zero the
+    denominator — impossible while both classes appear, which the fixture
+    guarantees)."""
+    from .textstats import lang_guess
+
+    s = _nb_scored(spark, sf_dir)
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == _NB_HOLD)
+        .select("doc_id", lang_guess("text").alias("g"))
+    )
+    j = s.select("doc_id", "pred_en").join(d, "doc_id")
+    a = F.col("pred_en") == 1
+    b = F.col("g") == "en"
+    cell = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    cells = j.agg(
+        F.count("*").alias("n_docs"),
+        cell(a & b).alias("n11"),
+        cell(a & ~b).alias("n10"),
+        cell(~a & b).alias("n01"),
+        cell(~a & ~b).alias("n00"),
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return cells.select(
+        "n_docs", "n11", "n10", "n01", "n00",
+        F.expr("(n11 + n00) * 10000 DIV n_docs").alias("po_bp"),
+        F.expr(f"{pe_num} * 10000 DIV (n_docs * n_docs)").alias("pe_bp"),
+        F.expr(
+            f"CAST(CAST(n_docs * (n11 + n00) - {pe_num} AS DECIMAL(38,0))"
+            f" * 1000000 AS DECIMAL(38,0))"
+            f" div (n_docs * n_docs - {pe_num})"
+        ).alias("kappa_e6"),
+    )
+
+
+_CHI2_TOP = 20
+
+
+@query(
+    "q_chi2_terms",
+    oracle=rf"""
+        WITH {_NB_BC_CTES},
+        x AS (
+            SELECT bc.b, bc.c_pos, bc.c_neg, tot.t_pos, tot.t_neg,
+                   CAST(bc.c_pos * (tot.t_neg - bc.c_neg)
+                        - bc.c_neg * (tot.t_pos - bc.c_pos) AS BIGINT) AS dev
+            FROM bc CROSS JOIN tot
+        ),
+        chi AS (
+            SELECT b, c_pos, c_neg,
+                   CAST(CASE WHEN c_pos * t_neg > c_neg * t_pos
+                             THEN 1 ELSE -1 END AS BIGINT) AS en_assoc,
+                   CAST(CAST(t_pos + t_neg AS HUGEINT) * dev * dev * 1000
+                        // ((c_pos + c_neg) * (t_pos + t_neg - c_pos - c_neg))
+                        // t_pos // t_neg AS BIGINT) AS chi2_e3
+            FROM x
+        ),
+        top AS (
+            SELECT * FROM chi ORDER BY chi2_e3 DESC, b LIMIT {_CHI2_TOP}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY chi2_e3 DESC, b) AS BIGINT) AS rank,
+               b, c_pos, c_neg, en_assoc, chi2_e3
+        FROM top
+        ORDER BY rank
+    """,
+    tags=("llm", "classifier", "feature-selection", "chi-square", "trained"),
+)
+def q_chi2_terms(spark, sf_dir):
+    """Chi-square feature selection over the classifier's TRAIN split: the
+    top-20 hashed token buckets most associated with the lang=='en' label
+    — the screen that explains WHAT a trained quality classifier keys on
+    (and the standard pre-training feature ranking when the hashed space
+    is to be pruned).  en_assoc signs each bucket: +1 enriched in the
+    positive class, −1 in the negative.
+
+    Exact 2×2 chi² without a single double: with per-bucket counts
+    (a, b) = (c_pos, c_neg) and totals (t_pos, t_neg), chi² =
+    N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)); the numerator rides DECIMAL(38,0)
+    / HUGEINT and the three denominators divide out SEQUENTIALLY —
+    floor(floor(x/p)/q) = floor(x/pq) for nonnegative ints, so the chain
+    is exactly the single division without materializing the ~1e2⁸
+    denominator product.  dev stays BIGINT because per-bucket counts are
+    hash-thinned (≤ corpus/64k on average); the DECIMAL ceiling
+    N·dev²·1e3 < 1e38 holds to ~1e9 tokens per hot bucket — far beyond
+    any real bucket under 64k-way hashing.  Shape: the training
+    aggregate (one shuffle on bucket), a broadcast totals join, a
+    distributed TakeOrdered top-20, and a 20-row rank window."""
+    d = t(spark, sf_dir, "documents")
+    toks = nb_tokens(spread(d, "doc_id"))
+    is_pos = (F.col("lang") == "en").cast("bigint")
+    train = toks.filter(F.col("doc_id") % 5 != _NB_HOLD)
+    bc = train.groupBy("b").agg(
+        F.sum(is_pos).alias("c_pos"),
+        F.sum(F.lit(1) - is_pos).alias("c_neg"),
+    )
+    tot = bc.agg(
+        F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg")
+    )
+    x = bc.crossJoin(F.broadcast(tot)).withColumn(
+        "dev",
+        (
+            F.col("c_pos") * (F.col("t_neg") - F.col("c_neg"))
+            - F.col("c_neg") * (F.col("t_pos") - F.col("c_pos"))
+        ).cast("bigint"),
+    )
+    chi = x.select(
+        "b",
+        "c_pos",
+        "c_neg",
+        F.when(F.col("c_pos") * F.col("t_neg") > F.col("c_neg") * F.col("t_pos"), 1)
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("en_assoc"),
+        F.expr(
+            "CAST(CAST(t_pos + t_neg AS DECIMAL(38,0)) * dev * dev * 1000"
+            " div ((c_pos + c_neg) * (t_pos + t_neg - c_pos - c_neg))"
+            " div t_pos div t_neg AS BIGINT)"
+        ).alias("chi2_e3"),
+    )
+    top = chi.orderBy(F.desc("chi2_e3"), "b").limit(_CHI2_TOP)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("chi2_e3"), "b"))
+            .cast("bigint"),
+        )
+        .select("rank", "b", "c_pos", "c_neg", "en_assoc", "chi2_e3")
+        .orderBy("rank")
     )

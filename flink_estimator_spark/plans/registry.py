@@ -282,6 +282,11 @@ _SF001_SEC_PAIRS = [
     # custom-state runtime gates (warm sf0.01, min-of-2)
     ("q_stream_anomaly_runtime", 2.67),
     ("q_stream_twa_runtime", 1.99),
+    # round-6 fifth batch: classifier operating sweep, rater agreement,
+    # chi-square feature screen (warm sf0.01, min-of-2)
+    ("q_threshold_sweep", 1.53),
+    ("q_cohen_kappa", 1.13),
+    ("q_chi2_terms", 0.66),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -59,6 +59,9 @@ SAMPLE = [
     "q_retrieval_ndcg",        # literal-discount DCG over TakeOrdered lists
     "q_psi_drift",             # per-bin floor-quantized ln terms summed
     "q_winnow_shared_pairs",   # per-doc window minima met by value join
+    # r6 fourth batch: sequential-div chi-square and cross-multiplied kappa
+    "q_chi2_terms",            # DECIMAL numerator, chained integral divisions
+    "q_cohen_kappa",           # n2-cross-multiplied agreement, one division
 ]
 
 

@@ -142,6 +142,12 @@ ALLOWED_GLOBAL_WINDOW = {
     # rows forever (q_ntile_rank's class); the corpus-size work is the
     # combiner-reduced R-way weighted aggregate upstream
     "q_bootstrap_ci",
+    # one cumulative window over DISTINCT COARSE SCORE BUCKETS — exactly
+    # q_classifier_auc's bounded input (same sb aggregate upstream)
+    "q_threshold_sweep",
+    # one rank window over a TakeOrdered top-20 list (q_dsir_select's
+    # class): the corpus-size work is the distributed training aggregate
+    "q_chi2_terms",
 }
 
 
