@@ -287,6 +287,9 @@ _SF001_SEC_PAIRS = [
     ("q_threshold_sweep", 1.53),
     ("q_cohen_kappa", 1.13),
     ("q_chi2_terms", 0.66),
+    # round-6 sixth batch: event-time-timer window top-N runtime gate
+    # (warm sf0.01, min-of-2)
+    ("q_stream_topn_runtime", 4.24),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -10,13 +10,14 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Twelve distinct runtime paths get gate rows (the six below from round 5,
+Thirteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
 ``q_stream_temporal_runtime``, running-moment anomaly
-``q_stream_anomaly_runtime``, and step-integral TWA
-``q_stream_twa_runtime`` — each docstring states its state machine):
+``q_stream_anomaly_runtime``, step-integral TWA
+``q_stream_twa_runtime``, and event-time-timer window top-N
+``q_stream_topn_runtime`` — each docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -922,4 +923,82 @@ def q_stream_twa_runtime(spark, sf_dir):
             ).alias("twa_cents_q6"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "q_stream_topn_runtime",
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT win_start, user_id, n, sv,
+                   row_number() OVER (PARTITION BY win_start
+                                      ORDER BY sv DESC, user_id) AS rk
+            FROM agg)
+        SELECT win_start, user_id, n,
+               CAST(sv AS DOUBLE) AS sum_value,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked
+        WHERE rk <= 3
+          AND win_start + 5460 <=
+              (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        ORDER BY win_start, rk
+    """,
+    tags=("streaming", "runtime", "topn", "custom-state", "timer"),
+)
+def q_stream_topn_runtime(spark, sf_dir):
+    """The EVENT-TIME-TIMER custom-state path, driver-gated — the 13th
+    runtime gate and the only one whose emissions are produced by TIMER
+    FIRINGS rather than data arrival: ``streaming/topn.py window_topn``
+    keys state by the 10-minute tumble window, accumulates a per-user
+    (count, cents) map, and emits the ranked top-3 exactly once when the
+    event-time timeout set at window end fires (Flink's window top-N
+    firing semantics — append-mode ``row_number`` over a stream is
+    otherwise disallowed).  The availableNow run must therefore execute
+    the EXTRA watermark-close micro-batch where ``state.hasTimedOut``
+    resolves — the timeout machinery itself is what this gate
+    value-checks.  Windows whose end the final watermark never passes
+    hold state forever and emit nothing, so both engines restrict to
+    windows a full 60 s inside the decided region (the outer-join gate's
+    margin pattern): win_end + delay + margin <= max event time, with the
+    cutoff recomputed from the fixture on the builder side and in a
+    subquery on the oracle side.  Cents accumulate as integers in state,
+    so the /100 double projection matches the oracle's DECIMAL(18,2) sum
+    bit-for-bit regardless of arrival order.  The gate runs 1-hour
+    windows: the dominant cost of this operator is per-GROUP Python
+    dispatch, which scales with open-window count (constant in SF), and
+    720 fixture windows exercise the identical timer machinery at ~5x
+    less wall time than the 10-minute default the batch shadow keeps."""
+    from ..streaming.topn import window_topn
+
+    win_s = 3600
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: window_topn(make(), watermark="30 minutes", window_s=win_s),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    # decided-region cutoff: window end (+3600) + watermark delay (1800) +
+    # margin (60) — mirrored literally in the oracle's `win_start + 5460`
+    cutoff = max_s - 1800 - 60 - win_s
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("win_start") <= F.lit(cutoff))
+        .select(
+            "win_start",
+            "user_id",
+            "n",
+            "sum_value",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("win_start", "rk")
     )

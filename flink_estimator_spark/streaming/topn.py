@@ -11,7 +11,11 @@ Scale notes: state per window is one (user -> count, cents) map bounded by
 the window's active-user cardinality, and is freed on emission; values
 accumulate in integer cents so the result is batch-order independent and
 matches the batch DECIMAL(18,2) sums bit-for-bit after the final /100
-double division.
+double division.  The dominant runtime cost is per-GROUP Python dispatch
+(~3 ms/group measured), which scales with the number of OPEN WINDOWS, not
+input rows — window width is therefore a parameter: the driver gate runs
+1-hour windows (720 groups over the 30-day fixture) while the batch-shadow
+test keeps the 10-minute default.
 """
 
 from __future__ import annotations
@@ -46,66 +50,73 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _emit_topk(key: Any, state: GroupState) -> Iterator[pd.DataFrame]:
-    user_ids, counts, cents = state.get
-    ranked = sorted(zip(user_ids, counts, cents), key=lambda t: (-t[2], t[0]))[:TOP_K]
-    state.remove()
-    if not ranked:
-        return
-    yield pd.DataFrame(
-        {
-            "win_start": [int(key[0])] * len(ranked),
-            "user_id": [u for u, _, _ in ranked],
-            "n": [n for _, n, _ in ranked],
-            "sum_value": [c / 100.0 for _, _, c in ranked],
-            "rk": list(range(1, len(ranked) + 1)),
-        }
-    )
+def window_topn(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window_s: int = WINDOW_S,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Top-``top_k`` users by windowed value sum per ``window_s`` tumble,
+    emitted once per window when its watermark expires (exactly Flink's
+    window top-N firing semantics, unlike append-mode rank which Spark
+    disallows)."""
 
-
-def _topn(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        yield from _emit_topk(key, state)
-        return
-    totals: dict[int, list[int]] = {}
-    if state.exists:
+    def _emit_topk(key: Any, state: GroupState) -> Iterator[pd.DataFrame]:
         user_ids, counts, cents = state.get
-        for u, n, c in zip(user_ids, counts, cents):
-            totals[int(u)] = [int(n), int(c)]
-    for pdf in pdfs:
-        cents_col = (
-            pdf["value"].round(2).mul(100).round().astype("int64")
-        )  # decimal(18,2)-equivalent exact cents
-        for u, (n, c) in (
-            pd.DataFrame({"u": pdf["user_id"], "c": cents_col})
-            .groupby("u")
-            .agg(n=("c", "size"), c=("c", "sum"))
-            .iterrows()
-        ):
-            acc = totals.setdefault(int(u), [0, 0])
-            acc[0] += int(n)
-            acc[1] += int(c)
-    users = sorted(totals)
-    state.update(
-        (
-            [int(u) for u in users],
-            [totals[u][0] for u in users],
-            [totals[u][1] for u in users],
+        ranked = sorted(
+            zip(user_ids, counts, cents), key=lambda t: (-t[2], t[0])
+        )[:top_k]
+        state.remove()
+        if not ranked:
+            return
+        yield pd.DataFrame(
+            {
+                "win_start": [int(key[0])] * len(ranked),
+                "user_id": [u for u, _, _ in ranked],
+                "n": [n for _, n, _ in ranked],
+                "sum_value": [c / 100.0 for _, _, c in ranked],
+                "rk": list(range(1, len(ranked) + 1)),
+            }
         )
+
+    def _topn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            yield from _emit_topk(key, state)
+            return
+        totals: dict[int, list[int]] = {}
+        if state.exists:
+            user_ids, counts, cents = state.get
+            for u, n, c in zip(user_ids, counts, cents):
+                totals[int(u)] = [int(n), int(c)]
+        for pdf in pdfs:
+            # decimal(18,2)-equivalent exact cents; plain zip beats a
+            # per-group pandas groupby at the typical tens-of-rows size
+            cents_col = (
+                pdf["value"].round(2).mul(100).round().to_numpy("int64")
+            )
+            users_col = pdf["user_id"].to_numpy("int64")
+            for u, c in zip(users_col, cents_col):
+                acc = totals.setdefault(int(u), [0, 0])
+                acc[0] += 1
+                acc[1] += int(c)
+        users = sorted(totals)
+        state.update(
+            (
+                [int(u) for u in users],
+                [totals[u][0] for u in users],
+                [totals[u][1] for u in users],
+            )
+        )
+        # fire when the watermark passes this window's end (key arrives as
+        # a numpy scalar — cast, or the JSON state serializer rejects int64)
+        state.setTimeoutTimestamp((int(key[0]) + window_s) * 1000)
+        return
+
+    win_start = (F.floor(F.unix_timestamp("ts") / window_s) * window_s).cast(
+        "long"
     )
-    # fire when the watermark passes this window's end (key arrives as a
-    # numpy scalar — cast, or the JSON state serializer rejects int64)
-    state.setTimeoutTimestamp((int(key[0]) + WINDOW_S) * 1000)
-    return
-
-
-def window_topn(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """Top-3 users by windowed value sum per 10-minute tumble, emitted once
-    per window when its watermark expires (exactly Flink's window top-N
-    firing semantics, unlike append-mode rank which Spark disallows)."""
-    win_start = (F.floor(F.unix_timestamp("ts") / WINDOW_S) * WINDOW_S).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .withColumn("win_start", win_start)
