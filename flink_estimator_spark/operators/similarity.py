@@ -2029,3 +2029,97 @@ def triplet_mining_ann(
         .select("anchor_id", "a_label", "cand_id", "c_label", "cos_sim")
     )
     return _triplets_from_scored(scored)
+
+
+@query(
+    "q_silhouette",
+    oracle=f"""
+        WITH {_KM_ASSIGN_CTES},
+        nn AS (
+            SELECT vec_id, clabel, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rk,
+                   lead(d2) OVER (PARTITION BY vec_id
+                                  ORDER BY d2, clabel) AS b2
+            FROM d
+        ),
+        sil AS (
+            SELECT vec_id, clabel AS cluster,
+                   CAST(floor(CASE WHEN b2 = 0 THEN 0.0 ELSE
+                       (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(d2 AS DOUBLE)))
+                       / sqrt(CAST(b2 AS DOUBLE)) END * 1000000) AS BIGINT)
+                       AS s_e6
+            FROM nn WHERE rk = 1
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
+               CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_s_e6
+        FROM sil
+        GROUP BY cluster
+        ORDER BY cluster
+    """,
+    tags=("llm", "similarity", "kmeans", "evaluation", "silhouette"),
+)
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette per cluster — the clustering-quality metric
+    that closes the k-means family's own evaluation loop (assign ->
+    iterate -> outliers -> HOW GOOD IS THE CLUSTERING): for every vector,
+    a = distance to its nearest (assigned) centroid and b = distance to
+    the second-nearest, s = (b - a) / b in [0, 1] (argmin assignment
+    makes a <= b always; near 0 = boundary point, near 1 = tight).
+    Reported per cluster as n, exact 1e-6-quantized sum, and the integral
+    mean.
+
+    Cross-engine exactness with a square root: the quantized-BIGINT d2
+    values (q_kmeans_assign arithmetic) cast exactly to DOUBLE (< 2^53),
+    and IEEE-754 requires sqrt to be CORRECTLY ROUNDED — unlike ln/exp,
+    identical inputs give bit-identical outputs on any conforming libm —
+    so the ratio and its floor-quantization agree everywhere; the ratio
+    is computed on raw quantized d2 (scale cancels between numerator and
+    denominator).  Plan: the one broadcast-centroid distance pass every
+    family member shares, ONE window pass per vec_id (row_number + lead
+    fetch a and b together, no rk<=2 self-join), then a k-row aggregate."""
+    ex = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+            .cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(1_000_000_000_000)).cast("bigint")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    a2 = F.col("d2").cast("double")
+    b2 = F.col("b2").cast("double")
+    s_e6 = (
+        F.floor(
+            F.when(F.col("b2") == 0, F.lit(0.0))
+            .otherwise((F.sqrt(b2) - F.sqrt(a2)) / F.sqrt(b2))
+            * F.lit(1_000_000)
+        ).cast("bigint")
+    )
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .withColumn("b2", F.lead("d2").over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("clabel").alias("cluster"), s_e6.alias("s_e6"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s_e6").alias("sum_s_e6"),
+            F.expr("sum(s_e6) div count(*)").alias("mean_s_e6"),
+        )
+        .orderBy("cluster")
+    )

@@ -752,3 +752,113 @@ def q_zipf_slope(spark, sf_dir):
     return m.select(
         "n", F.floor(slope * 1_000_000).cast("bigint").alias("slope_e6")
     )
+
+
+@query(
+    "q_bigram_nll",
+    oracle=r"""
+        WITH seq AS (
+            SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS l
+                FROM documents
+            )
+        ),
+        bg AS (
+            SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+            FROM seq WHERE i < len(l)
+        ),
+        uni AS (
+            SELECT l[i] AS w, CAST(count(*) AS BIGINT) AS nu
+            FROM seq GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM seq),
+        ctx AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS nc FROM bg GROUP BY w1
+        ),
+        blm AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+            FROM bg GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(floor(-ln(
+                       CAST(3 * blm.nb * tot.total + uni.nu * ctx.nc AS DOUBLE)
+                       / CAST(4 * ctx.nc * tot.total AS DOUBLE)
+                   ) * 1000000) AS BIGINT) AS nll_q
+            FROM bg
+            JOIN blm ON bg.w1 = blm.w1 AND bg.w2 = blm.w2
+            JOIN ctx ON bg.w1 = ctx.w1
+            JOIN uni ON bg.w2 = uni.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(nll_q) AS BIGINT) AS nll_sum_q,
+               CAST(sum(nll_q) // count(*) AS BIGINT) AS nll_mean_q
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "language-model", "bigram"),
+)
+def q_bigram_nll(spark, sf_dir):
+    """Per-document NLL under an INTERPOLATED BIGRAM corpus LM — the
+    context-aware upgrade of q_doc_nll's unigram screen (a doc whose
+    words are common but whose word ORDER is scrambled scores high here
+    and normal there — the word-salad / template-stuffing detector):
+    p(w2 | w1) = 0.75 * n(w1 w2)/n(w1 ctx) + 0.25 * n(w2)/total,
+    per-bigram -ln p floor-quantized to 1e-6 and summed as exact BIGINTs.
+
+    Cross-engine exactness: the interpolation is evaluated as ONE exact
+    integer ratio — (3*nb*total + nu*nc) / (4*nc*total), both products
+    < 2^53 at fixture scale (the 100 TB variant rescales counts before
+    the ratio) — so both engines take ln of the bit-identical double.
+    Scale shape: the bigram LM is O(distinct bigrams) and joins back by
+    plain (w1, w2) equi-join (NOT broadcast — unlike the vocab-bounded
+    unigram/context tables, distinct bigrams grow with the corpus);
+    token instances never shuffle, only (w1, w2, count) partials do."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    seq = spread(d, "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    bg = (
+        seq.withColumn(
+            "w2", F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos"))
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    uni = seq.groupBy(F.col("tok").alias("w")).agg(F.count("*").alias("nu"))
+    tot = seq.agg(F.count("*").alias("total"))
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("nc"))
+    blm = bg.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    nll_q = F.floor(
+        -F.log(
+            (
+                F.lit(3) * F.col("nb") * F.col("total")
+                + F.col("nu") * F.col("nc")
+            ).cast("double")
+            / (F.lit(4) * F.col("nc") * F.col("total")).cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        bg.join(blm, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("w"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(nll_q).alias("nll_sum_q"),
+        )
+        .withColumn("nll_mean_q", F.expr("nll_sum_q div n_bigrams"))
+        .orderBy("doc_id")
+    )

@@ -290,6 +290,10 @@ _SF001_SEC_PAIRS = [
     # round-6 sixth batch: event-time-timer window top-N runtime gate
     # (warm sf0.01, min-of-2)
     ("q_stream_topn_runtime", 4.24),
+    # round-6 seventh batch: clustering-quality silhouette, interpolated
+    # bigram LM screen (warm sf0.01, min-of-2)
+    ("q_silhouette", 0.83),
+    ("q_bigram_nll", 1.28),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -62,6 +62,9 @@ SAMPLE = [
     # r6 fourth batch: sequential-div chi-square and cross-multiplied kappa
     "q_chi2_terms",            # DECIMAL numerator, chained integral divisions
     "q_cohen_kappa",           # n2-cross-multiplied agreement, one division
+    # r6 fifth batch: correctly-rounded-sqrt ratio and single-ratio ln
+    "q_silhouette",            # sqrt of exact BIGINT d2, scale-cancelling ratio
+    "q_bigram_nll",            # interpolated-LM ln of one exact integer ratio
 ]
 
 
