@@ -1421,3 +1421,142 @@ def q_winnow_shared_pairs(spark, sf_dir):
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
         .orderBy("id_a", "id_b")
     )
+
+
+_RUN_K = 5          # shingle width for the run detector
+_RUN_MAX_DF = 50    # boilerplate guard on positional shingle frequency
+
+
+@query(
+    "q_longest_shared_run",
+    oracle=rf"""
+        WITH seq AS (
+            SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS l
+                FROM documents
+            )
+        ),
+        sh AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(
+                       array_to_string(l[i : i + {_RUN_K - 1}], ' ')
+                   ), 1, 15)) AS BIGINT) AS s
+            FROM seq WHERE i + {_RUN_K - 1} <= len(l)
+        ),
+        fdf AS (SELECT s, count(*) AS d FROM sh GROUP BY 1),
+        keep AS (
+            SELECT sh.doc_id, sh.pos, sh.s
+            FROM sh JOIN fdf USING (s) WHERE fdf.d <= {_RUN_MAX_DF}
+        ),
+        m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM keep a JOIN keep b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT id_a, id_b,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM (
+                SELECT id_a, id_b, diag, pa,
+                       pa - row_number() OVER (
+                           PARTITION BY id_a, id_b, diag ORDER BY pa
+                       ) AS isl
+                FROM m
+            )
+            GROUP BY id_a, id_b, diag, isl
+        )
+        SELECT id_a, id_b,
+               CAST(max(run_len) + {_RUN_K - 1} AS BIGINT) AS run_tokens,
+               CAST(sum(run_len) AS BIGINT) AS n_matches
+        FROM runs
+        GROUP BY id_a, id_b
+        ORDER BY run_tokens DESC, id_a, id_b
+        LIMIT 20
+    """,
+    tags=("llm", "dedup", "substring", "run"),
+)
+def q_longest_shared_run(spark, sf_dir):
+    """Longest exactly-shared token run per document pair — the pairwise
+    reduction of exact-substring training-data dedup (Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better"): where
+    q_shared_spans asks WHICH spans repeat and the Jaccard/containment
+    families ask HOW MUCH overlaps, this asks HOW LONG the longest
+    verbatim copy between two specific documents is — the signal that
+    separates a quoted sentence from a wholesale mirror.
+
+    The relational trick is the DIAGONAL-ISLAND reduction: positional
+    {_RUN_K}-gram shingles meet by value (equi-join, never all-pairs), a
+    match at positions (pa, pb) lies on diagonal pa - pb, and a verbatim
+    run of L+{_RUN_K - 1} tokens is exactly L consecutive matches on one
+    diagonal — found with the gaps-and-islands key (pa - row_number) per
+    (pair, diagonal), no sequential scan over either document.  Suffix
+    arrays solve this single-node; the diagonal join is the shape that
+    distributes.
+
+    Scale: cost is sum(df^2) over positional shingle frequencies with the
+    df <= {_RUN_MAX_DF} boilerplate guard (a viral quotation caps out
+    instead of exploding the join); shingles travel as 60-bit md5 words
+    (portable-hash rule — xxhash64 in production, see ``shingle_df``).
+    Top-20 by run length via TakeOrdered, no full sort."""
+    return (
+        longest_shared_runs(t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("run_tokens"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def longest_shared_runs(
+    docs: DataFrame, k: int = _RUN_K, max_df: int = _RUN_MAX_DF
+) -> DataFrame:
+    """(id_a, id_b, run_tokens, n_matches) for every document pair sharing
+    at least one ``k``-gram — the diagonal-island reduction behind
+    ``q_longest_shared_run`` (see its docstring for the algorithm and the
+    scale argument).  ``run_tokens`` is the longest verbatim token run,
+    ``n_matches`` the total matched shingle positions after the
+    ``max_df`` boilerplate guard."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_gr = F.size(words) - F.lit(k - 1)
+    grams = F.when(
+        n_gr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_gr),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_word(F.col("g"), 1, 15).alias("s"),
+        )
+    )
+    fdf = sh.groupBy("s").agg(F.count("*").alias("d_"))
+    keep = sh.join(fdf.filter(F.col("d_") <= max_df), "s").select(
+        "doc_id", "pos", "s"
+    )
+    a = keep.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "s")
+    b = keep.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "s")
+    m = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    isl = F.col("pa") - F.row_number().over(
+        W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    runs = (
+        m.withColumn("isl", isl)
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("run_len") + F.lit(k - 1)).cast("bigint").alias("run_tokens"),
+        F.sum("run_len").cast("bigint").alias("n_matches"),
+    )
