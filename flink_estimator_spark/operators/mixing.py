@@ -361,3 +361,115 @@ def q_lang_balance(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_TEMP_BUDGET = 10_000_000  # token budget apportioned across sources
+
+
+@query(
+    "q_temperature_mix",
+    oracle=rf"""
+        WITH cnt AS (
+            SELECT source,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+        wgt AS (
+            SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS w
+            FROM cnt),
+        tot AS (
+            SELECT CAST(sum(w) AS BIGINT) AS tw,
+                   CAST(sum(n_tokens) AS BIGINT) AS tn
+            FROM wgt),
+        quota AS (
+            SELECT source, n_tokens, w,
+                   ({_TEMP_BUDGET} * w) // tw AS base,
+                   ({_TEMP_BUDGET} * w) % tw AS rem,
+                   tn
+            FROM wgt CROSS JOIN tot),
+        ranked AS (
+            SELECT source, n_tokens, w, base, tn,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rr,
+                   {_TEMP_BUDGET} - sum(base) OVER () AS leftover
+            FROM quota)
+        SELECT source, n_tokens,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens,
+               CAST(n_tokens * 10000 // tn AS BIGINT) AS natural_bp,
+               CAST((base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
+                    * 10000 // {_TEMP_BUDGET} AS BIGINT) AS sampled_bp
+        FROM ranked
+        ORDER BY source
+    """,
+    tags=("llm", "mixing", "temperature", "allocation", "exact-integer"),
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing weights (the mC4 / XLM-R corpus
+    recipe): sampling probability proportional to (token share)^(1/T)
+    with T = 2, flattening the mixture so low-resource sources are
+    upsampled relative to their natural share — then the whole token
+    budget apportioned EXACTLY across sources by the largest-remainder
+    protocol (q_budget_allocation's invariant: Σ(alloc) == budget, no
+    rounding drift).  Output shows natural vs sampled basis points — the
+    flattening a pipeline audits before committing a mixture.
+
+    T = 2 is deliberately the sqrt temperature: IEEE-754 requires sqrt
+    to be correctly rounded (unlike pow/exp/ln), so floor-quantized
+    1e-6 weights from bit-identical BIGINT→DOUBLE casts agree on any
+    engine — the silhouette protocol applied to mixture weights.  Scale:
+    one token-count aggregate (map-side combined), then all arithmetic
+    on |sources| rows (the q_budget_allocation constant-size window)."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        spread(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    wgt = cnt.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast(
+            "bigint"
+        ),
+    )
+    tot = wgt.agg(
+        F.sum("w").alias("tw"), F.sum("n_tokens").alias("tn")
+    )
+    quota = wgt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w",
+        "tn",
+        F.expr(f"({_TEMP_BUDGET} * w) DIV tw").alias("base"),
+        F.expr(f"({_TEMP_BUDGET} * w) % tw").alias("rem"),
+    )
+    wall = W.orderBy(F.desc("rem"), "source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = quota.select(
+        "source",
+        "n_tokens",
+        "tn",
+        "base",
+        F.row_number().over(W.orderBy(F.desc("rem"), "source")).alias("rr"),
+        (F.lit(_TEMP_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    alloc = F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        ranked.select(
+            "source",
+            "n_tokens",
+            alloc.cast("bigint").alias("alloc_tokens"),
+            F.expr("n_tokens * 10000 DIV tn").alias("natural_bp"),
+        )
+        .withColumn(
+            "sampled_bp",
+            F.expr(f"alloc_tokens * 10000 DIV {_TEMP_BUDGET}"),
+        )
+        .orderBy("source")
+    )

@@ -295,6 +295,7 @@ _SF001_SEC_PAIRS = [
     ("q_silhouette", 0.83),
     ("q_bigram_nll", 1.28),
     ("q_longest_shared_run", 1.13),
+    ("q_temperature_mix", 0.73),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

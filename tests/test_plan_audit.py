@@ -106,6 +106,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # one row per market segment (5 forever): the remainder rank is a
     # five-row sort by design
     "q_budget_allocation",
+    # one row per corpus source (20 forever): q_budget_allocation's
+    # remainder-rank class over the per-source token aggregate
+    "q_temperature_mix",
     # one row per duration DAY (bounded by the study calendar, not the
     # subject count): both cumulative windows run over the day table
     "q_survival_steps",
