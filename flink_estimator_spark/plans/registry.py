@@ -296,6 +296,9 @@ _SF001_SEC_PAIRS = [
     ("q_bigram_nll", 1.28),
     ("q_longest_shared_run", 1.13),
     ("q_temperature_mix", 0.73),
+    # round-6 eighth batch: mergeable CMS grid runtime gate
+    # (warm sf0.01, min-of-2)
+    ("q_stream_cms_runtime", 2.5),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

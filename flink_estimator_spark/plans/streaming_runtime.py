@@ -10,14 +10,15 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Thirteen distinct runtime paths get gate rows (the six below from round 5,
+Fourteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
 ``q_stream_temporal_runtime``, running-moment anomaly
 ``q_stream_anomaly_runtime``, step-integral TWA
-``q_stream_twa_runtime``, and event-time-timer window top-N
-``q_stream_topn_runtime`` — each docstring states its state machine):
+``q_stream_twa_runtime``, event-time-timer window top-N
+``q_stream_topn_runtime``, and mergeable CMS grid
+``q_stream_cms_runtime`` — each docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1001,4 +1002,77 @@ def q_stream_topn_runtime(spark, sf_dir):
             F.col("rk").cast("bigint").alias("rk"),
         )
         .orderBy("win_start", "rk")
+    )
+
+
+@query(
+    "q_stream_cms_runtime",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws
+            FROM events
+        ),
+        cells AS (
+            SELECT ws, row_i,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        row_i * 8 + 1, 8)) AS BIGINT)
+                       % 512 AS bucket
+            FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS row_i)
+            WHERE ws + 5460 <=
+                  (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        )
+        SELECT CAST(row_i AS BIGINT) AS row_i,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS c_total,
+               CAST(count(DISTINCT ws) AS BIGINT) AS n_windows
+        FROM cells
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("streaming", "runtime", "sketch", "cms", "mergeable"),
+)
+def q_stream_cms_runtime(spark, sf_dir):
+    """The MERGEABLE-SKETCH streaming path, driver-gated — the 14th
+    runtime gate: ``streaming/sketches.py windowed_cms_cells`` runs as a
+    real append-mode streaming query emitting each tumbling window's
+    d x w count-min grid when the watermark closes it (state per window
+    bounded by the GRID, never by event volume — the property that makes
+    sketches the streaming answer to high-cardinality counting).  The
+    gate then exercises the sketch's defining algebra: emitted per-window
+    grids are cell-wise ADDED into one merged grid over the decided
+    region (the hour -> day -> month rollup-by-addition posture), and
+    the DuckDB oracle rebuilds that merged grid from raw events with the
+    same portable md5 bucket arithmetic.  ``n_windows`` per cell (count
+    of distinct contributing windows) pins the per-window structure so a
+    compensating miscount across windows cannot cancel in the merge.
+    Decided-region restriction is the top-N gate's margin pattern
+    (append-mode windows emit only once the watermark passes them)."""
+    from ..streaming.sketches import windowed_cms_cells
+
+    win_s = 3600
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: windowed_cms_cells(
+            make(), window="1 hour", watermark="30 minutes"
+        ),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - 1800 - 60 - win_s
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("win_start") <= F.lit(cutoff))
+        .groupBy(
+            F.col("row_i").cast("bigint").alias("row_i"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.sum("c").cast("bigint").alias("c_total"),
+            F.countDistinct("win_start").cast("bigint").alias("n_windows"),
+        )
+        .orderBy("row_i", "bucket")
     )
