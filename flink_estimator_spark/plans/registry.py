@@ -299,6 +299,9 @@ _SF001_SEC_PAIRS = [
     # round-6 eighth batch: mergeable CMS grid runtime gate
     # (warm sf0.01, min-of-2)
     ("q_stream_cms_runtime", 2.5),
+    # round-6 ninth batch: chained multi-stateful windowed aggregation
+    # runtime gate (warm sf0.01, min-of-2)
+    ("q_stream_chained_agg_runtime", 2.31),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

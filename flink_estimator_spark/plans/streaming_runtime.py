@@ -10,15 +10,17 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Fourteen distinct runtime paths get gate rows (the six below from round 5,
+Fifteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
 ``q_stream_temporal_runtime``, running-moment anomaly
 ``q_stream_anomaly_runtime``, step-integral TWA
 ``q_stream_twa_runtime``, event-time-timer window top-N
-``q_stream_topn_runtime``, and mergeable CMS grid
-``q_stream_cms_runtime`` — each docstring states its state machine):
+``q_stream_topn_runtime``, mergeable CMS grid
+``q_stream_cms_runtime``, and chained multi-stateful windowed
+aggregation ``q_stream_chained_agg_runtime`` — each docstring states its
+state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1075,4 +1077,92 @@ def q_stream_cms_runtime(spark, sf_dir):
             F.countDistinct("win_start").cast("bigint").alias("n_windows"),
         )
         .orderBy("row_i", "bucket")
+    )
+
+
+@query(
+    "q_stream_chained_agg_runtime",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w10,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT h AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(count(DISTINCT w10) AS BIGINT) AS n_subwindows
+        FROM ev
+        WHERE h + 6060 <=
+              (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type
+    """,
+    tags=("streaming", "runtime", "window-time", "chained", "multi-stateful"),
+)
+def q_stream_chained_agg_runtime(spark, sf_dir):
+    """CHAINED windowed aggregations, driver-gated — the 15th runtime
+    path and the only one running MULTIPLE STATEFUL OPERATORS in a single
+    streaming query (Spark >= 3.4's multi-stateful-operator support —
+    Flink's "multi-level window operations" class executed as one job):
+    a 10-minute tumble aggregate feeds an hourly re-aggregate by passing
+    the inner WINDOW STRUCT as the outer ``F.window`` time column, both
+    levels watermark-closed in append mode, two independent state stores
+    in one pipeline.  Counts and integer cents re-aggregate exactly
+    (sums of sums), and ``n_subwindows`` (distinct inner windows merged
+    per hour) pins the two-level structure — a query that skipped the
+    inner level would still get n/sum right but not the subwindow
+    census.  Decided-region restriction: the hour closes at
+    hour_end + delay, and every inner window inside it has closed by
+    then; a 10-minute + 60 s margin covers the extra micro-batch the
+    inner emission needs to reach the outer store (cutoff mirrored as
+    ``h + 6060`` in the oracle)."""
+    from pyspark.sql import functions as SF
+
+    def build(make):
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        inner = (
+            make()
+            .withWatermark("ts", "30 minutes")
+            .groupBy(
+                SF.window("ts", "10 minutes").alias("w10"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n10"),
+                F.sum(cents).alias("cents10"),
+            )
+        )
+        return (
+            inner.groupBy(
+                SF.window(F.col("w10"), "1 hour").alias("wh"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n10").alias("n"),
+                F.sum("cents10").alias("sum_cents"),
+                F.count("*").alias("n_subwindows"),
+            )
+            .select(
+                F.col("wh").start.cast("long").alias("hour_start"),
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+                F.col("n_subwindows").cast("bigint").alias("n_subwindows"),
+            )
+        )
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="append"
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - 1800 - 660 - 3600  # delay + (inner window + margin) + hour
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("hour_start") <= F.lit(cutoff))
+        .orderBy("hour_start", "event_type")
     )
