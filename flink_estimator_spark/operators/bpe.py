@@ -522,3 +522,82 @@ def q_bpe_encode_cert(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=rf"""
+        WITH words AS (
+            SELECT source, word FROM (
+                SELECT source,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                FROM documents)
+            WHERE regexp_full_match(word, '[a-z]+')),
+        enc AS (
+            SELECT source, word,
+                   {_cert_replace_chain_sql()} AS e
+            FROM words)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(word)) AS BIGINT) AS n_chars,
+               CAST(sum(length(e) - length(replace(e, '(', ''))) AS BIGINT)
+                   AS n_tokens,
+               CAST(sum(length(e) - length(replace(e, '(', ''))) * 10000
+                    // count(*) AS BIGINT) AS fertility_bp,
+               CAST(sum(length(word)) * 10000
+                    // sum(length(e) - length(replace(e, '(', '')))
+                    AS BIGINT) AS chars_per_token_bp
+        FROM enc
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "tokenizer", "bpe", "evaluation", "fertility"),
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per source — the standard tokenizer-evaluation
+    metric (mean tokens per word; chars-per-token is its compression
+    dual): a tokenizer trained on one distribution fragments text from
+    another, and per-source fertility is how a multilingual/multi-domain
+    pipeline detects that before paying for it in effective context
+    length.  Same relational encode as ``q_bpe_encode_cert`` (bracket
+    symbols + ordered replace chain, JVM-codegen'd AND DuckDB-replayed),
+    re-aggregated at source grain with exact basis-point ratios — the
+    eval loop over the tokenizer family mirrors the classifier family's
+    (train q_bpe_merges -> apply q_bpe_encode_cert -> EVALUATE here)."""
+    from functools import reduce
+
+    d = t(spark, sf_dir, "documents")
+    words = (
+        spread(d, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), _WORD_RE)
+            ).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    sym = F.concat(
+        F.lit("("), F.array_join(F.split("word", ""), ")("), F.lit(")(</w>)")
+    )
+    enc = reduce(
+        lambda c, m: F.replace(c, F.lit(f"({m[0]})({m[1]})"), F.lit(f"({m[0]}{m[1]})")),
+        CERT_MERGES,
+        sym,
+    )
+    per_word = words.select(
+        "source",
+        F.length("word").alias("wlen"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))).alias("wtok"),
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wlen").alias("n_chars"),
+            F.sum("wtok").alias("n_tokens"),
+            F.expr("sum(wtok) * 10000 DIV count(*)").alias("fertility_bp"),
+            F.expr("sum(wlen) * 10000 DIV sum(wtok)").alias("chars_per_token_bp"),
+        )
+        .orderBy("source")
+    )

@@ -1437,3 +1437,108 @@ def q_distribution_drift(spark, sf_dir):
         .select("bucket", "np", "nq", term.alias("kl_term_q9"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+        WITH m AS (
+            SELECT c.c_nationkey AS nat,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                        AS BIGINT) AS mk,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT a.nat,
+                   CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+                       / CAST(b.mk - a.mk AS DOUBLE) AS slope,
+                   a.mk AS mk_a, b.mk AS mk_b
+            FROM m a JOIN m b ON a.nat = b.nat AND a.mk < b.mk
+        ),
+        r AS (
+            SELECT nat, slope,
+                   row_number() OVER (PARTITION BY nat
+                                      ORDER BY slope, mk_a, mk_b) AS rn,
+                   count(*) OVER (PARTITION BY nat) AS c
+            FROM p
+        )
+        SELECT nat,
+               CAST((c + 1) // 2 AS BIGINT) AS median_rank,
+               CAST(c AS BIGINT) AS n_pairs,
+               CAST(floor(slope * 1000) AS BIGINT) AS slope_me3
+        FROM r
+        WHERE rn = (c + 1) // 2
+        ORDER BY nat
+    """,
+    tags=("analytic", "robust", "trend", "theil-sen"),
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per nation: the LOWER MEDIAN of all pairwise
+    monthly-revenue slopes — the estimator that shrugs off the outlier
+    months that drag q_linreg_by_group's OLS around (up to ~29% gross
+    corruption before breakdown).  Completes the robust-statistics family:
+    MAD for spread, winsorized moments for location, Theil-Sen for trend.
+
+    Exactness: each slope is ONE double division of two exact BIGINTs
+    (cent diff / month diff), so both engines materialize bit-identical
+    doubles; ordering by (slope, mk_a, mk_b) is therefore engine-exact,
+    the lower median picks the same pair everywhere, and the 1e-3
+    floor-quantization is deterministic on an identical input.
+
+    Scale: the O(n²) pair set is over MONTH aggregates, whose cardinality
+    is the calendar (~84 per nation, SF-INVARIANT — the q_yoy_growth
+    argument), never raw rows: ~3.5k pairs x 25 nations forever, produced
+    by an equi-join on nation.  The corpus-sized work is the one
+    partial-combined (nation, month) revenue aggregate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nat"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("rev_cents"))
+    )
+    a = m.select(
+        F.col("nat"), F.col("mk").alias("mk_a"), F.col("rev_cents").alias("ra")
+    )
+    b = m.select(
+        F.col("nat"), F.col("mk").alias("mk_b"), F.col("rev_cents").alias("rb")
+    )
+    p = (
+        a.join(b, "nat")
+        .filter(F.col("mk_a") < F.col("mk_b"))
+        .select(
+            "nat",
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("mk_b") - F.col("mk_a")).cast("double")
+            ).alias("slope"),
+            "mk_a",
+            "mk_b",
+        )
+    )
+    wo = W.partitionBy("nat").orderBy("slope", "mk_a", "mk_b")
+    wc = W.partitionBy("nat")
+    r = p.select(
+        "nat",
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wc).alias("c"),
+    )
+    return (
+        r.filter(F.expr("rn = (c + 1) div 2"))
+        .select(
+            "nat",
+            F.expr("(c + 1) div 2").alias("median_rank"),
+            F.col("c").cast("bigint").alias("n_pairs"),
+            F.floor(F.col("slope") * 1000).cast("bigint").alias("slope_me3"),
+        )
+        .orderBy("nat")
+    )

@@ -302,6 +302,10 @@ _SF001_SEC_PAIRS = [
     # round-6 ninth batch: chained multi-stateful windowed aggregation
     # runtime gate (warm sf0.01, min-of-2)
     ("q_stream_chained_agg_runtime", 2.31),
+    # round-6 tenth batch: Theil-Sen robust trend, tokenizer fertility
+    # (warm sf0.01, min-of-2)
+    ("q_theil_sen", 1.39),
+    ("q_tokenizer_fertility", 0.57),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
