@@ -65,6 +65,8 @@ SAMPLE = [
     # r6 fifth batch: correctly-rounded-sqrt ratio and single-ratio ln
     "q_silhouette",            # sqrt of exact BIGINT d2, scale-cancelling ratio
     "q_bigram_nll",            # interpolated-LM ln of one exact integer ratio
+    # r6 sixth batch: double-ordered median over exact-ratio slopes
+    "q_theil_sen",             # BIGINT/BIGINT double slopes, ordered median pick
 ]
 
 
