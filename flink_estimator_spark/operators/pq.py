@@ -306,3 +306,181 @@ def q_emb_pq_adc(spark, sf_dir):
         .select("qid", "cand_id", "adc_d2", "d2", "rk")
         .orderBy("qid", "rk")
     )
+
+
+_IVF_NPROBE = 3  # coarse lists probed per query
+
+
+_COARSE_CTES = f"""exl AS (
+            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM (
+                SELECT vec_id, label, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+        ),
+        ccent AS (
+            SELECT label AS clabel, pos,
+                   CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / 1000000.0 AS c
+            FROM exl GROUP BY label, pos
+        ),
+        cd AS (
+            SELECT exl.vec_id, ccent.clabel,
+                   sum(CAST(floor((exl.v - ccent.c) * (exl.v - ccent.c)
+                                  * 1000000000000) AS BIGINT)) AS d2
+            FROM exl JOIN ccent ON exl.pos = ccent.pos
+            GROUP BY exl.vec_id, ccent.clabel
+        ),
+        crk AS (
+            SELECT vec_id, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rk
+            FROM cd
+        ),
+        cassign AS (SELECT vec_id, clabel AS cluster FROM crk WHERE rk = 1),
+        probe AS (
+            SELECT vec_id AS qid, clabel AS cluster
+            FROM crk WHERE rk <= {_IVF_NPROBE} AND vec_id < {_PQ_NQ}
+        ),
+        cands AS (
+            SELECT p.qid, ca.vec_id AS cand_id
+            FROM probe p JOIN cassign ca ON ca.cluster = p.cluster
+            WHERE ca.vec_id != p.qid
+        )"""
+
+
+@query(
+    "q_emb_ivfpq_adc",
+    oracle=f"""
+        WITH {_pq_ctes()},
+        {_COARSE_CTES},
+        adc AS (
+            SELECT cn.qid, cn.cand_id,
+                   CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+            FROM cands cn
+            JOIN codes ON codes.vec_id = cn.cand_id
+            JOIN lut ON lut.qid = cn.qid
+                    AND lut.sub = codes.sub AND lut.code = codes.code
+            GROUP BY cn.qid, cn.cand_id
+        ),
+        shortlist AS (
+            SELECT qid, cand_id, adc_d2 FROM (
+                SELECT qid, cand_id, adc_d2,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc_d2, cand_id) AS rk
+                FROM adc
+            ) WHERE rk <= {_PQ_SHORTLIST}
+        ),
+        rerank AS (
+            SELECT s.qid, s.cand_id, s.adc_d2,
+                   CAST(sum(CAST(floor((q.v - c.v) * (q.v - c.v)
+                                       * 1000000000000) AS BIGINT)) AS BIGINT) AS d2
+            FROM shortlist s
+            JOIN ex c ON c.vec_id = s.cand_id
+            JOIN ex q ON q.vec_id = s.qid AND q.pos = c.pos
+            GROUP BY s.qid, s.cand_id, s.adc_d2
+        )
+        SELECT qid, cand_id, adc_d2, d2, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT qid, cand_id, adc_d2, d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2, cand_id) AS rk
+            FROM rerank
+        ) WHERE rk <= {_PQ_TOPK}
+        ORDER BY qid, rk
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "pq", "compression", "trained"),
+)
+def q_emb_ivfpq_adc(spark, sf_dir):
+    """IVF-PQ composed ANN — the billion-scale production architecture
+    (FAISS "IVFADC", Jegou et al. 2011 §V): a coarse quantizer routes the
+    search to nprobe=3 inverted lists, and only vectors in
+    the probed lists are scanned in the COMPRESSED domain (PQ codes +
+    per-query LUT), then the ADC shortlist is exact-reranked — the two
+    pruning levels compose multiplicatively: IVF cuts candidates to
+    nprobe/k of the corpus, PQ cuts bytes-per-candidate to M codes, and
+    the exact pass touches 50 raw vectors per query.
+
+    Spark shape: the coarse quantizer is the shared label-seeded
+    centroid table (q_kmeans_assign arithmetic — dim x k rows, broadcast),
+    inverted lists are just the cluster column on the code table (at
+    100 TB: the partition key of the stored codes, so a probe is
+    partition pruning, not a filter), and the PQ machinery is
+    q_emb_pq_adc's verbatim.  Everything — coarse routing, codebook
+    training, code assignment, ADC sums, rerank — replays in the DuckDB
+    oracle's quantized-BIGINT arithmetic."""
+    e = spread(t(spark, sf_dir, "embeddings"), "vec_id")
+    cb, codes = pq_codebooks_and_codes(e)
+
+    # coarse quantizer: label-seeded centroids, ranked assignments
+    exl = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    ccent = exl.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * _T6).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(float(_T6))
+        ).alias("c")
+    )
+    cdiff = F.col("v") - F.col("c")
+    cterm = F.floor(cdiff * cdiff * F.lit(_T12)).cast("bigint")
+    cd = (
+        exl.join(F.broadcast(ccent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(cterm).alias("d2"))
+    )
+    w_c = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    crk = cd.withColumn("rk", F.row_number().over(w_c))
+    cassign = crk.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("clabel").alias("cluster")
+    )
+    probe = crk.filter(
+        (F.col("rk") <= _IVF_NPROBE) & (F.col("vec_id") < _PQ_NQ)
+    ).select(F.col("vec_id").alias("qid"), F.col("clabel").alias("cluster"))
+    cands = (
+        probe.join(cassign.withColumnRenamed("vec_id", "cand_id"), "cluster")
+        .filter(F.col("cand_id") != F.col("qid"))
+        .select("qid", "cand_id")
+    )
+
+    ex = _components(e)
+    diff = F.col("v") - F.col("c")
+    term = F.floor(diff * diff * F.lit(_T12)).cast("bigint")
+    lut = (
+        ex.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy(F.col("vec_id").alias("qid"), "sub", "code")
+        .agg(F.sum(term).alias("d2"))
+    )
+    adc = (
+        cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "cand_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w_adc = W.partitionBy("qid").orderBy("adc_d2", "cand_id")
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("qid", "cand_id", "adc_d2")
+    )
+    qex = ex.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    rdiff = F.col("qv") - F.col("v")
+    rterm = F.floor(rdiff * rdiff * F.lit(_T12)).cast("bigint")
+    rerank = (
+        ex.join(F.broadcast(shortlist), ex["vec_id"] == F.col("cand_id"))
+        .join(F.broadcast(qex), ["qid", "pos"])
+        .groupBy("qid", "cand_id", "adc_d2")
+        .agg(F.sum(rterm).cast("bigint").alias("d2"))
+    )
+    w_ex = W.partitionBy("qid").orderBy("d2", "cand_id")
+    return (
+        rerank.withColumn("rk", F.row_number().over(w_ex).cast("bigint"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "cand_id", "adc_d2", "d2", "rk")
+        .orderBy("qid", "rk")
+    )

@@ -306,6 +306,8 @@ _SF001_SEC_PAIRS = [
     # (warm sf0.01, min-of-2)
     ("q_theil_sen", 1.39),
     ("q_tokenizer_fertility", 0.57),
+    # round-6 eleventh batch: IVF-PQ composed ANN (warm sf0.01, min-of-2)
+    ("q_emb_ivfpq_adc", 4.27),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
