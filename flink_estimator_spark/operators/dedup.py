@@ -1560,3 +1560,82 @@ def longest_shared_runs(
         (F.max("run_len") + F.lit(k - 1)).cast("bigint").alias("run_tokens"),
         F.sum("run_len").cast("bigint").alias("n_matches"),
     )
+
+
+@query(
+    "q_source_overlap_matrix",
+    oracle=rf"""
+        WITH {_WINNOW_SEL_CTES},
+        src AS (SELECT doc_id, source FROM documents),
+        fdf AS (SELECT sel, count(*) AS d FROM sel GROUP BY 1),
+        keep AS (
+            SELECT s.doc_id, s.sel, src.source
+            FROM sel s
+            JOIN fdf USING (sel)
+            JOIN src ON src.doc_id = s.doc_id
+            WHERE fdf.d <= {_WINNOW_MAX_FP_DF}
+        ),
+        pairs AS (
+            SELECT least(a.source, b.source) AS src_a,
+                   greatest(a.source, b.source) AS src_b,
+                   a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keep a JOIN keep b
+              ON a.sel = b.sel AND a.doc_id < b.doc_id
+        )
+        SELECT src_a, src_b,
+               CAST(count(*) AS BIGINT) AS n_fp_matches,
+               CAST(count(DISTINCT (id_a, id_b)) AS BIGINT) AS n_doc_pairs
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY src_a, src_b
+    """,
+    tags=("llm", "dedup", "winnowing", "provenance", "matrix"),
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication-flow matrix — corpus forensics: for every
+    source pair, how many winnowing fingerprints their documents share
+    and how many document pairs that implicates.  This is the
+    PROVENANCE view the pairwise detectors don't give: syndication
+    networks, mirror sites, and scrape-of-a-scrape chains show up as hot
+    off-diagonal cells, and a source copying itself (templated pages)
+    lights its own diagonal — the evidence a pipeline uses to DROP or
+    down-weight a whole source rather than dedup doc-by-doc.
+
+    Same join shape and df <= {_WINNOW_MAX_FP_DF} boilerplate guard as
+    q_winnow_shared_pairs (sum(df^2) over fingerprint frequencies), then
+    a |sources|^2-bounded aggregate — the matrix itself is ~200 cells
+    forever.  Counting BOTH grains matters: n_fp_matches weighs the
+    overlap volume, n_doc_pairs how widely it spreads."""
+    docs = t(spark, sf_dir, "documents")
+    sel = winnow_selected(docs).select("doc_id", "sel")
+    fdf = sel.groupBy("sel").agg(F.count("*").alias("d"))
+    src = docs.select("doc_id", "source")
+    keep = (
+        sel.join(fdf.filter(F.col("d") <= _WINNOW_MAX_FP_DF), "sel")
+        .join(F.broadcast(src), "doc_id")
+        .select("doc_id", "sel", "source")
+    )
+    a = keep.select(
+        F.col("doc_id").alias("id_a"), "sel", F.col("source").alias("sa")
+    )
+    b = keep.select(
+        F.col("doc_id").alias("id_b"), "sel", F.col("source").alias("sb")
+    )
+    pairs = (
+        a.join(b, "sel")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_fp_matches"),
+            F.countDistinct("id_a", "id_b").alias("n_doc_pairs"),
+        )
+        .orderBy("src_a", "src_b")
+    )
