@@ -67,6 +67,9 @@ SAMPLE = [
     "q_bigram_nll",            # interpolated-LM ln of one exact integer ratio
     # r6 sixth batch: double-ordered median over exact-ratio slopes
     "q_theil_sen",             # BIGINT/BIGINT double slopes, ordered median pick
+    # r6 seventh batch: IVF routing composed over PQ, diagonal islands
+    "q_emb_ivfpq_adc",         # coarse probe -> ADC -> rerank, all quantized
+    "q_longest_shared_run",    # positional equi-join + per-diagonal islands
 ]
 
 
