@@ -1639,3 +1639,79 @@ def q_source_overlap_matrix(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def connected_components_jump(
+    edges: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Connected components for LARGE-DIAMETER graphs: min-label
+    propagation PLUS pointer doubling (label := label of label) per
+    round, converging in O(log diameter) rounds where plain min-label
+    (``connected_components``) needs O(diameter) — the difference between
+    5 rounds and 60+ iterations on chain-shaped graphs (edit-distance
+    neighborhoods, road-network-like data), while near-clique dup
+    clusters should keep using the plain operator (fewer, cheaper
+    iterations — no second join per round).
+
+    Each round eager-checkpoints the label table: the two joins per round
+    compound the logical plan, and Catalyst analysis cost on an iterated
+    cached-join lineage grows super-linearly (measured: round 3 of the
+    uncheckpointed form took 52 s on a 43-node fixture block purely in
+    planning) — the checkpoint truncates lineage every round, so round
+    cost stays flat and total work is rounds x (2 joins + a label-table
+    write).  Labels only decrease and stay within the component's vertex
+    ids, so the fixpoint is the component minimum — same contract as
+    ``connected_components``.  Input: (id_a, id_b).  Output:
+    (doc_id, cluster)."""
+    edges = edges.cache()
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).cache()
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster"))
+    )
+    labels = eager_checkpoint(labels)
+    try:
+        for _ in range(max_rounds):
+            nbr = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nbr_min"))
+            )
+            l1 = labels.join(nbr, labels.id == nbr.src, "left").select(
+                "id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            ptr = l1.select(
+                F.col("id").alias("jid"), F.col("cluster").alias("jc")
+            )
+            prev = labels.select(
+                F.col("id").alias("pid"), F.col("cluster").alias("pc")
+            )
+            stepped = (
+                l1.join(ptr, l1.cluster == ptr.jid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("jc"), F.col("cluster")),
+                    ).alias("cluster"),
+                )
+                .join(prev, F.col("id") == F.col("pid"))
+                .select(
+                    "id", "cluster", (F.col("cluster") < F.col("pc")).alias("changed")
+                )
+            )
+            stepped = eager_checkpoint(stepped)
+            changed = stepped.filter("changed").count()
+            labels = stepped.drop("changed")
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"), "cluster")
+    finally:
+        sym.unpersist()
+        edges.unpersist()

@@ -309,6 +309,8 @@ _SF001_SEC_PAIRS = [
     # round-6 eleventh batch: IVF-PQ composed ANN (warm sf0.01, min-of-2)
     ("q_emb_ivfpq_adc", 4.27),
     ("q_source_overlap_matrix", 1.43),
+    # round-6 twelfth batch: entity-resolution capstone (warm sf0.01)
+    ("q_entity_resolution", 2.5),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
