@@ -1667,12 +1667,12 @@ def connected_components_jump(
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).cache()
-    labels = (
-        sym.groupBy(F.col("src").alias("id"))
-        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster"))
-    )
-    labels = eager_checkpoint(labels)
     try:
+        labels = (
+            sym.groupBy(F.col("src").alias("id"))
+            .agg(F.least(F.first("src"), F.min("dst")).alias("cluster"))
+        )
+        labels = eager_checkpoint(labels)
         for _ in range(max_rounds):
             nbr = (
                 sym.join(labels, sym.dst == labels.id)
