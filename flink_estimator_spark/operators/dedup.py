@@ -1711,6 +1711,13 @@ def connected_components_jump(
             labels = stepped.drop("changed")
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components_jump did not converge in "
+                f"{max_rounds} pointer-doubling rounds ({changed} labels "
+                f"still changing) — graph diameter exceeds 2^{max_rounds}; "
+                "raise max_rounds rather than accept partial labels"
+            )
         return labels.select(F.col("id").alias("doc_id"), "cluster")
     finally:
         sym.unpersist()

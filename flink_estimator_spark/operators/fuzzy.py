@@ -365,8 +365,13 @@ def resolve_entities(spark, edges: DataFrame, cap: int = _ER_LOCAL_CAP) -> DataF
     O(diameter) min-label operator is the wrong fallback).  Both paths
     produce identical labels (component minimum) — equality is pinned by
     tests/test_entity_resolution.py."""
+    from ..plans._helpers import eager_checkpoint
     from .dedup import connected_components_jump
 
+    # Routing (count) and resolution (collect / distributed CC) are two
+    # actions on the same lineage: materialize the blocked fuzzy-pair join
+    # once so the expensive edge computation doesn't execute per action.
+    edges = eager_checkpoint(edges)
     if edges.count() > cap:
         return connected_components_jump(edges)
     parent: dict = {}

@@ -67,25 +67,18 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
 # their driver row was recorded; they can only ever earn row-count
 # evidence, which is still staleness-bounded like everything else.
 _EVIDENCE_ROUND: dict[str, int] = {
-    # --- last green driver row: round 1 (31 queries) ---
-    "q13_order_histogram": 1, "q14_promo_share": 1, "q15_top_supplier": 1,
-    "q16_supplier_variety": 1, "q17_small_quantity": 1,
-    "q18_large_orders": 1, "q19_disjunctive_predicates": 1,
-    "q21_sole_late_shipper": 1, "q22_idle_balances": 1, "q4_late_orders": 1,
-    "q6_forecast_revenue": 1, "q7_nation_trade": 1, "q8_market_share": 1,
-    "q9_nation_profit": 1, "q_asof_join": 1, "q_cep_funnel": 1, "q_cube": 1,
-    "q_dedup_by_key": 1, "q_distinct_pairs": 1, "q_grouping_sets": 1,
-    "q_json_extract": 1, "q_lag_delta": 1, "q_moving_avg": 1,
-    "q_ntile_rank": 1, "q_pivot_status": 1, "q_range_join_bands": 1,
-    "q_rollup": 1, "q_running_revenue": 1, "q_scalar_subquery": 1,
-    "q_set_ops": 1, "q_topk_per_group": 1,
+    # --- last green driver row: round 1 (10 queries) ---
+    "q_lag_delta": 1, "q_moving_avg": 1, "q_ntile_rank": 1,
+    "q_pivot_status": 1, "q_range_join_bands": 1, "q_rollup": 1,
+    "q_running_revenue": 1, "q_scalar_subquery": 1, "q_set_ops": 1,
+    "q_topk_per_group": 1,
     # --- last green driver row: round 2 (49 queries) ---
     "q_approx_sketches": 2, "q_cep_four_step": 2, "q_cep_three_step": 2,
-    "q_class_weights": 2, "q_contamination_screen": 2,
-    "q_cumulate_window": 2, "q_data_mixing": 2, "q_dedup_embedding": 2,
-    "q_dedup_exact_docs": 2, "q_dedup_keep_list": 2, "q_emb_cosine_topk": 2,
-    "q_emb_label_knn": 2, "q_hash_sample": 2, "q_incremental_rollup": 2,
-    "q_interval_join": 2, "q_lang_mismatch": 2, "q_multimodal_features": 2,
+    "q_class_weights": 2, "q_contamination_screen": 2, "q_cumulate_window": 2,
+    "q_data_mixing": 2, "q_dedup_embedding": 2, "q_dedup_exact_docs": 2,
+    "q_dedup_keep_list": 2, "q_emb_cosine_topk": 2, "q_emb_label_knn": 2,
+    "q_hash_sample": 2, "q_incremental_rollup": 2, "q_interval_join": 2,
+    "q_lang_mismatch": 2, "q_multimodal_features": 2,
     "q_multimodal_frames": 2, "q_multimodal_resize": 2,
     "q_multistage_windows": 2, "q_ngram_lm": 2, "q_pandas_grouped_agg": 2,
     "q_pandas_udf_score": 2, "q_percentiles": 2, "q_pii_redaction": 2,
@@ -155,6 +148,26 @@ _EVIDENCE_ROUND: dict[str, int] = {
     "q_stream_tumble_runtime": 5, "q_string_funcs": 5, "q_supplier_stats": 5,
     "q_table_profile": 5, "q_tfidf_cosine_pairs": 5, "q_token_entropy": 5,
     "q_triangle_count": 5, "q_tumble_window": 5,
+    # --- last green driver row: round 6 (50 queries) ---
+    "q13_order_histogram": 6, "q14_promo_share": 6, "q15_top_supplier": 6,
+    "q16_supplier_variety": 6, "q17_small_quantity": 6, "q18_large_orders": 6,
+    "q19_disjunctive_predicates": 6, "q21_sole_late_shipper": 6,
+    "q22_idle_balances": 6, "q4_late_orders": 6, "q6_forecast_revenue": 6,
+    "q7_nation_trade": 6, "q8_market_share": 6, "q9_nation_profit": 6,
+    "q_asof_join": 6, "q_bigram_nll": 6, "q_bootstrap_ci": 6,
+    "q_cep_funnel": 6, "q_chi2_terms": 6, "q_classifier_auc": 6,
+    "q_classifier_calibration": 6, "q_cohen_kappa": 6, "q_cube": 6,
+    "q_dedup_by_key": 6, "q_distinct_pairs": 6, "q_emb_ivfpq_adc": 6,
+    "q_entity_resolution": 6, "q_grouping_sets": 6, "q_json_extract": 6,
+    "q_longest_shared_run": 6, "q_psi_drift": 6, "q_retrieval_ndcg": 6,
+    "q_silhouette": 6, "q_source_overlap_matrix": 6,
+    "q_stream_anomaly_runtime": 6, "q_stream_cep_runtime": 6,
+    "q_stream_chained_agg_runtime": 6, "q_stream_cms_runtime": 6,
+    "q_stream_dynsession_runtime": 6, "q_stream_funnel_runtime": 6,
+    "q_stream_temporal_runtime": 6, "q_stream_topn_runtime": 6,
+    "q_stream_twa_runtime": 6, "q_temperature_mix": 6, "q_theil_sen": 6,
+    "q_threshold_sweep": 6, "q_tokenizer_fertility": 6,
+    "q_winnow_fingerprints": 6, "q_winnow_shared_pairs": 6, "q_zipf_slope": 6,
 }
 _GATED_PRIOR_ROUNDS = frozenset(_EVIDENCE_ROUND)
 

@@ -74,16 +74,33 @@ def test_random_graphs_both_paths_agree(spark):
 
 def test_er_census_is_consistent(spark):
     """The registered query's census: every entity has >= 2 members (the
-    node set is edge endpoints) and a canonical name that is the minimum
-    of its members (spot-checked through a member re-join)."""
+    node set is edge endpoints), each cluster label is genuinely the
+    MINIMUM of its member names (checked by recomputing the member->label
+    assignment via resolve_entities on the same edge set and grouping),
+    and labels are unique per output row."""
+    from pyspark.sql import functions as F
+
+    from flink_estimator_spark.operators.fuzzy import fuzzy_pairs
+    from flink_estimator_spark.plans._helpers import t
     from flink_estimator_spark.plans.registry import QUERIES
 
-    rows = QUERIES["q_entity_resolution"].builder(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["q_entity_resolution"].builder(spark, sf_dir).collect()
     assert all(r["n_members"] >= 2 for r in rows)
-    assert all(
-        r["canonical_name"] == min(r["canonical_name"], r["canonical_name"])
-        for r in rows
-    )
     assert len({r["canonical_name"] for r in rows}) == len(rows)
+
+    # Independent member re-join: recompute labels from the same blocked
+    # fuzzy-pair edges and assert canonical == min(member names) per
+    # entity and that the census member counts match.
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    edges = fuzzy_pairs(c, "c_name").select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    members: dict[str, list[str]] = {}
+    for r in resolve_entities(spark, edges).collect():
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    census = {r["canonical_name"]: r["n_members"] for r in rows}
+    assert set(census) == set(members)
+    for label, names in members.items():
+        assert label == min(names)
+        assert census[label] == len(names)
