@@ -66,12 +66,19 @@ def main() -> int:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     spreads: dict[str, float] = {}
+    # Wall-clock offset (sec since bench start) per query: cross-round
+    # movers that are CONTIGUOUS in t_off point to an external contention
+    # window on the bench box (the r6 driver ledger's q_rfm/q_rolling/
+    # q_running movers were adjacent ledger slots), not a plan regression.
+    t_offs: dict[str, float] = {}
+    bench_t0 = time.perf_counter()
     order = HEADLINE + sorted(n for n in QUERIES if n not in HEADLINE)
     for name in order:
         spec = QUERIES.get(name)
         if spec is None:
             continue
         runs: list[float] = []
+        t_offs[name] = round(time.perf_counter() - bench_t0, 1)
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -122,13 +129,21 @@ def main() -> int:
     # the slowest 10 so it fits the driver's stdout-tail capture window
     # (r1/r2 both ended with `parsed: null` because the 117-entry map pushed
     # the line past the window — R2_NOTES.md).
+    # Hotness canary (VERDICT r6 item 6): the estimator batch is a fixed
+    # CPU-bound workload, so its throughput labels the box — clean builder
+    # ledgers measure 21.8-23.3k est/s; under ~20k the box was loaded and
+    # per-query movers should be read against the t_off adjacency map
+    # before any plan hunt.
+    box_hot = estimator_eps < 20_000
     detail = {
         "sf": sf,
         "timing": "min_of_2_plus_third_if_over_2s",
         "queries": timings,
         "runs": all_runs,
         "spread": spreads,
+        "t_off": t_offs,
         "estimator_eps": estimator_eps,
+        "box_hot": box_hot,
         "total_sec": total,
         "failed": failed,
     }
@@ -145,6 +160,7 @@ def main() -> int:
         "queries": slowest,
         "sf": sf,
         "estimator_eps": estimator_eps,
+        "box_hot": box_hot,
         "n_queries": len(timings),
         "n_failed": len(failed),
         "detail": "BENCH_DETAIL.json",

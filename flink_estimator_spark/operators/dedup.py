@@ -1562,6 +1562,240 @@ def longest_shared_runs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring dedup REMEDIATION: cut duplicated runs from the later doc
+# ---------------------------------------------------------------------------
+
+
+def _run_removals(docs: DataFrame, k: int, max_df: int) -> DataFrame:
+    """(doc_id, pos) token positions to CUT: for every verbatim shared run
+    found by the diagonal-island detector (see ``longest_shared_runs``),
+    the covered positions in the LATER document of the pair (greater
+    doc_id) — so the earliest occurrence of every duplicated run survives
+    and all later copies are marked.  A run of L islands on diagonal
+    ``diag`` starting at ``min(pa)`` covers positions
+    ``min(pa) - diag .. min(pa) - diag + L + k - 2`` of the later doc."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_gr = F.size(words) - F.lit(k - 1)
+    grams = F.when(
+        n_gr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_gr),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_word(F.col("g"), 1, 15).alias("s"),
+        )
+    )
+    fdf = sh.groupBy("s").agg(F.count("*").alias("d_"))
+    keep = sh.join(fdf.filter(F.col("d_") <= max_df), "s").select(
+        "doc_id", "pos", "s"
+    )
+    a = keep.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "s")
+    b = keep.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "s")
+    m = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    isl = F.col("pa") - F.row_number().over(
+        W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    spans = (
+        m.withColumn("isl", isl)
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(F.min("pa").alias("min_pa"), F.count("*").alias("cnt"))
+        .select(
+            F.col("id_b").alias("doc_id"),
+            (F.col("min_pa") - F.col("diag")).alias("start_b"),
+            (F.col("min_pa") - F.col("diag") + F.col("cnt") + F.lit(k - 2)).alias(
+                "end_b"
+            ),
+        )
+    )
+    return (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence("start_b", "end_b")).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def rewrite_duplicated_runs(
+    docs: DataFrame, k: int = _RUN_K, max_df: int = _RUN_MAX_DF
+) -> DataFrame:
+    """The CLEANED corpus — exact-substring dedup's remediation step
+    (Lee et al. 2022: cut duplicated spans from all but one occurrence).
+    Every verbatim token run of >= ``k`` tokens shared by two documents
+    (under the ``max_df`` boilerplate guard) is cut from the later doc by
+    span surgery on the token sequence; the earliest doc keeps its text
+    verbatim.  Output: (doc_id, text) over the whitespace-normalized
+    lowercased token stream — one row per input doc, empty string when
+    everything was duplicated.
+
+    Scale: the detector is the bounded diagonal-island join
+    (sum(df^2) with the df cap); the surgery itself is one
+    explode -> distinct -> left_anti -> groupBy over token positions —
+    all linear in corpus tokens, shuffled on doc_id."""
+    removals = _run_removals(docs, k, max_df)
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.posexplode(words).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = toks.join(removals, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+@query(
+    "q_dedup_rewrite",
+    oracle=rf"""
+        WITH seq AS (
+            SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS l
+                FROM documents
+            )
+        ),
+        toks AS (SELECT doc_id, i AS pos, l[i] AS tok FROM seq),
+        sh AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(
+                       array_to_string(l[i : i + {_RUN_K - 1}], ' ')
+                   ), 1, 15)) AS BIGINT) AS s
+            FROM seq WHERE i + {_RUN_K - 1} <= len(l)
+        ),
+        fdf AS (SELECT s, count(*) AS d FROM sh GROUP BY 1),
+        keep AS (
+            SELECT sh.doc_id, sh.pos, sh.s
+            FROM sh JOIN fdf USING (s) WHERE fdf.d <= {_RUN_MAX_DF}
+        ),
+        m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM keep a JOIN keep b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        ),
+        spans AS (
+            SELECT id_b AS doc_id,
+                   min(pa) - diag AS start_b,
+                   min(pa) - diag + count(*) + {_RUN_K - 2} AS end_b
+            FROM isl GROUP BY id_a, id_b, diag, grp
+        ),
+        removals AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id,
+                       unnest(generate_series(start_b, end_b)) AS pos
+                FROM spans
+            )
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t
+            LEFT JOIN removals r ON t.doc_id = r.doc_id AND t.pos = r.pos
+            WHERE r.pos IS NULL
+        ),
+        orig AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1
+        ),
+        keptagg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY 1
+        )
+        SELECT o.doc_id,
+               o.n_tokens,
+               CAST(o.n_tokens - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+               CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(('0x' || substr(md5(COALESCE(ka.kept_text, '')), 1, 15))
+                    AS BIGINT) AS kept_sig
+        FROM orig o LEFT JOIN keptagg ka USING (doc_id)
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "substring", "rewrite", "remediation"),
+)
+def q_dedup_rewrite(spark, sf_dir):
+    """Exact-substring dedup REMEDIATION census — the rewrite that
+    completes detect -> remediate for the substring family the way
+    keep-lists complete document-level dedup: every verbatim run of
+    >= {_RUN_K} tokens shared by two documents (df <= {_RUN_MAX_DF}
+    boilerplate guard) is cut from the LATER doc by token-span surgery,
+    and the census reports, per document, the original token count, how
+    many tokens were cut, how many survive, and a 60-bit md5 signature of
+    the rewritten token stream (the certificate hook:
+    tests/test_dedup_rewrite.py re-runs the detector on the rewritten
+    corpus and requires zero residue).
+
+    Scale: detector cost is the bounded diagonal-island join of
+    ``q_longest_shared_run``; the surgery adds linear explode/anti-join/
+    re-aggregate passes shuffled on doc_id — no new quadratic stage."""
+    docs = t(spark, sf_dir, "documents")
+    removals = _run_removals(docs, _RUN_K, _RUN_MAX_DF)
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.posexplode(words).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    orig = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tokens"))
+    kept = toks.join(removals, ["doc_id", "pos"], "left_anti")
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept_"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        orig.join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept_", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept_", F.lit(0)).cast("bigint").alias("n_kept"),
+            md5_word(F.coalesce("kept_text", F.lit("")), 1, 15).alias("kept_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_source_overlap_matrix",
     oracle=rf"""

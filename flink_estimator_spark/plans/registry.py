@@ -324,6 +324,8 @@ _SF001_SEC_PAIRS = [
     ("q_source_overlap_matrix", 1.43),
     # round-6 twelfth batch: entity-resolution capstone (warm sf0.01)
     ("q_entity_resolution", 2.5),
+    # round-7 first batch: exact-substring dedup remediation (warm sf0.01)
+    ("q_dedup_rewrite", 2.58),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
