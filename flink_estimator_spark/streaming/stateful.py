@@ -278,6 +278,158 @@ def sequence_matches_tws(
 
 
 # ---------------------------------------------------------------------------
+# Window top-N on transformWithStateInPandas — the SECOND typed-state
+# processor (VERDICT r6 item 4): the event-time-timer top-N whose semantics
+# ARE timer firings, ported to the production API that removes the measured
+# ~2.8 ms/group legacy dispatch ceiling (SCALE.md §7j).  MapState replaces
+# the legacy operator's three parallel arrays (per-user upsert instead of
+# rewriting the whole accumulator every batch — the state-store win that
+# matters when a window holds many users), and emission happens in
+# handleExpiredTimer, exactly the Flink window-fire lifecycle.  The
+# applyInPandasWithState gate (streaming/topn.py, q_stream_topn_runtime)
+# stays as the dependency-free shadow and semantic contract.
+# ---------------------------------------------------------------------------
+
+TOPN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("rk", T.IntegerType()),
+    ]
+)
+
+TOPN_USER_SCHEMA = T.StructType([T.StructField("user_id", T.LongType())])
+TOPN_ACC_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+TOPN_OPEN_SCHEMA = T.StructType([T.StructField("open", T.BooleanType())])
+
+
+class WindowTopNProcessor(StatefulProcessor):
+    """Top-``top_k`` users by windowed value sum per tumble window, emitted
+    ONCE per window from the event-time timer that fires when the
+    watermark passes the window's end — key is the window start, state is
+    a ``MapState`` (user -> (count, cents)) bounded by the window's active
+    users, freed at emission.  Values accumulate as exact integer cents
+    (decimal(18,2)-equivalent), so emissions are batch-split independent
+    and bit-match the batch shadow ``q_window_topn``'s DECIMAL sums after
+    the single output-only /100 double division."""
+
+    def __init__(self, window_s: int = 600, top_k: int = 3):
+        self._window_s = int(window_s)
+        self._top_k = int(top_k)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._totals = handle.getMapState(
+            "totals", TOPN_USER_SCHEMA, TOPN_ACC_SCHEMA
+        )
+        self._open = handle.getValueState("open", TOPN_OPEN_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        win_start = int(key[0])
+        if not self._open.exists():
+            # first row of this window: arm the ONE fire-at-close timer
+            self._handle.registerTimer((win_start + self._window_s) * 1000)
+            self._open.update((True,))
+        for pdf in rows:
+            # decimal(18,2)-equivalent exact cents (same rounding as the
+            # legacy operator and the batch oracle)
+            cents_col = (
+                pdf["value"].round(2).mul(100).round().to_numpy("int64")
+            )
+            users_col = pdf["user_id"].to_numpy("int64")
+            delta: dict[int, list[int]] = {}
+            for u, c in zip(users_col, cents_col):
+                acc = delta.setdefault(int(u), [0, 0])
+                acc[0] += 1
+                acc[1] += int(c)
+            # one MapState upsert per DISTINCT user in the batch — the
+            # typed-state advantage over rewriting 3 whole arrays
+            for u, (dn, dc) in delta.items():
+                cur = self._totals.getValue((u,))
+                n0, c0 = (int(cur[0]), int(cur[1])) if cur is not None else (0, 0)
+                self._totals.updateValue((u,), (n0 + dn, c0 + dc))
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        # watermark passed win_start + window_s: rank, emit once, free the
+        # window's entire state (map + open flag)
+        ranked = sorted(
+            (
+                (int(k[0]), int(v[0]), int(v[1]))
+                for k, v in self._totals.iterator()
+            ),
+            key=lambda t: (-t[2], t[0]),
+        )[: self._top_k]
+        self._totals.clear()
+        self._open.clear()
+        if ranked:
+            yield pd.DataFrame(
+                {
+                    "win_start": [int(key[0])] * len(ranked),
+                    "user_id": [u for u, _, _ in ranked],
+                    "n": [n for _, n, _ in ranked],
+                    "sum_value": [c / 100.0 for _, _, c in ranked],
+                    "rk": list(range(1, len(ranked) + 1)),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def window_topn_tws(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window_s: int = 600,
+    top_k: int = 3,
+) -> DataFrame:
+    """``streaming.topn.window_topn`` on the transformWithState API — same
+    output shape ``(win_start, user_id, n, sum_value, rk)`` and firing
+    semantics (one append per window at watermark close), with MapState
+    per-user upserts and a typed event-time timer instead of the legacy
+    timeout channel.  Requires protobuf (state-server protocol) and the
+    RocksDB state store, like :func:`running_totals`; the legacy gate
+    query ``q_stream_topn_runtime`` remains the dependency-free shadow."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); use streaming/topn.py window_topn "
+            "for the dependency-free variant"
+        ) from e
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    win_start = (F.floor(F.unix_timestamp("ts") / window_s) * window_s).cast(
+        "long"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("win_start", win_start)
+        .groupBy("win_start")
+        .transformWithStateInPandas(
+            statefulProcessor=WindowTopNProcessor(window_s, top_k),
+            outputStructType=TOPN_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # COUNT windows (Flink countWindow) — applyInPandasWithState, no extra deps
 # ---------------------------------------------------------------------------
 

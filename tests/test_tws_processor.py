@@ -56,6 +56,38 @@ class FakeListState:
         self._rows = []
 
 
+class FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def exists(self):
+        return bool(self._m)
+
+    def getValue(self, key):
+        return self._m.get(tuple(key))
+
+    def containsKey(self, key):
+        return tuple(key) in self._m
+
+    def updateValue(self, key, value):
+        self._m[tuple(key)] = tuple(value)
+
+    def iterator(self):
+        return iter(list(self._m.items()))
+
+    def keys(self):
+        return iter(list(self._m))
+
+    def values(self):
+        return iter(list(self._m.values()))
+
+    def removeKey(self, key):
+        self._m.pop(tuple(key), None)
+
+    def clear(self):
+        self._m = {}
+
+
 class FakeHandle:
     """Key-scoped stand-in for StatefulProcessorHandle: typed state vars by
     name plus the timer registry (registerTimer/deleteTimer semantics as
@@ -70,6 +102,9 @@ class FakeHandle:
 
     def getValueState(self, name, schema):
         return self._states.setdefault(name, FakeValueState())
+
+    def getMapState(self, name, key_schema, value_schema):
+        return self._states.setdefault(name, FakeMapState())
 
     def registerTimer(self, expiry_ms):
         self.timers.append(int(expiry_ms))
@@ -197,3 +232,125 @@ def test_expired_timer_is_noop_after_match():
     meta_before = h.getValueState("meta", None).get()
     assert list(proc.handleExpiredTimer((3,), None, None)) == []
     assert h.getValueState("meta", None).get() == meta_before
+
+
+# ---------------------------------------------------------------------------
+# WindowTopNProcessor (transformWithStateInPandas port of the event-time-
+# timer window top-N) — same faked-typed-state differential harness; the
+# batch contract is the gated q_window_topn (600 s tumbles, top-3 by exact
+# DECIMAL sum, ties broken by user_id).
+# ---------------------------------------------------------------------------
+
+from flink_estimator_spark.streaming.stateful import WindowTopNProcessor
+
+WIN_S = 600
+
+
+def _drive_topn(events_pdf, batches=1, window_s=WIN_S, top_k=3):
+    """One processor per window key: feed event-time-ordered chunks, then
+    fire the timer (watermark passes every window at end of a bounded
+    stream); returns emitted tuples + the handles for state inspection."""
+    out_rows = []
+    handles = {}
+    ep = events_pdf.copy()
+    ep["win_start"] = (ep["ts"].astype("int64") // 1_000_000_000) // window_s * window_s
+    for ws, grp in ep.groupby("win_start"):
+        proc = WindowTopNProcessor(window_s=window_s, top_k=top_k)
+        h = FakeHandle()
+        handles[ws] = h
+        proc.init(h)
+        grp = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(grp)
+        for b in range(batches):
+            chunk = grp.iloc[b * n // batches : (b + 1) * n // batches]
+            if chunk.empty:
+                continue
+            assert list(proc.handleInputRows((int(ws),), iter([chunk]), None)) == []
+        for pdf in proc.handleExpiredTimer((int(ws),), None, None):
+            out_rows.extend(map(tuple, pdf.itertuples(index=False)))
+    return out_rows, handles
+
+
+def _topn_fixture_events(spark):
+    from flink_estimator_spark.sources.tables import read_table
+
+    return (
+        read_table(spark, os.path.join(SF_SMALL, "events.parquet"))
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+
+
+def _topn_batch_expected(spark):
+    from flink_estimator_spark.plans import QUERIES
+
+    return sorted(
+        tuple(r)
+        for r in QUERIES["q_window_topn"].builder(spark, SF_SMALL).collect()
+    )
+
+
+def test_topn_processor_matches_batch_single_batch(spark):
+    ev = _topn_fixture_events(spark)
+    got, _ = _drive_topn(ev, batches=1)
+    assert sorted(got) == _topn_batch_expected(spark)
+    assert got, "fixture produced no windows — vacuous differential"
+
+
+def test_topn_processor_matches_batch_split_batches(spark):
+    """MapState accumulation must be batch-split invariant: 3 chunks per
+    window produce identical emissions."""
+    ev = _topn_fixture_events(spark)
+    got, _ = _drive_topn(ev, batches=3)
+    assert sorted(got) == _topn_batch_expected(spark)
+
+
+def test_topn_timer_armed_once_and_state_freed_on_fire():
+    proc = WindowTopNProcessor(window_s=600, top_k=3)
+    h = FakeHandle()
+    proc.init(h)
+    pdf1 = pd.DataFrame(
+        {"user_id": [1, 2], "event_id": [0, 1],
+         "ts": pd.to_datetime([1200, 1300], unit="s"), "value": [1.0, 2.0]}
+    )
+    pdf2 = pd.DataFrame(
+        {"user_id": [1], "event_id": [2],
+         "ts": pd.to_datetime([1400], unit="s"), "value": [0.5]}
+    )
+    assert list(proc.handleInputRows((1200,), iter([pdf1]), None)) == []
+    assert h.timers == [(1200 + 600) * 1000]
+    # second batch must NOT re-arm (the open flag gates registration)
+    assert list(proc.handleInputRows((1200,), iter([pdf2]), None)) == []
+    assert h.timers == [(1200 + 600) * 1000]
+    emitted = [
+        t
+        for df in proc.handleExpiredTimer((1200,), None, None)
+        for t in map(tuple, df.itertuples(index=False))
+    ]
+    # user 2: 200 cents; user 1: 150 cents over two batches
+    assert emitted == [
+        (1200, 2, 1, 2.0, 1),
+        (1200, 1, 2, 1.5, 2),
+    ]
+    # all window state freed at emission
+    assert not h.getMapState("totals", None, None).exists()
+    assert not h.getValueState("open", None).exists()
+
+
+def test_topn_tie_break_and_truncation():
+    """Equal cents rank by ascending user_id; only top_k rows emit."""
+    proc = WindowTopNProcessor(window_s=600, top_k=2)
+    h = FakeHandle()
+    proc.init(h)
+    pdf = pd.DataFrame(
+        {"user_id": [5, 3, 9], "event_id": [0, 1, 2],
+         "ts": pd.to_datetime([0, 1, 2], unit="s"),
+         "value": [1.0, 1.0, 0.25]}
+    )
+    list(proc.handleInputRows((0,), iter([pdf]), None))
+    emitted = [
+        t
+        for df in proc.handleExpiredTimer((0,), None, None)
+        for t in map(tuple, df.itertuples(index=False))
+    ]
+    assert emitted == [(0, 3, 1, 1.0, 1), (0, 5, 1, 1.0, 2)]
