@@ -326,6 +326,9 @@ _SF001_SEC_PAIRS = [
     ("q_entity_resolution", 2.5),
     # round-7 first batch: exact-substring dedup remediation (warm sf0.01)
     ("q_dedup_rewrite", 2.58),
+    # round-7 second batch: exactly-once rollup maintenance sink runtime
+    # gate (warm sf0.01)
+    ("q_stream_rollup_runtime", 4.02),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Fifteen distinct runtime paths get gate rows (the six below from round 5,
+Sixteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
@@ -18,9 +18,10 @@ plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_anomaly_runtime``, step-integral TWA
 ``q_stream_twa_runtime``, event-time-timer window top-N
 ``q_stream_topn_runtime``, mergeable CMS grid
-``q_stream_cms_runtime``, and chained multi-stateful windowed
-aggregation ``q_stream_chained_agg_runtime`` — each docstring states its
-state machine):
+``q_stream_cms_runtime``, chained multi-stateful windowed
+aggregation ``q_stream_chained_agg_runtime``, and round 7's
+exactly-once maintenance sink ``q_stream_rollup_runtime`` — each
+docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1166,3 +1167,81 @@ def q_stream_chained_agg_runtime(spark, sf_dir):
         .filter(F.col("hour_start") <= F.lit(cutoff))
         .orderBy("hour_start", "event_type")
     )
+
+
+@query(
+    "q_stream_rollup_runtime",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS sum_cents,
+               CAST(min(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS min_cents,
+               CAST(max(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS max_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+    tags=("streaming", "runtime", "sink", "exactly-once", "incremental"),
+)
+def q_stream_rollup_runtime(spark, sf_dir):
+    """The EXACTLY-ONCE MAINTENANCE SINK, driver-gated (16th runtime
+    path): ``rollup_maintenance_sink`` run as a real streaming query —
+    the events fixture staged as THREE files, delivered as three
+    micro-batches (maxFilesPerTrigger=1), each monoid-merged into the
+    versioned parquet state table through the version-pointer commit
+    protocol (read pointer -> merge -> write state_v<N> -> repoint).
+    The returned DataFrame is the final state read through the pointer,
+    so the oracle's from-scratch rollup of the whole table value-checks
+    the entire chain: multi-batch delivery, per-batch partials, the
+    pointer's replay guard, and the merge algebra (any lost or
+    double-counted batch shifts n/sum and goes red).  Unlike the other
+    15 gates this exercises the SINK side of the runtime — foreachBatch
+    state maintenance — rather than an in-query state store; replay and
+    restart idempotence are pinned by tests/test_streaming.py.
+
+    DECIMAL sums ride to the gate as exact integer cents (scale-2 x 100
+    is integral), day as an ISO string — no raw decimals or dates in the
+    output.  State size is days x event_types, independent of input
+    rows; the 3-way split is round-robin because the monoid merge is
+    order- and split-independent by contract."""
+    from ..streaming.sinks import rollup_maintenance_sink
+    from ..streaming.sources import events_stream
+
+    ckpt = _checkpoint_dir()
+    stage_dir = ckpt + "_src"
+    state_path = ckpt + "_state"
+    try:
+        # stage as 3 files -> 3 micro-batches -> 3 pointer versions
+        t(spark, sf_dir, "events").repartition(3).write.parquet(stage_dir)
+        sink, current_state, _upsert = rollup_maintenance_sink(
+            events_stream(spark, stage_dir), state_path, ckpt
+        )
+        q = sink.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        state_df, version = current_state(spark)
+        assert version >= 2, (
+            f"3 staged files must commit 3 pointer versions, got {version}"
+        )
+        out = state_df.select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("sum_v") * 100).cast("bigint").alias("sum_cents"),
+            (F.col("min_v") * 100).cast("bigint").alias("min_cents"),
+            (F.col("max_v") * 100).cast("bigint").alias("max_cents"),
+        )
+        rows = out.collect()
+        return (
+            spark.createDataFrame(rows, schema=out.schema)
+            .orderBy("day", "event_type")
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(state_path, ignore_errors=True)
