@@ -453,3 +453,171 @@ def q_forget_cascade(spark, sf_dir):
         .unionByName(stats("lineitem", li, li_gone))
     )
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL normalization — the crawl-provenance screen (VERDICT r6
+# stretch item): the same page crawled as https://WWW.Host.com:443/p/?id=1#x
+# and http://host.com/p?utm_source=f&id=1 must collapse to ONE canonical
+# URL before per-domain dedup rates mean anything.  Pure column
+# expressions (regex extract/replace + higher-order array ops) — JVM-side
+# codegen, no UDF; at 100 TB a map-only pass plus one per-source hash agg.
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by canonicalization (RE2-safe, engine-portable)
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of a URL, as a composition of engine-portable steps:
+
+    1. strip the fragment (``#...``);
+    2. lowercase the scheme and authority; drop a leading ``www.`` and an
+       explicit default port (``:80``/``:443``);
+    3. strip trailing slashes from the path;
+    4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``), sort the survivors, and rejoin — param ORDER never
+       distinguishes two URLs.
+
+    Every step is a regex/array primitive with an exact DuckDB equivalent
+    (regexp_extract / regexp_replace / string_split + list_filter +
+    list_sort), so the oracle replays the normalization bit-for-bit."""
+    u = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([^:]+)://", 1))
+    auth = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(u, r"^[^:]+://([^/?]+)", 1)),
+            r"^www\.", ""),
+        r":(80|443)$", "")
+    rest = F.regexp_extract(u, r"^[^:]+://[^/?]+(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), "/+$", "")
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    cq = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), auth, path,
+        F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q_url_dedup_rate",
+    oracle=r"""
+        WITH urls AS (
+            SELECT doc_id, source,
+                   doc_id // 80 AS g,
+                   (doc_id // 20) % 4 AS v
+            FROM documents
+        ),
+        raw AS (
+            SELECT doc_id, source,
+                   CASE v
+                     WHEN 0 THEN 'https://www.' || source ||
+                                 '.Example.COM/page/' || g ||
+                                 '?utm_source=a&id=' || g
+                     WHEN 1 THEN 'https://' || source ||
+                                 '.example.com/page/' || g ||
+                                 '?id=' || g || '&utm_campaign=x'
+                     WHEN 2 THEN 'HTTPS://' || source ||
+                                 '.example.com:443/page/' || g ||
+                                 '?id=' || g
+                     ELSE 'https://' || source || '.example.com/page/' ||
+                          g || '/?id=' || g || '#frag'
+                   END AS url
+            FROM urls
+        ),
+        canon AS (
+            SELECT doc_id, source, url,
+                   lower(regexp_extract(nofrag, '^([^:]+)://', 1)) || '://'
+                   || regexp_replace(regexp_replace(
+                          lower(regexp_extract(nofrag, '^[^:]+://([^/?]+)', 1)),
+                          '^www\.', ''), ':(80|443)$', '')
+                   || regexp_replace(
+                          regexp_extract(regexp_extract(
+                              nofrag, '^[^:]+://[^/?]+(.*)$', 1),
+                              '^([^?]*)', 1), '/+$', '')
+                   || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+                       AS canonical
+            FROM (
+                SELECT doc_id, source, url, nofrag,
+                       array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(
+                               regexp_extract(nofrag,
+                                   '^[^:]+://[^/?]+(.*)$', 1),
+                               '\?(.*)$', 1), '&'),
+                           p -> p <> '' AND NOT regexp_matches(
+                               p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                           '&') AS cq
+                FROM (SELECT doc_id, source, url,
+                             regexp_replace(url, '#.*$', '') AS nofrag
+                      FROM raw)
+            )
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+               CAST((count(*) - count(DISTINCT canonical)) * 1000000
+                    // count(*) AS BIGINT) AS dup_ppm
+        FROM canon
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "cleaning", "url", "provenance", "dedup"),
+)
+def q_url_dedup_rate(spark, sf_dir):
+    """Per-source canonical-URL dedup rate — the crawl-provenance signal
+    the source-forensics family (q_source_overlap_matrix, keep-lists)
+    still lacked: how much of a source's URL list is the SAME page under
+    cosmetic re-spellings.  The fixture carries no URL column, so the
+    query derives a deterministic URL per document from its own columns
+    (the PII-redaction precedent): four spelling variants per page group
+    — www + uppercase host + tracking params / param-order + tracking /
+    explicit :443 + uppercase scheme / trailing slash + fragment — that
+    must all collapse under :func:`canonicalize_url`.  The oracle replays
+    both the derivation and every normalization step, so a wrong regex,
+    a missed tracking param, or an unsorted param list goes red.
+
+    Scale: map-only canonicalization (whole-stage codegen, no UDF), one
+    hash aggregate keyed by source — distinct-count state is bounded by
+    pages per source, never raw rows."""
+    docs = t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 80")
+    v = F.expr("(doc_id DIV 20) % 4")
+    gs = g.cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".Example.COM/page/"), gs,
+            F.lit("?utm_source=a&id="), gs))
+        .when(v == 1, F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/page/"), gs,
+            F.lit("?id="), gs, F.lit("&utm_campaign=x")))
+        .when(v == 2, F.concat(
+            F.lit("HTTPS://"), F.col("source"),
+            F.lit(".example.com:443/page/"), gs,
+            F.lit("?id="), gs))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/page/"), gs,
+            F.lit("/?id="), gs, F.lit("#frag")))
+    )
+    canon = docs.select(
+        "source", canonicalize_url(url).alias("canonical")
+    )
+    n = F.count("*")
+    c = F.countDistinct("canonical")
+    return (
+        canon.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_urls"),
+            c.cast("bigint").alias("n_canonical"),
+            F.floor((n - c) * 1_000_000 / n).cast("bigint").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -329,6 +329,8 @@ _SF001_SEC_PAIRS = [
     # round-7 second batch: exactly-once rollup maintenance sink runtime
     # gate (warm sf0.01)
     ("q_stream_rollup_runtime", 4.02),
+    # round-7 third batch: canonical-URL provenance screen (warm sf0.01)
+    ("q_url_dedup_rate", 1.48),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
