@@ -331,6 +331,10 @@ _SF001_SEC_PAIRS = [
     ("q_stream_rollup_runtime", 4.02),
     # round-7 third batch: canonical-URL provenance screen (warm sf0.01)
     ("q_url_dedup_rate", 1.48),
+    # round-7 fourth batch: TTL-evicting dedup + multi-source union
+    # runtime gates (warm sf0.01)
+    ("q_stream_dedup_ttl_runtime", 3.29),
+    ("q_stream_union_runtime", 2.78),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

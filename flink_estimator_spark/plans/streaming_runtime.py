@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Sixteen distinct runtime paths get gate rows (the six below from round 5,
+Eighteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
@@ -20,8 +20,9 @@ plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_topn_runtime``, mergeable CMS grid
 ``q_stream_cms_runtime``, chained multi-stateful windowed
 aggregation ``q_stream_chained_agg_runtime``, and round 7's
-exactly-once maintenance sink ``q_stream_rollup_runtime`` — each
-docstring states its state machine):
+exactly-once maintenance sink ``q_stream_rollup_runtime``, TTL-evicting
+dedup ``q_stream_dedup_ttl_runtime``, and multi-source union
+``q_stream_union_runtime`` — each docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1245,3 +1246,121 @@ def q_stream_rollup_runtime(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(state_path, ignore_errors=True)
+
+
+@query(
+    "q_stream_dedup_ttl_runtime",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY user_id, event_type, day
+    """,
+    tags=("streaming", "runtime", "dedup", "ttl", "stateful"),
+)
+def q_stream_dedup_ttl_runtime(spark, sf_dir):
+    """The TTL-EVICTING dedup state store, driver-gated (17th runtime
+    path): ``dropDuplicatesWithinWatermark`` — the bounded-state dedup
+    every 100 TB/day pipeline must use instead of plain ``dropDuplicates``
+    (whose state never evicts; the existing ``q_stream_dedup_runtime``
+    gates that unbounded-store operator) — run as a real streaming query
+    on key (user_id, event_type, day).  A DIFFERENT physical operator and
+    state machine: every key's state row carries an expiry tied to the
+    watermark horizon and is dropped once the watermark passes it.  Which
+    physical ROW wins per key inside a batch is nondeterministic, so the
+    query projects the KEY COLUMNS ONLY; the emitted union is then the
+    distinct key set and the DuckDB oracle is a plain GROUP BY.  The
+    4-day watermark exceeds the fixture's span, so over the bounded
+    stream no key is ever emitted twice — first-emission-only semantics
+    the oracle can state exactly."""
+    from ..streaming.dedup import dedup_within_watermark
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: dedup_within_watermark(
+            make().withColumn(
+                "day",
+                F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"),
+            ),
+            keys=["user_id", "event_type", "day"],
+            watermark="96 hours",
+        ).select("user_id", "event_type", "day"),
+        output_mode="append",
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("user_id", "event_type", "day")
+    )
+
+
+@query(
+    "q_stream_union_runtime",
+    oracle="""
+        SELECT win_start, event_type, n, sum_weighted_cents
+        FROM (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                       AS win_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            * CASE WHEN event_type = 'purchase'
+                                   THEN 3 ELSE 1 END) AS BIGINT)
+                       AS sum_weighted_cents
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1, 2
+        )
+        ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "runtime", "union", "multi-source"),
+)
+def q_stream_union_runtime(spark, sf_dir):
+    """MULTI-SOURCE streaming DAG, driver-gated (18th runtime path): two
+    INDEPENDENT file-stream sources (each with its own offset log under
+    the shared checkpoint) — one filtered to views at weight 1, one to
+    purchases at weight 3 — unioned into a single watermarked tumble
+    aggregate.  No other gate runs more than one source; this one
+    exercises the multi-source micro-batch planner (per-source offset
+    tracking, global watermark = min across sources) plus a streaming
+    union feeding one aggregation state store.  Complete mode: the final
+    batch carries the full aggregate, which over the bounded stream
+    equals the batch weighted rollup — integer-cents exact."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+
+    def build(make):
+        views = make().filter(F.col("event_type") == "view").withColumn(
+            "wcents", cents
+        )
+        purchases = make().filter(
+            F.col("event_type") == "purchase"
+        ).withColumn("wcents", cents * 3)
+        both = views.unionByName(purchases)
+        return (
+            both.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("wcents").cast("bigint").alias("sum_weighted_cents"),
+            )
+            .select(
+                F.col("w").start.cast("long").alias("win_start"),
+                "event_type",
+                "n",
+                "sum_weighted_cents",
+            )
+        )
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="complete"
+    )
+    rows = max(batches)[1] if batches else []
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("win_start", "event_type")
+    )
