@@ -621,3 +621,119 @@ def q_url_dedup_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity screen (Sweeney 2002) — the structured-release privacy gate
+# that complements the free-text PII scrub: before any per-document
+# metadata table ships (doc attributes, provenance joins), every
+# quasi-identifier combination must cover at least k records, or those
+# rows are suppressed / the QI set generalized.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def kanonymity_census(
+    df: DataFrame, qi_levels: list[tuple[str, list[Column]]], k: int = _K_ANON
+) -> DataFrame:
+    """Suppression census across a GENERALIZATION LADDER: for each level
+    (a name plus its quasi-identifier grouping columns), count the QI
+    equivalence classes, the classes under ``k``, and the rows those
+    small classes would suppress — the standard k-anonymity trade-off
+    curve (more generalization -> fewer suppressed rows -> less utility).
+
+    Scale: one hash aggregate per level over the QI key (partial
+    map-side combine), then a metadata-sized census agg — never a
+    self-join, state bounded by |QI classes|."""
+    outs = []
+    for lvl_no, (name, cols) in enumerate(qi_levels):
+        g = df.groupBy(*cols).agg(F.count("*").alias("c"))
+        outs.append(
+            g.agg(
+                F.lit(lvl_no).cast("bigint").alias("level"),
+                F.lit(name).alias("qi"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("c") < k, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_small_groups"),
+                F.sum(F.when(F.col("c") < k, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_suppressed"),
+                F.sum(F.when(F.col("c") >= k, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_released"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "q_kanonymity",
+    oracle=f"""
+        WITH base AS (
+            SELECT lang, source, n_chars // 200 AS len_b
+            FROM documents
+        ),
+        g0 AS (SELECT lang, source, len_b, count(*) AS c
+               FROM base GROUP BY 1, 2, 3),
+        g1 AS (SELECT lang, len_b, count(*) AS c FROM base GROUP BY 1, 2),
+        g2 AS (SELECT lang, count(*) AS c FROM base GROUP BY 1)
+        SELECT CAST(level AS BIGINT) AS level, qi,
+               CAST(n_groups AS BIGINT) AS n_groups,
+               CAST(n_small_groups AS BIGINT) AS n_small_groups,
+               CAST(rows_suppressed AS BIGINT) AS rows_suppressed,
+               CAST(rows_released AS BIGINT) AS rows_released
+        FROM (
+            SELECT 0 AS level, 'lang,source,len_b' AS qi,
+                   count(*) AS n_groups,
+                   sum(CASE WHEN c < {_K_ANON} THEN 1 ELSE 0 END)
+                       AS n_small_groups,
+                   sum(CASE WHEN c < {_K_ANON} THEN c ELSE 0 END)
+                       AS rows_suppressed,
+                   sum(CASE WHEN c >= {_K_ANON} THEN c ELSE 0 END)
+                       AS rows_released
+            FROM g0
+            UNION ALL
+            SELECT 1, 'lang,len_b', count(*),
+                   sum(CASE WHEN c < {_K_ANON} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN c < {_K_ANON} THEN c ELSE 0 END),
+                   sum(CASE WHEN c >= {_K_ANON} THEN c ELSE 0 END)
+            FROM g1
+            UNION ALL
+            SELECT 2, 'lang', count(*),
+                   sum(CASE WHEN c < {_K_ANON} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN c < {_K_ANON} THEN c ELSE 0 END),
+                   sum(CASE WHEN c >= {_K_ANON} THEN c ELSE 0 END)
+            FROM g2)
+        ORDER BY level
+    """,
+    tags=("llm", "cleaning", "privacy", "k-anonymity"),
+)
+def q_kanonymity(spark, sf_dir):
+    """k-anonymity suppression census over the documents metadata table's
+    generalization ladder — (lang, source, 200-char length bucket) ->
+    (lang, length bucket) -> (lang) — with k={_K_ANON}: how many QI
+    equivalence classes exist per level, how many fall under k, and the
+    row counts a suppress-small-classes release would drop vs ship.  The
+    per-level trade-off curve is the decision input for choosing the
+    release schema; the free-text complement is q_pii_redaction.
+
+    Scale: three hash aggregates over progressively coarser keys (each a
+    map-side-combined groupBy) + metadata-sized census rows — no joins,
+    no windows."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "source", F.expr("n_chars DIV 200").alias("len_b")
+    )
+    return kanonymity_census(
+        base,
+        [
+            ("lang,source,len_b", [F.col("lang"), F.col("source"), F.col("len_b")]),
+            ("lang,len_b", [F.col("lang"), F.col("len_b")]),
+            ("lang", [F.col("lang")]),
+        ],
+    ).orderBy("level")

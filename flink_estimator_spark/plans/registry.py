@@ -335,6 +335,9 @@ _SF001_SEC_PAIRS = [
     # runtime gates (warm sf0.01)
     ("q_stream_dedup_ttl_runtime", 3.29),
     ("q_stream_union_runtime", 2.78),
+    # round-7 fifth batch: k-anonymity generalization-ladder census
+    # (warm sf0.01)
+    ("q_kanonymity", 0.93),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

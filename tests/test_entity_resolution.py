@@ -104,3 +104,26 @@ def test_er_census_is_consistent(spark):
     for label, names in members.items():
         assert label == min(names)
         assert census[label] == len(names)
+
+
+def test_jump_cc_raises_on_unconverged(spark):
+    """Fail-loud contract: a round budget too small for the graph's
+    diameter must RAISE, never return partially-converged labels (a
+    40-node chain needs ~log2(40) pointer-doubling rounds; 1 is not
+    enough)."""
+    import pytest
+
+    from flink_estimator_spark.operators.dedup import connected_components_jump
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(39)],
+        "id_a string, id_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_jump(edges, max_rounds=1).collect()
+    # and the default budget converges on the same graph
+    labels = {
+        (r["doc_id"], r["cluster"])
+        for r in connected_components_jump(edges).collect()
+    }
+    assert labels == {(f"n{i:03d}", "n000") for i in range(40)}
