@@ -338,6 +338,9 @@ _SF001_SEC_PAIRS = [
     # round-7 fifth batch: k-anonymity generalization-ladder census
     # (warm sf0.01)
     ("q_kanonymity", 0.93),
+    # round-7 sixth batch: the Spark-4 typed-state API runtime gate
+    # (transformWithStateInPandas for real; warm sf0.01)
+    ("q_stream_tws_topn_runtime", 6.33),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

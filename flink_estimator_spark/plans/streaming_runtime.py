@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Eighteen distinct runtime paths get gate rows (the six below from round 5,
+Nineteen distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
@@ -21,8 +21,11 @@ plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_cms_runtime``, chained multi-stateful windowed
 aggregation ``q_stream_chained_agg_runtime``, and round 7's
 exactly-once maintenance sink ``q_stream_rollup_runtime``, TTL-evicting
-dedup ``q_stream_dedup_ttl_runtime``, and multi-source union
-``q_stream_union_runtime`` — each docstring states its state machine):
+dedup ``q_stream_dedup_ttl_runtime``, multi-source union
+``q_stream_union_runtime``, and the Spark-4 TYPED-STATE API
+``q_stream_tws_topn_runtime`` (``transformWithStateInPandas`` executing
+for real — MapState + event-time timers on RocksDB) — each docstring
+states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1363,4 +1366,91 @@ def q_stream_union_runtime(spark, sf_dir):
     return (
         spark.createDataFrame(rows, schema=schema)
         .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "q_stream_tws_topn_runtime",
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       AS win_start,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events
+            WHERE user_id < 40
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT win_start, user_id, n, sv,
+                   row_number() OVER (PARTITION BY win_start
+                                      ORDER BY sv DESC, user_id) AS rk
+            FROM agg)
+        SELECT win_start, user_id, n,
+               CAST(sv AS DOUBLE) AS sum_value,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked
+        WHERE rk <= 3
+          AND win_start + 23460 <=
+              (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        ORDER BY win_start, rk
+    """,
+    tags=("streaming", "runtime", "topn", "typed-state", "timer", "tws"),
+)
+def q_stream_tws_topn_runtime(spark, sf_dir):
+    """The TYPED-STATE API (``transformWithStateInPandas``), driver-gated
+    — the 19th runtime path and the first gate running Spark 4's
+    production stateful API for real: ``window_topn_tws`` holds a
+    MapState (user -> (count, cents)) per window key on the RocksDB state
+    store and emits the ranked top-3 from ``handleExpiredTimer`` when the
+    event-time timer armed at window close fires — the same semantics as
+    the legacy-API gate ``q_stream_topn_runtime`` (same ranking oracle,
+    1-hour windows and decided-region cutoff), so the pair
+    differentially pins legacy vs typed-state runtime behavior inside
+    the driver's own evidence.  The state-server protocol needs
+    ``google.protobuf``; ``ensure_typed_state_runtime`` locates the
+    pure-Python runtime shipped inside the locally installed Cloud SDK
+    and wires it to the driver python, the TWS driver worker
+    (sc.environment PYTHONPATH), and the task workers (addPyFile zip) —
+    no installation, runtime mechanisms only, fail-loud if absent.
+
+    Cost control (the session gate's user-subset pattern): the gate
+    restricts to user_id < 40, because this operator's dominant cost is
+    state-server ROUND TRIPS over the pure-Python protobuf runtime — one
+    MapState upsert per distinct (window, user) — so the restriction
+    caps RPC count (~2.7k upserts + ~700 timer-fire map reads, constant
+    in SF) while still driving every mechanism: MapState, the per-window
+    event-time timer, ranked timer-fire emission, full decided-region
+    coverage.  The empty-map fast path in the processor (skip the read
+    RPC on a window's first batch) is the matching production-side
+    optimization."""
+    from ..streaming.stateful import window_topn_tws
+
+    win_s = 21600
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: window_topn_tws(
+            make().filter(F.col("user_id") < 40),
+            watermark="30 minutes",
+            window_s=win_s,
+            top_k=3,
+        ),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - 1800 - 60 - win_s
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("win_start") <= F.lit(cutoff))
+        .select(
+            "win_start",
+            "user_id",
+            "n",
+            "sum_value",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("win_start", "rk")
     )

@@ -11,10 +11,15 @@ so the state store footprint is keys x O(1) — matching the reference's
 sizing formula.
 
 Runtime dependency: the transformWithState state-server protocol speaks
-protobuf (``google.protobuf``), which this container does not ship — the
-test gates on its availability and the operator raises a clear error
-without it.  ``cep.py`` (applyInPandasWithState) is the stateful path with
-no extra dependency.
+protobuf (``google.protobuf``), which this container's interpreter does
+not ship — but a pure-Python protobuf runtime exists inside the locally
+installed Cloud SDK, and :func:`ensure_typed_state_runtime` wires it to
+the driver, the TWS driver worker, and the task workers at runtime (no
+installation), so the typed-state operators EXECUTE for real here (gated
+end-to-end by ``q_stream_tws_topn_runtime`` and the full-stream tests).
+Where no runtime can be located the operators raise a clear error;
+``cep.py`` (applyInPandasWithState) is the stateful path with no extra
+dependency.
 """
 
 from __future__ import annotations
@@ -29,6 +34,123 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+# ---------------------------------------------------------------------------
+# Typed-state runtime enablement.  The transformWithState state-server
+# protocol needs ``google.protobuf`` in BOTH the driver python (the plan-
+# time guard below) and every python WORKER (the state client).  This
+# container has no protobuf on sys.path, but a pure-Python protobuf
+# runtime ships inside the locally installed Cloud SDK — wiring it in uses
+# only runtime mechanisms (sys.path for the driver; ``addPyFile`` of a
+# zipped copy + ``sc.environment`` for workers, both captured per-UDF, so
+# it works on a foreign, already-started session like the driver gate's).
+# The located runtime (6.32) is one minor version older than Spark's
+# gencode (6.33); protobuf's own documented escape hatch
+# (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) bridges the gap, and the
+# full-stream differential tests value-check the protocol end-to-end —
+# the guarantee that actually matters for this use.
+# ---------------------------------------------------------------------------
+
+_PB_SEARCH_ROOTS = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+_PB_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+
+def _local_protobuf_root() -> "str | None":
+    import os
+
+    for root in _PB_SEARCH_ROOTS:
+        if os.path.isfile(
+            os.path.join(root, "google", "protobuf", "descriptor.py")
+        ):
+            return root
+    return None
+
+
+def _protobuf_zip(root: str) -> str:
+    """Zip the pure-Python ``google/protobuf`` tree (once, cached under the
+    gitignored spark-warehouse) for ``addPyFile`` shipping to workers."""
+    import os
+    import zipfile
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out_dir = os.path.join(repo_root, "spark-warehouse", "_pyfiles")
+    os.makedirs(out_dir, exist_ok=True)
+    zpath = os.path.join(out_dir, "google_protobuf.zip")
+    if os.path.isfile(zpath):
+        return zpath
+    src = os.path.join(root, "google", "protobuf")
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        # explicit package marker: zipimport + implicit namespace pkgs is
+        # version-dependent, a one-line __init__ is not
+        zf.writestr(
+            "google/__init__.py",
+            "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n",
+        )
+        for dirpath, dirnames, filenames in os.walk(src):
+            dirnames[:] = [
+                d for d in dirnames if d not in ("__pycache__", "blaze-out")
+            ]
+            for f in filenames:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, f)
+                arc = os.path.join(
+                    "google/protobuf", os.path.relpath(full, src)
+                )
+                zf.write(full, arc)
+    os.replace(tmp, zpath)
+    return zpath
+
+
+def ensure_typed_state_runtime(spark) -> bool:
+    """Make ``transformWithStateInPandas`` runnable in this session, or
+    report that it can't be.  Returns True when ``google.protobuf`` is
+    importable by the driver AND wired up for python workers; False when
+    no runtime can be located (callers skip or raise).  Idempotent and
+    safe on a foreign session: worker wiring rides on ``sc.environment``
+    and ``addPyFile``, which are captured at UDF-creation time."""
+    import os
+    import sys
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True  # real install: workers share the interpreter's path
+    except ImportError:
+        pass
+    root = _local_protobuf_root()
+    if root is None:
+        return False
+    os.environ[_PB_FLAG] = "true"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    sc = spark.sparkContext
+    sc.environment[_PB_FLAG] = "true"
+    # the TWS "driver worker" (transform_with_state_driver_worker.py) is a
+    # separate python process whose env comes from the UDF's envVars — it
+    # does not apply addPyFile includes, so hand it the path directly
+    extra = sc.environment.get("PYTHONPATH", "")
+    if root not in extra.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            root + (os.pathsep + extra if extra else "")
+        )
+    zpath = _protobuf_zip(root)
+    already = any(
+        os.path.basename(inc) == os.path.basename(zpath)
+        for inc in sc._python_includes
+    )
+    if not already:
+        sc.addPyFile(zpath)
+    return True
+
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -81,14 +203,12 @@ def running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     provider the reference's state-size model assumes for large key spaces);
     the HDFS-backed default store does not implement the new API.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    if not ensure_typed_state_runtime(events.sparkSession):
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package "
-            "(state-server protocol); install protobuf or use the "
+            "(state-server protocol) and none could be located; use the "
             "applyInPandasWithState operators in streaming/cep.py"
-        ) from e
+        )
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -207,8 +327,11 @@ class SequenceMatchProcessor(StatefulProcessor):
                                 self._expiry_ms(anchors[0])
                             )
                         break
-        if done:
-            self._anchors.clear()  # tombstone: O(1) state from here on
+        if done or not anchors:
+            # tombstone / no-op: O(1) state — also the real state store
+            # REJECTS put([]) (ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE),
+            # so an empty chain must clear, not write
+            self._anchors.clear()
         else:
             self._anchors.put([(a,) for a in anchors])
         self._meta.update((err_us, done))
@@ -247,14 +370,13 @@ def sequence_matches_tws(
     protobuf (state-server protocol) and the RocksDB state store, like
     :func:`running_totals`; the applyInPandasWithState variant remains the
     dependency-free path and its tests are the semantic contract."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    if not ensure_typed_state_runtime(events.sparkSession):
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package "
-            "(state-server protocol); use streaming/cep.py "
-            "sequence_matches for the dependency-free variant"
-        ) from e
+            "(state-server protocol) and none could be located; use "
+            "streaming/cep.py sequence_matches for the dependency-free "
+            "variant"
+        )
     k = len(steps)
     out_fields = [T.StructField("user_id", T.LongType())]
     out_fields += [T.StructField(f"t{i}_us", T.LongType()) for i in range(k)]
@@ -335,8 +457,9 @@ class WindowTopNProcessor(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
         win_start = int(key[0])
-        if not self._open.exists():
-            # first row of this window: arm the ONE fire-at-close timer
+        fresh = not self._open.exists()
+        if fresh:
+            # first batch of this window: arm the ONE fire-at-close timer
             self._handle.registerTimer((win_start + self._window_s) * 1000)
             self._open.update((True,))
         for pdf in rows:
@@ -352,11 +475,15 @@ class WindowTopNProcessor(StatefulProcessor):
                 acc[0] += 1
                 acc[1] += int(c)
             # one MapState upsert per DISTINCT user in the batch — the
-            # typed-state advantage over rewriting 3 whole arrays
+            # typed-state advantage over rewriting 3 whole arrays.  Empty-
+            # map fast path: on the window's FIRST batch every user is
+            # new, so skip the per-user read RPC (state-server round trips
+            # dominate this operator's cost; this halves them there)
             for u, (dn, dc) in delta.items():
-                cur = self._totals.getValue((u,))
+                cur = None if fresh else self._totals.getValue((u,))
                 n0, c0 = (int(cur[0]), int(cur[1])) if cur is not None else (0, 0)
                 self._totals.updateValue((u,), (n0 + dn, c0 + dc))
+            fresh = False
         return iter(())
 
     def handleExpiredTimer(
@@ -401,14 +528,12 @@ def window_topn_tws(
     timeout channel.  Requires protobuf (state-server protocol) and the
     RocksDB state store, like :func:`running_totals`; the legacy gate
     query ``q_stream_topn_runtime`` remains the dependency-free shadow."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    if not ensure_typed_state_runtime(events.sparkSession):
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package "
-            "(state-server protocol); use streaming/topn.py window_topn "
-            "for the dependency-free variant"
-        ) from e
+            "(state-server protocol) and none could be located; use "
+            "streaming/topn.py window_topn for the dependency-free variant"
+        )
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

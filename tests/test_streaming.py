@@ -323,12 +323,16 @@ def test_interval_join_stream_matches_batch(spark, stream_dir, tmp_path):
 def test_sequence_matches_tws_matches_batch(spark, stream_dir, tmp_path):
     """The transformWithStateInPandas port of the k-step matcher must equal
     the gated batch q_cep_four_step like the applyInPandasWithState variant
-    does.  Runtime path needs protobuf (state-server protocol), absent in
-    this container — the processor's state-machine logic is differentially
-    tested without it in tests/test_tws_processor.py."""
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState state-server protocol"
+    does — run as a REAL stream: ensure_typed_state_runtime wires the
+    locally-located protobuf runtime into driver + workers (skip only when
+    no runtime exists at all); the faked-state unit differentials stay in
+    tests/test_tws_processor.py."""
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
     )
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
     from flink_estimator_spark.plans import QUERIES
     from flink_estimator_spark.streaming import sequence_matches_tws
 
@@ -359,9 +363,12 @@ def test_sequence_matches_tws_matches_batch(spark, stream_dir, tmp_path):
 
 
 def test_transform_with_state_running_totals(spark, stream_dir, tmp_path):
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState state-server protocol"
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
     )
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
     from flink_estimator_spark.streaming import running_totals
 
     ev = events_stream(spark, stream_dir)
@@ -1339,3 +1346,39 @@ def test_semdedup_screen_stream_matches_batch(spark, tmp_path):
     brute_map = {r["a_id"]: bool(r["dup"]) for r in brute.collect()}
     got_map = {r[0]: r[2] for r in out.collect()}
     assert got_map == brute_map
+
+
+def test_window_topn_tws_matches_legacy_stream(spark, stream_dir, tmp_path):
+    """The typed-state window top-N run as a REAL stream must emit exactly
+    what the legacy applyInPandasWithState operator emits over the same
+    staged stream (decided windows fire by timer in both) — the
+    runtime-level differential between the two stateful APIs."""
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
+        window_topn_tws,
+    )
+    from flink_estimator_spark.streaming.topn import window_topn
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
+
+    def run(op, name):
+        ev = events_stream(spark, stream_dir)
+        out = _run_stream(
+            spark,
+            op(ev, watermark="30 minutes", window_s=600, top_k=3)
+            if op is window_topn_tws
+            else op(ev, watermark="30 minutes", window_s=600, top_k=3),
+            name,
+            tmp_path,
+            mode="append",
+        )
+        return {
+            (r["win_start"], r["user_id"], r["n"], r["sum_value"], int(r["rk"]))
+            for r in out.collect()
+        }
+
+    got_tws = run(window_topn_tws, "tws_topn_out")
+    got_legacy = run(window_topn, "legacy_topn_out")
+    assert got_tws, "no windows fired — vacuous runtime differential"
+    assert got_tws == got_legacy

@@ -1,14 +1,16 @@
-"""SequenceMatchProcessor (transformWithStateInPandas port of the CEP
-matcher) — dependency-free differentials.
+"""Typed-state processors (SequenceMatchProcessor / WindowTopNProcessor)
+— dependency-free unit differentials through faked typed state.
 
-The container ships no protobuf, so the transformWithState runtime path
-cannot execute here (the full-stream shadow in test_streaming.py is
-importorskip-gated, like running_totals).  These tests close the gap the
-skip leaves: they drive the processor's handleInputRows/handleExpiredTimer
-directly through faked typed-state objects — the exact surface the runtime
-calls — and compare emissions against the gated batch ``q_cep_four_step``
-over the real fixture, plus targeted timer-lifecycle checks the batch
-shadow can't express.
+Since round 7 the REAL transformWithState runtime also executes here
+(``ensure_typed_state_runtime`` locates a pure-Python protobuf at
+runtime; full-stream differentials live in test_streaming.py and the
+driver gate ``q_stream_tws_topn_runtime``).  These faked-state tests
+remain as the fast unit layer: they drive handleInputRows /
+handleExpiredTimer directly — single- and split-batch invariance against
+the gated batch queries, plus timer-lifecycle checks neither the batch
+shadow nor a bounded stream can isolate.  One caveat the real store
+taught us: ListState.put([]) is ILLEGAL there (EMPTY_LIST_VALUE), so
+processors must clear() empty lists — pinned by the full-stream tests.
 """
 
 from __future__ import annotations
