@@ -341,6 +341,7 @@ _SF001_SEC_PAIRS = [
     # round-7 sixth batch: the Spark-4 typed-state API runtime gate
     # (transformWithStateInPandas for real; warm sf0.01)
     ("q_stream_tws_topn_runtime", 6.33),
+    ("q_stream_tws_cep_runtime", 7.15),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

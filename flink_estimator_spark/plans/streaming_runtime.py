@@ -10,7 +10,7 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Nineteen distinct runtime paths get gate rows (the six below from round 5,
+Twenty distinct runtime paths get gate rows (the six below from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
@@ -22,10 +22,10 @@ plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 aggregation ``q_stream_chained_agg_runtime``, and round 7's
 exactly-once maintenance sink ``q_stream_rollup_runtime``, TTL-evicting
 dedup ``q_stream_dedup_ttl_runtime``, multi-source union
-``q_stream_union_runtime``, and the Spark-4 TYPED-STATE API
-``q_stream_tws_topn_runtime`` (``transformWithStateInPandas`` executing
-for real — MapState + event-time timers on RocksDB) — each docstring
-states its state machine):
+``q_stream_union_runtime``, and the Spark-4 TYPED-STATE API executing
+for real on RocksDB — ``q_stream_tws_topn_runtime`` (MapState +
+timer-fire emission) and ``q_stream_tws_cep_runtime`` (ListState +
+ValueState + timer-delete) — each docstring states its state machine):
 
 * ``q_stream_tumble_runtime`` — watermarked windowed AGGREGATION
   (streaming agg state store, complete mode: the final batch carries the
@@ -1454,3 +1454,84 @@ def q_stream_tws_topn_runtime(spark, sf_dir):
         )
         .orderBy("win_start", "rk")
     )
+
+
+@query(
+    "q_stream_tws_cep_runtime",
+    oracle="""
+        SELECT user_id,
+               epoch_us(t0) AS t0_us,
+               epoch_us(t1) AS t1_us,
+               epoch_us(t2) AS t2_us,
+               epoch_us(t3) AS t3_us,
+               (epoch_us(t3) - epoch_us(t0)) // 1000000 AS span_s
+        FROM (
+            SELECT DISTINCT user_id, t0, t1, t2, t3,
+                   sum(CASE WHEN event_type = 'error' AND ts > t0 AND ts < t3
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS n_err
+            FROM (
+                SELECT user_id, event_type, ts, t0, t1, t2,
+                       min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                THEN ts END) OVER (PARTITION BY user_id) AS t3
+                FROM (
+                    SELECT user_id, event_type, ts, t0, t1,
+                           min(CASE WHEN event_type = 'click' AND ts > t1
+                                    THEN ts END) OVER (PARTITION BY user_id) AS t2
+                    FROM (
+                        SELECT user_id, event_type, ts, t0,
+                               min(CASE WHEN event_type = 'view' AND ts > t0
+                                        THEN ts END) OVER (PARTITION BY user_id) AS t1
+                        FROM (
+                            SELECT user_id, event_type, ts,
+                                   min(CASE WHEN event_type = 'signup'
+                                            THEN ts END) OVER (PARTITION BY user_id) AS t0
+                            FROM events
+                        )
+                    )
+                )
+            )
+        )
+        WHERE t3 IS NOT NULL
+          AND epoch_us(t3) - epoch_us(t0) <= CAST(172800 AS BIGINT) * 1000000
+          AND n_err = 0
+        ORDER BY user_id
+    """,
+    tags=("streaming", "runtime", "cep", "typed-state", "timer", "tws"),
+)
+def q_stream_tws_cep_runtime(spark, sf_dir):
+    """The typed-state CEP chain, driver-gated — the 20th runtime path
+    and the OTHER half of the typed-state primitive surface: where
+    ``q_stream_tws_topn_runtime`` exercises MapState + timer-FIRE
+    emission, this runs ``SequenceMatchProcessor`` for real — ListState
+    chain anchors + ValueState tombstone + registerTimer at t0+48h and
+    deleteTimer on resolution (the timer-delete path no other gate
+    touches), emissions from handleInputRows, dead chains resolved
+    silently by expiry.  Identical oracle and single-batch-arrival
+    contract as the legacy-API gate ``q_stream_cep_runtime``, so the
+    pair differentially pins the two stateful APIs on the hardest state
+    machine in the tree.  The real state store also enforces what the
+    faked-state tests cannot (put([]) is illegal — empty chains must
+    clear), making this gate the protocol-level regression net for the
+    processor."""
+    from ..streaming.stateful import sequence_matches_tws
+
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: sequence_matches_tws(
+            make(),
+            steps=["signup", "view", "click", "purchase"],
+            within_s=172800,
+            absent="error",
+            watermark="1 hour",
+        ),
+        output_mode="update",
+    )
+    non_empty = [bid for bid, rs in batches if rs]
+    assert len(non_empty) <= 1, (
+        f"typed-state CEP gate expects a single-batch source; got emissions "
+        f"in batches {non_empty}"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
