@@ -1487,6 +1487,7 @@ def q_stream_tws_topn_runtime(spark, sf_dir):
                                    min(CASE WHEN event_type = 'signup'
                                             THEN ts END) OVER (PARTITION BY user_id) AS t0
                             FROM events
+                            WHERE user_id < 300
                         )
                     )
                 )
@@ -1513,14 +1514,18 @@ def q_stream_tws_cep_runtime(spark, sf_dir):
     machine in the tree.  The real state store also enforces what the
     faked-state tests cannot (put([]) is illegal — empty chains must
     clear), making this gate the protocol-level regression net for the
-    processor."""
+    processor.  Cost control mirrors the typed-state top-N gate: the
+    operator's cost is per-key state-server RPCs (anchors get/put + meta
+    get/update per user), so the gate restricts to user_id < 300 —
+    matches stay non-vacuous at every SF while RPC count stays bounded
+    and constant in SF."""
     from ..streaming.stateful import sequence_matches_tws
 
     batches, schema = _run_bounded_stream(
         spark,
         sf_dir,
         lambda make: sequence_matches_tws(
-            make(),
+            make().filter(F.col("user_id") < 300),
             steps=["signup", "view", "click", "purchase"],
             within_s=172800,
             absent="error",
