@@ -70,6 +70,10 @@ SAMPLE = [
     # r6 seventh batch: IVF routing composed over PQ, diagonal islands
     "q_emb_ivfpq_adc",         # coarse probe -> ADC -> rerank, all quantized
     "q_longest_shared_run",    # positional equi-join + per-diagonal islands
+    # r7 additions: span-surgery rewrite and normalization-screen families
+    "q_dedup_rewrite",         # island spans -> distinct removals -> md5 sig
+    "q_url_dedup_rate",        # regex/array canonical form, distinct-count agg
+    "q_kanonymity",            # coarsening-ladder census over hash aggregates
 ]
 
 
