@@ -342,6 +342,8 @@ _SF001_SEC_PAIRS = [
     # (transformWithStateInPandas for real; warm sf0.01)
     ("q_stream_tws_topn_runtime", 6.33),
     ("q_stream_tws_cep_runtime", 7.15),
+    # round-7 seventh batch: REAL PNG decode round-trip gate (warm sf0.01)
+    ("q_multimodal_decode", 1.55),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
