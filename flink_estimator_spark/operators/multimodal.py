@@ -656,3 +656,253 @@ def q_multimodal_decode(spark, sf_dir):
         ),
     )
     return decode_image_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM needs no codec library — header fields +
+# little-endian int16 frames.  Same retire-the-stub pattern as the PNG
+# codec: spec-valid bytes in, exact integer features out, SQL oracle
+# replaying the synthetic sample arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16_000) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM s16le, (n,) mono or (n, c) frames."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, c = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, c, rate, rate * c * 2, c * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> "tuple[int, np.ndarray]":
+    """Real RIFF/WAVE parser: PCM s16le only (format tag 1, 16-bit),
+    fail-loud otherwise.  Returns (sample_rate, (n, c) int16 array)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, pcm = 12, None, None, None, None
+    frames = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt_tag}, bits={bits}); "
+                    "only PCM s16le is implemented"
+                )
+        elif tag == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    return rate, frames
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+_WAV_N = 480
+
+
+def _synthetic_pcm(media_id: int) -> "np.ndarray":
+    """Deterministic mono int16 signal: sample i carries
+    ((media_id*17 + i*13) % 4001) - 2000 — replayable in SQL."""
+    i = np.arange(_WAV_N, dtype=np.int64)
+    return (((media_id * 17 + i * 13) % 4001) - 2000).astype(np.int16)
+
+
+@query(
+    "q_multimodal_wav",
+    oracle=f"""
+        WITH s AS (
+            SELECT d.doc_id AS media_id,
+                   (d.doc_id * 17 + i.i * 13) % 4001 - 2000 AS v
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                 (SELECT unnest(range(0, {_WAV_N})) AS i) i
+        )
+        SELECT media_id,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM s
+        GROUP BY media_id
+        ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "decode", "audio", "wav", "mapInPandas"),
+)
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio decode, value-gated: deterministic mono s16le signals
+    encoded into spec-valid RIFF/WAVE bytes and parsed back by the
+    dependency-free WAV reader inside mapInPandas; exact integer |x| and
+    x^2 sums (the RMS-energy building blocks) vs an oracle replaying the
+    sample arithmetic — header-math, alignment, or endianness defects
+    shift a sum and go red.  Compressed audio stays stubbed (codec
+    libraries absent); the scale shape matches q_multimodal_decode."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                payload = encode_wav(_synthetic_pcm(int(d)), rate=16_000)
+                rate, frames = decode_wav(payload)
+                x = frames[:, 0].astype(np.int64)
+                rows.append(
+                    (int(d), rate, len(x),
+                     int(np.abs(x).sum()), int((x * x).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return (
+        spread(docs, "doc_id").select("doc_id")
+        .mapInPandas(run, AUDIO_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video container parse: YUV4MPEG2 (y4m) is a codec-free stream —
+# a text header + raw frames behind FRAME markers — so frame SAMPLING
+# (the video operator this module stubbed) runs on real bytes.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: "np.ndarray", fps: int = 25) -> bytes:
+    """Minimal yuv4mpeg2 encoder: (n, h, w) uint8 luma-only (Cmono)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
+
+
+def decode_y4m(data: bytes) -> "np.ndarray":
+    """Real y4m parser: header params, Cmono 8-bit only (fail-loud on
+    chroma formats this reader does not implement), FRAME-delimited raw
+    planes.  Returns (n, h, w) uint8."""
+    nl = data.index(b"\n")
+    head = data[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fmt = "C420"  # the spec's default when no C tag is present
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            fmt = tok
+    if fmt != "Cmono":
+        raise ValueError(f"unsupported y4m chroma format {fmt}")
+    if w is None or h is None:
+        raise ValueError("missing W/H header params")
+    frame_bytes, pos, frames = w * h, nl + 1, []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)  # FRAME line (may carry params)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        body = data[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated frame")
+        frames.append(np.frombuffer(body, dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("luma_sum", T.LongType(), True),
+    ]
+)
+
+_Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_STRIDE = 16, 12, 6, 2
+
+
+def _synthetic_luma(media_id: int) -> "np.ndarray":
+    """(n, h, w) deterministic luma: frame f, flat pixel j carries
+    (media_id*7 + f*11 + j*3) % 256."""
+    f = np.arange(_Y4M_FRAMES, dtype=np.int64)[:, None]
+    j = np.arange(_Y4M_H * _Y4M_W, dtype=np.int64)[None, :]
+    return ((media_id * 7 + f * 11 + j * 3) % 256).astype(np.uint8).reshape(
+        _Y4M_FRAMES, _Y4M_H, _Y4M_W
+    )
+
+
+@query(
+    "q_multimodal_y4m",
+    oracle=f"""
+        WITH px AS (
+            SELECT d.doc_id AS media_id, f.f,
+                   (d.doc_id * 7 + f.f * 11 + j.j * 3) % 256 AS v
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                 (SELECT unnest(range(0, {_Y4M_FRAMES}, {_Y4M_STRIDE})) AS f) f,
+                 (SELECT unnest(range(0, {_Y4M_H * _Y4M_W})) AS j) j
+        )
+        SELECT media_id,
+               CAST(f AS INT) AS frame_no,
+               CAST({_Y4M_FRAMES} AS INT) AS n_frames,
+               CAST(sum(v) AS BIGINT) AS luma_sum
+        FROM px
+        GROUP BY media_id, f
+        ORDER BY media_id, frame_no
+    """,
+    tags=("llm", "multimodal", "decode", "video", "y4m", "mapInPandas"),
+)
+def q_multimodal_y4m(spark, sf_dir):
+    """REAL video-container frame sampling, value-gated: deterministic
+    6-frame luma streams encoded into spec-valid yuv4mpeg2 bytes, parsed
+    back by the dependency-free y4m reader inside mapInPandas, every
+    {_Y4M_STRIDE}nd frame sampled with its exact BIGINT luma sum — a
+    one-to-many table function over real video bytes, oracle-replayed
+    pixel arithmetic.  Compressed video (H.264 etc.) stays stubbed; with
+    PNG (image) and WAV (audio) this gives every modality one REAL wire
+    format end-to-end."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                payload = encode_y4m(_synthetic_luma(int(d)))
+                frames = decode_y4m(payload)
+                n = frames.shape[0]
+                for fno in range(0, n, _Y4M_STRIDE):
+                    rows.append(
+                        (int(d), fno, n,
+                         int(frames[fno].sum(dtype=np.int64)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
+            )
+
+    return (
+        spread(docs, "doc_id").select("doc_id")
+        .mapInPandas(run, VIDEO_SCHEMA)
+        .orderBy("media_id", "frame_no")
+    )

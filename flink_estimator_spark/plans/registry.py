@@ -344,6 +344,9 @@ _SF001_SEC_PAIRS = [
     ("q_stream_tws_cep_runtime", 7.15),
     # round-7 seventh batch: REAL PNG decode round-trip gate (warm sf0.01)
     ("q_multimodal_decode", 1.55),
+    # round-7 eighth batch: real WAV + Y4M decode gates (warm sf0.01)
+    ("q_multimodal_wav", 1.08),
+    ("q_multimodal_y4m", 0.98),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

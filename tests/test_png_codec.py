@@ -110,3 +110,71 @@ def test_spec_validity_crc_and_sig():
         tags.append(tag)
         pos += 12 + length
     assert tags[0] == b"IHDR" and tags[-1] == b"IEND"
+
+
+# ---------------------------------------------------------------------------
+# WAV + Y4M codecs (same retire-the-stub pattern as PNG)
+# ---------------------------------------------------------------------------
+
+from flink_estimator_spark.operators.multimodal import (
+    decode_wav,
+    decode_y4m,
+    encode_wav,
+    encode_y4m,
+)
+
+
+@pytest.mark.parametrize("shape", [(100,), (64, 2), (1, 1), (7, 3)])
+def test_wav_round_trip(shape):
+    s = _rng(sum(shape)).integers(-(2**15), 2**15, size=shape, dtype=np.int16)
+    rate, frames = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    expect = s[:, None] if s.ndim == 1 else s
+    assert frames.shape == expect.shape
+    assert (frames == expect).all()
+
+
+def test_wav_fail_loud():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # format tag 3 (IEEE float) must be rejected, not misread
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + b"data" + _s.pack("<I", 0)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_wav_odd_chunk_alignment():
+    """RIFF chunks are word-aligned: an odd-length extra chunk before
+    data must not desynchronize the parser."""
+    import struct as _s
+
+    s = np.arange(5, dtype=np.int16)
+    good = encode_wav(s)
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = good.index(b"data")
+    odd = b"LIST" + _s.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    patched = good[:fmt_end] + odd + good[fmt_end:]
+    patched = patched[:4] + _s.pack("<I", len(patched) - 8) + patched[8:]
+    rate, frames = decode_wav(patched)
+    assert (frames[:, 0] == s).all()
+
+
+@pytest.mark.parametrize("n,h,w", [(1, 2, 3), (4, 6, 8), (0, 2, 2)])
+def test_y4m_round_trip(n, h, w):
+    frames = _rng(n * h * w + 1).integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    out = decode_y4m(encode_y4m(frames))
+    assert out.shape == (n, h, w)
+    assert (out == frames).all()
+
+
+def test_y4m_fail_loud():
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....\n")
+    with pytest.raises(ValueError, match="unsupported y4m chroma"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\n")
+    # default chroma (no C tag) is C420 — unimplemented, must refuse
+    with pytest.raises(ValueError, match="unsupported y4m chroma"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1\n")
