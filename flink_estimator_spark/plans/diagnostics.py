@@ -1542,3 +1542,111 @@ def q_theil_sen(spark, sf_dir):
         )
         .orderBy("nat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering — the data-SKIPPING lever at 100 TB:
+# sorting on one column bounds that column's min/max per file but leaves
+# every other dimension unbounded, while interleaving the bits of two
+# predicate columns bounds BOTH, so a 2-D range predicate prunes most
+# files (Delta/Iceberg OPTIMIZE ZORDER; Morton 1966).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _morton_spark(x, y, bits=_Z_BITS):
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def _morton_sql(x, y, bits=_Z_BITS):
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+        WITH raw AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+            FROM events
+        ),
+        keyed AS (
+            SELECT user_id,
+                   day - (SELECT min(day) FROM raw) AS day
+            FROM raw
+        ),
+        z AS (
+            SELECT user_id, day,
+                   ({_morton_sql("user_id", "day")}) >> 8 AS zbucket
+            FROM keyed
+        )
+        SELECT CAST(zbucket AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               CAST(min(day) AS BIGINT) AS min_day,
+               CAST(max(day) AS BIGINT) AS max_day,
+               CAST((max(user_id) - min(user_id) + 1)
+                    * (max(day) - min(day) + 1) AS BIGINT) AS bbox_area
+        FROM z
+        GROUP BY zbucket
+        ORDER BY zbucket
+    """,
+    tags=("layout", "zorder", "data-skipping", "diagnostics"),
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-ORDER layout census: interleave the bits of (user_id, epoch-day)
+    into a Morton key, cluster rows into zbuckets (key >> 12 — the
+    file-grain stand-in), and report each bucket's row count and min/max
+    BOUNDING BOX over both dimensions.  The bbox_area column is the
+    data-skipping figure of merit a layout optimizer reads: under
+    Z-order both dimensions stay tight per bucket, so a
+    (user-range x day-range) predicate prunes by min/max stats alone —
+    the exact mechanism behind Delta/Iceberg OPTIMIZE ZORDER at 100 TB,
+    here oracle-replayed bit-for-bit (the 32-term interleave runs as the
+    same integer expression in both engines).
+
+    Scale: one map-side Morton projection + one hash aggregate on the
+    bucket key — layout analysis is a metadata-sized job."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    raw = ev.select(F.col("user_id").cast("bigint").alias("user_id"),
+                    day.alias("day"))
+    # rebase day to the corpus minimum so the interleave spends its bits
+    # on the VARYING range (absolute epoch-days share high bits that
+    # would otherwise collapse every row into one bucket)
+    min_day = raw.agg(F.min("day").alias("d0"))
+    keyed = raw.crossJoin(F.broadcast(min_day)).select(
+        "user_id", (F.col("day") - F.col("d0")).alias("day")
+    )
+    z = keyed.withColumn(
+        "zbucket",
+        F.shiftright(_morton_spark(F.col("user_id"), F.col("day")), 8),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+            ((F.max("user_id") - F.min("user_id") + 1)
+             * (F.max("day") - F.min("day") + 1))
+            .cast("bigint")
+            .alias("bbox_area"),
+        )
+        .orderBy("zbucket")
+    )

@@ -347,6 +347,8 @@ _SF001_SEC_PAIRS = [
     # round-7 eighth batch: real WAV + Y4M decode gates (warm sf0.01)
     ("q_multimodal_wav", 1.08),
     ("q_multimodal_y4m", 0.98),
+    # round-7 ninth batch: Z-order layout census (warm sf0.01)
+    ("q_zorder_layout", 1.23),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
