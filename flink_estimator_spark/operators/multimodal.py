@@ -906,3 +906,123 @@ def q_multimodal_y4m(spark, sf_dir):
         .mapInPandas(run, VIDEO_SCHEMA)
         .orderBy("media_id", "frame_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash over REAL decoded pixels.  q_multimodal_phash's
+# banded-LSH pipeline runs on a digest-derived stand-in fingerprint; with
+# the PNG codec real, the canonical aHash (grayscale -> block means ->
+# threshold at the global mean -> 64-bit sign pattern) can run on decoded
+# bytes — integer arithmetic end to end, so DuckDB replays it exactly.
+# ---------------------------------------------------------------------------
+
+_AH_SIDE = 16  # square synthetic images; 2x2 blocks -> 8x8 hash grid
+
+
+def ahash_from_image(img: "np.ndarray") -> int:
+    """64-bit average hash of an (h, w, 3) uint8 image with h = w = 16:
+    integer grayscale (r+g+b)//3, 2x2 block means (sum//4), bit i set
+    when block i >= floor(mean of the 64 block values).  Pure integer
+    floor arithmetic — bit-reproducible anywhere."""
+    if img.shape != (_AH_SIDE, _AH_SIDE, 3):
+        raise ValueError(f"expected ({_AH_SIDE}, {_AH_SIDE}, 3) image")
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    blocks = (
+        gray.reshape(8, 2, 8, 2).sum(axis=(1, 3)) // 4
+    ).reshape(-1)
+    thresh = int(blocks.sum()) // 64
+    bits = blocks >= thresh
+    return int(sum(1 << i for i in range(64) if bits[i]))
+
+
+# the 64-bit pattern ships as two 32-bit words: a single BIGINT would
+# need bit 63 (the sign bit), which both Arrow's safe-cast and the
+# repo's portable-hash rule (md5_word docstring) forbid
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash_lo", T.LongType(), True),
+        T.StructField("ahash_hi", T.LongType(), True),
+        T.StructField("n_bits_set", T.IntegerType(), True),
+    ]
+)
+
+
+def _synthetic_rgb_sq(media_id: int) -> "np.ndarray":
+    j = np.arange(_AH_SIDE * _AH_SIDE * 3, dtype=np.int64)
+    return ((media_id * 31 + j * 7) % 256).astype(np.uint8).reshape(
+        _AH_SIDE, _AH_SIDE, 3
+    )
+
+
+@query(
+    "q_multimodal_ahash",
+    oracle=f"""
+        WITH px AS (
+            SELECT d.doc_id AS media_id, j.j,
+                   (d.doc_id * 31 + j.j * 7) % 256 AS v
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                 (SELECT unnest(range(0, {_AH_SIDE * _AH_SIDE * 3})) AS j) j
+        ),
+        gray AS (
+            SELECT media_id, j // 3 AS p, sum(v) // 3 AS g
+            FROM px GROUP BY media_id, j // 3
+        ),
+        blocks AS (
+            SELECT media_id,
+                   ((p // {_AH_SIDE}) // 2) * 8 + ((p % {_AH_SIDE}) // 2) AS b,
+                   sum(g) // 4 AS bv
+            FROM gray GROUP BY 1, 2
+        ),
+        thresh AS (
+            SELECT media_id, sum(bv) // 64 AS t FROM blocks GROUP BY 1
+        )
+        SELECT blocks.media_id,
+               CAST(sum(CASE WHEN bv >= t AND b < 32
+                             THEN 1::BIGINT << CAST(b AS INT)
+                             ELSE 0 END) AS BIGINT) AS ahash_lo,
+               CAST(sum(CASE WHEN bv >= t AND b >= 32
+                             THEN 1::BIGINT << CAST(b - 32 AS INT)
+                             ELSE 0 END) AS BIGINT) AS ahash_hi,
+               CAST(sum(CASE WHEN bv >= t THEN 1 ELSE 0 END) AS INT)
+                   AS n_bits_set
+        FROM blocks JOIN thresh USING (media_id)
+        GROUP BY blocks.media_id
+        ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "phash", "decode", "mapInPandas"),
+)
+def q_multimodal_ahash(spark, sf_dir):
+    """Perceptual AVERAGE-HASH over genuinely decoded pixels: each doc's
+    deterministic 16x16 RGB image round-trips through the real PNG codec
+    inside mapInPandas, then the canonical aHash (integer grayscale ->
+    2x2 block means -> threshold at the global block mean -> 64-bit sign
+    pattern) fingerprints the decoded array; DuckDB replays the entire
+    integer pipeline from the pixel formula, so a defect anywhere —
+    filter math, channel order, block indexing, threshold floor — flips
+    bits and goes red.  Complements q_multimodal_phash (which gates the
+    banded Hamming-LSH JOIN machinery on a stand-in fingerprint): this
+    gates the FINGERPRINT over real decode.
+
+    Scale: partition-local Arrow-batched map work + one narrow
+    projection; the hash is 8 bytes per asset however large the asset."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                img = decode_png(encode_png(_synthetic_rgb_sq(int(d))))
+                h = ahash_from_image(img)
+                rows.append(
+                    (int(d), h & 0xFFFFFFFF, h >> 32, bin(h).count("1"))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return (
+        spread(docs, "doc_id").select("doc_id")
+        .mapInPandas(run, AHASH_SCHEMA)
+        .orderBy("media_id")
+    )

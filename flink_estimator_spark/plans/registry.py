@@ -349,6 +349,8 @@ _SF001_SEC_PAIRS = [
     ("q_multimodal_y4m", 0.98),
     # round-7 ninth batch: Z-order layout census (warm sf0.01)
     ("q_zorder_layout", 1.23),
+    # round-7 tenth batch: aHash over real decoded pixels (warm sf0.01)
+    ("q_multimodal_ahash", 1.0),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

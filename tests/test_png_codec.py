@@ -178,3 +178,38 @@ def test_y4m_fail_loud():
     # default chroma (no C tag) is C420 — unimplemented, must refuse
     with pytest.raises(ValueError, match="unsupported y4m chroma"):
         decode_y4m(b"YUV4MPEG2 W2 H2 F25:1\n")
+
+
+# ---------------------------------------------------------------------------
+# aHash over decoded pixels
+# ---------------------------------------------------------------------------
+
+from flink_estimator_spark.operators.multimodal import ahash_from_image
+
+
+def test_ahash_known_pattern():
+    """Half-dark / half-bright image: exactly the bright half's 32 block
+    bits set (threshold sits between the two levels)."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200  # right half bright -> blocks 4..7 of each row
+    h = ahash_from_image(img)
+    expect = 0
+    for row in range(8):
+        for col in range(4, 8):
+            expect |= 1 << (row * 8 + col)
+    assert h == expect
+    assert bin(h).count("1") == 32
+
+
+def test_ahash_invariant_to_brightness_shift():
+    """Adding a constant to every pixel must not change the sign pattern
+    (the defining perceptual-hash property)."""
+    rng = _rng(42)
+    img = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    shifted = (img.astype(np.int16) + 55).clip(0, 255).astype(np.uint8)
+    assert ahash_from_image(img) == ahash_from_image(shifted)
+
+
+def test_ahash_rejects_wrong_shape():
+    with pytest.raises(ValueError, match="expected"):
+        ahash_from_image(np.zeros((12, 16, 3), dtype=np.uint8))
