@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import eager_checkpoint, spread, t
 from ..plans.registry import query
+from .dedup import md5_word
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
@@ -152,3 +153,335 @@ def q_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketch set operations — the fourth mergeable-sketch family.
+#
+# HLL unions distinct counts (q_hll_rollup), KLL merges quantiles
+# (q_kll_rollup), CMS merges frequencies (q_cms_heavy_hitters) — but NONE of
+# them can intersect: "how many distinct shingles do sources A and B share"
+# has no HLL answer (inclusion-exclusion on HLL estimates explodes the
+# relative error when the intersection is small).  The K-minimum-values /
+# theta sketch (Beyer et al. 2007; Dasgupta et al. 2016, the DataSketches
+# theta family) is the mergeable summary built for set ALGEBRA: keep the k
+# smallest distinct hash values of a set; the k-th smallest value θ is a
+# uniform-sampling threshold, so |S| ≈ (k-1)·H/θ (H = hash-space size), and
+# any value below θ retained in BOTH sketches is a uniform sample of the
+# intersection: |A∩B| ≈ |{v ∈ kmv_A ∩ kmv_B : v < min(θ_A,θ_B)}|·H/min(θ_A,θ_B).
+# Union composes by taking the k smallest of the combined sketches.
+# ---------------------------------------------------------------------------
+
+K_KMV = 256
+_KMV_SHARDS = 64
+_H_SPACE = 1 << 52  # md5_word(col, 1, 13): 52-bit hashes, BIGINT-safe products
+
+
+def _theta_oracle(k: int = K_KMV, h: int = _H_SPACE) -> str:
+    """DuckDB replay of the full KMV pipeline: md5-52 shingle hashes, per-
+    source k smallest, θ thresholds, pairwise union/intersection estimates —
+    the portable-hash rule (SCALE.md §7g) makes the ESTIMATES value-gateable,
+    not just their error bounds."""
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(shingle_str), 1, 13)) AS BIGINT) AS h
+            FROM (
+                SELECT source, array_to_string(words[i:i+4], ' ') AS shingle_str
+                FROM (
+                    SELECT source,
+                           string_split_regex(trim(lower(text)), '\\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1,
+                                greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        counts AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+            FROM sh GROUP BY source
+        ),
+        km AS (
+            SELECT source, h, rn FROM (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM sh
+            ) WHERE rn <= {k}
+        ),
+        th AS (
+            SELECT source, count(*) AS nk,
+                   CASE WHEN count(*) = {k}
+                        THEN max(CASE WHEN rn = {k} THEN h END)
+                        ELSE {h} END AS theta
+            FROM km GROUP BY source
+        ),
+        est AS (
+            SELECT source, theta,
+                   CASE WHEN nk < {k} THEN CAST(nk AS BIGINT)
+                        ELSE CAST(({k - 1} * {h}) // theta AS BIGINT)
+                   END AS est_n
+            FROM th
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   a.est_n AS est_a, b.est_n AS est_b,
+                   least(a.theta, b.theta) AS theta_min
+            FROM est a JOIN est b ON a.source < b.source
+        ),
+        retained AS (
+            SELECT p.source_a, p.source_b, CAST(count(*) AS BIGINT) AS n_ret
+            FROM pairs p
+            JOIN km ka ON ka.source = p.source_a
+            JOIN km kb ON kb.source = p.source_b AND kb.h = ka.h
+            WHERE ka.h < p.theta_min
+            GROUP BY p.source_a, p.source_b
+        ),
+        uk AS (
+            SELECT source_a, source_b, h,
+                   row_number() OVER (PARTITION BY source_a, source_b
+                                      ORDER BY h) AS rn
+            FROM (
+                SELECT DISTINCT p.source_a, p.source_b, kk.h
+                FROM pairs p
+                JOIN km kk ON kk.source IN (p.source_a, p.source_b)
+            )
+        ),
+        uth AS (
+            SELECT source_a, source_b, count(*) AS nu,
+                   CASE WHEN count(*) = {k}
+                        THEN max(CASE WHEN rn = {k} THEN h END)
+                        ELSE {h} END AS theta_u
+            FROM uk WHERE rn <= {k}
+            GROUP BY source_a, source_b
+        ),
+        ex AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS exact_inter
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b,
+               ca.n_exact AS n_exact_a,
+               cb.n_exact AS n_exact_b,
+               p.est_a, p.est_b,
+               CAST(ca.n_exact + cb.n_exact - COALESCE(e.exact_inter, 0)
+                    AS BIGINT) AS exact_union,
+               CASE WHEN u.nu < {k} THEN CAST(u.nu AS BIGINT)
+                    ELSE CAST(({k - 1} * {h}) // u.theta_u AS BIGINT)
+               END AS est_union,
+               COALESCE(e.exact_inter, 0) AS exact_inter,
+               CAST((COALESCE(r.n_ret, 0) * {h}) // p.theta_min AS BIGINT)
+                   AS est_inter,
+               CAST(COALESCE(e.exact_inter, 0) * 1000000
+                    // (ca.n_exact + cb.n_exact - COALESCE(e.exact_inter, 0))
+                    AS BIGINT) AS jacc_exact_ppm,
+               CAST(((COALESCE(r.n_ret, 0) * {h}) // p.theta_min) * 1000000
+                    // (CASE WHEN u.nu < {k} THEN CAST(u.nu AS BIGINT)
+                             ELSE CAST(({k - 1} * {h}) // u.theta_u AS BIGINT)
+                        END)
+                    AS BIGINT) AS jacc_est_ppm
+        FROM pairs p
+        JOIN counts ca ON ca.source = p.source_a
+        JOIN counts cb ON cb.source = p.source_b
+        JOIN uth u ON u.source_a = p.source_a AND u.source_b = p.source_b
+        LEFT JOIN retained r
+               ON r.source_a = p.source_a AND r.source_b = p.source_b
+        LEFT JOIN ex e
+               ON e.source_a = p.source_a AND e.source_b = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """
+
+
+def kmv_sketches(sh: DataFrame, key: str = "source", k: int = K_KMV) -> DataFrame:
+    """Per-key KMV sketch rows (key, h, rn) from a distinct (key, h) relation.
+
+    Two-level tournament: per (key, shard = h % {_KMV_SHARDS}) k-smallest via
+    a SHARDED rank window (partition-bounded sort state), then the final
+    k-smallest per key over the ≤ shards·k survivors — the distributed top-k
+    shape; the full per-key sort never sees more than shards·k rows.  At
+    true 100 TB cardinalities raise the shard count with the data (shards ≈
+    N/k keeps level-1 partitions k-sized); the production alternative is a
+    bounded-state theta UDAF (DataSketches), which this relational
+    realization trades for engine portability."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(key, F.pmod(F.col("h"), F.lit(_KMV_SHARDS))).orderBy("h")
+    lvl1 = (
+        sh.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(key).orderBy("h")
+    return lvl1.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
+@query(
+    "q_theta_setops",
+    oracle=_theta_oracle(),
+    tags=("complex", "approx", "sketch", "mergeable", "set-ops", "llm", "dedup"),
+)
+def q_theta_setops(spark, sf_dir):
+    """Theta/KMV sketch SET OPERATIONS between source shingle sets — the
+    mergeable-sketch family completed: distinct counts union (HLL),
+    quantiles merge (KLL), frequencies add (CMS), and now intersection /
+    union / Jaccard ALGEBRA (theta), the one HLL fundamentally cannot do.
+    For every source pair: sketch-estimated |A|, |B|, |A∪B|, |A∩B| and
+    Jaccard ppm next to their exact counterparts, every estimate derived
+    from md5-52 arithmetic both engines replay bit-for-bit (portable-hash
+    rule) — the estimates themselves value-gate, accuracy is pytest-bounded
+    separately (tests/test_theta_sketch.py).
+
+    Scale: the corpus-sized work is one shingle explode + distinct and one
+    df-bounded exact-intersection self-join (each shingle meets ≤ |sources|
+    rows); everything after operates on 20 sketches of ≤ k=256 values —
+    pair algebra is |sources|²-bounded metadata, the whole point of
+    sketching.  Sharded rank windows keep every sort partition-bounded
+    (see kmv_sketches); at cluster scale per-partition sketches would merge
+    by the same k-smallest-of-union rule the pair stage already exercises.
+
+    Reference scope note: the reference models workload taxonomy only
+    (`/root/reference/src/templates/estimation.html:199-246`); set-algebra
+    sketches are the approximate-analytics extension surface."""
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ng = F.size(words) - F.lit(4)
+    grams = F.when(
+        ng >= 1,
+        F.transform(F.sequence(F.lit(1), ng), lambda i: F.concat_ws(" ", F.slice(words, i, 5))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("source", F.explode(grams).alias("_s"))
+        .select("source", md5_word(F.col("_s"), 1, 13).alias("h"))
+        .distinct()
+    )
+    # three consumers with different shapes (per-source agg, rank ladder,
+    # h-keyed self-join) — one materialization per the §7h rule
+    sh = eager_checkpoint(sh)
+    return theta_setops(sh)
+
+
+def theta_setops(sh: DataFrame, k: int = K_KMV, hsp: int = _H_SPACE) -> DataFrame:
+    """Pairwise theta-sketch set-operation estimates from a distinct
+    (source, h) relation: per source pair, sketch-estimated and exact
+    |A|, |B|, |A∪B|, |A∩B| and Jaccard ppm.  Separated from the query so
+    tests drive it with synthetic sets and small k (unsaturated path,
+    accuracy bounds, union-merge associativity)."""
+    counts = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_exact"))
+    km = kmv_sketches(sh, "source", k)
+    th = km.groupBy("source").agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_kth"),
+    )
+    est = th.select(
+        "source",
+        F.when(F.col("nk") == k, F.col("_kth")).otherwise(F.lit(hsp)).alias("theta"),
+        F.when(F.col("nk") < k, F.col("nk").cast("bigint"))
+        .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _kth AS BIGINT)"))
+        .alias("est_n"),
+    )
+    pairs = (
+        est.select(
+            F.col("source").alias("source_a"),
+            F.col("theta").alias("_th_a"),
+            F.col("est_n").alias("est_a"),
+        )
+        .join(
+            est.select(
+                F.col("source").alias("source_b"),
+                F.col("theta").alias("_th_b"),
+                F.col("est_n").alias("est_b"),
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .withColumn("theta_min", F.least("_th_a", "_th_b"))
+    )
+
+    kma = km.select(F.col("source").alias("source_a"), "h")
+    kmb = km.select(F.col("source").alias("source_b"), "h")
+    retained = (
+        kma.join(kmb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(pairs.select("source_a", "source_b", "theta_min")),
+            ["source_a", "source_b"],
+        )
+        .filter(F.col("h") < F.col("theta_min"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_ret"))
+    )
+
+    from pyspark.sql import Window
+
+    uk = (
+        F.broadcast(pairs.select("source_a", "source_b"))
+        .join(
+            km.select("source", "h"),
+            (F.col("source") == F.col("source_a")) | (F.col("source") == F.col("source_b")),
+        )
+        .select("source_a", "source_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    uth = (
+        uk.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("nu"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_ukth"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.when(F.col("nu") < k, F.col("nu").cast("bigint"))
+            .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _ukth AS BIGINT)"))
+            .alias("est_union"),
+        )
+    )
+
+    sha = sh.select(F.col("source").alias("source_a"), "h")
+    shb = sh.select(F.col("source").alias("source_b"), "h")
+    ex = (
+        sha.join(shb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n_exact").alias("n_exact_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n_exact").alias("n_exact_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .join(F.broadcast(uth), ["source_a", "source_b"])
+        .join(F.broadcast(retained), ["source_a", "source_b"], "left")
+        .join(F.broadcast(ex), ["source_a", "source_b"], "left")
+        .withColumn("n_ret", F.coalesce(F.col("n_ret"), F.lit(0).cast("bigint")))
+        .withColumn("exact_inter", F.coalesce(F.col("exact_inter"), F.lit(0).cast("bigint")))
+        .withColumn(
+            "exact_union",
+            (F.col("n_exact_a") + F.col("n_exact_b") - F.col("exact_inter")).cast("bigint"),
+        )
+        .withColumn("est_inter", F.expr(f"CAST((n_ret * {hsp}) DIV theta_min AS BIGINT)"))
+        .withColumn(
+            "jacc_exact_ppm",
+            F.expr("CAST((exact_inter * 1000000) DIV exact_union AS BIGINT)"),
+        )
+        .withColumn(
+            "jacc_est_ppm",
+            F.expr("CAST((est_inter * 1000000) DIV est_union AS BIGINT)"),
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_exact_a",
+        "n_exact_b",
+        "est_a",
+        "est_b",
+        "exact_union",
+        "est_union",
+        "exact_inter",
+        "est_inter",
+        "jacc_exact_ppm",
+        "jacc_est_ppm",
+    ).orderBy("source_a", "source_b")

@@ -74,6 +74,8 @@ SAMPLE = [
     "q_dedup_rewrite",         # island spans -> distinct removals -> md5 sig
     "q_url_dedup_rate",        # regex/array canonical form, distinct-count agg
     "q_kanonymity",            # coarsening-ladder census over hash aggregates
+    # r7 second batch: k-min rank ladder + sketch set algebra
+    "q_theta_setops",          # md5-52 KMV k-mins, theta division estimates
 ]
 
 

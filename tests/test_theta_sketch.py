@@ -1,0 +1,110 @@
+"""Theta/KMV sketch set operations (operators/sketches.py).
+
+The gate row (q_theta_setops) value-verifies the md5-52 pipeline against
+DuckDB; these tests pin the ALGEBRA on synthetic sets where ground truth is
+known exactly:
+
+* unsaturated sketches (|set| < k) degrade to EXACT set operations;
+* the sharded two-level k-min ladder equals the straight global k-min;
+* union-merge associativity: the pair stage's union estimate equals the
+  estimate of a sketch built directly on A∪B;
+* saturated estimates honor the KMV error bound on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_estimator_spark.operators.sketches import (
+    K_KMV,
+    _H_SPACE,
+    kmv_sketches,
+    theta_setops,
+)
+from flink_estimator_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mix(i: int) -> int:
+    """Deterministic uniform-ish 52-bit values (Knuth multiplicative mix)."""
+    return (i * 2654435761 * 0x9E3779B9) % _H_SPACE
+
+
+def _sets_df(spark, sets: dict[str, list[int]]):
+    rows = [(s, h) for s, hs in sets.items() for h in hs]
+    return spark.createDataFrame(rows, "source string, h long").distinct()
+
+
+def test_unsaturated_sketches_are_exact(spark):
+    a = {_mix(i) for i in range(1, 40)}
+    b = {_mix(i) for i in range(20, 70)}
+    sh = _sets_df(spark, {"a": sorted(a), "b": sorted(b)})
+    out = theta_setops(sh, k=256).collect()[0]
+    assert out["n_exact_a"] == len(a)
+    assert out["est_a"] == len(a)
+    assert out["est_b"] == len(b)
+    assert out["exact_inter"] == len(a & b)
+    assert out["est_inter"] == len(a & b)
+    assert out["exact_union"] == len(a | b)
+    assert out["est_union"] == len(a | b)
+    assert out["jacc_est_ppm"] == out["jacc_exact_ppm"]
+
+
+def test_sharded_kmin_ladder_equals_global_kmin(spark):
+    vals = sorted({_mix(i) for i in range(1, 2000)})
+    sh = _sets_df(spark, {"x": vals})
+    k = 64
+    got = [r["h"] for r in kmv_sketches(sh, "source", k).orderBy("rn").collect()]
+    assert got == vals[:k]
+
+
+def test_union_merge_associativity(spark):
+    # est_union from the PAIR stage must equal est_n of a sketch built
+    # directly on A ∪ B — the mergeable-summary property that makes
+    # per-partition sketches composable at cluster scale.
+    a = [_mix(i) for i in range(1, 900)]
+    b = [_mix(i) for i in range(450, 1400)]
+    k = 32
+    pair = theta_setops(_sets_df(spark, {"a": a, "b": b}), k=k).collect()[0]
+    direct = theta_setops(
+        _sets_df(spark, {"u": sorted(set(a) | set(b)), "z": [1, 2, 3]}), k=k
+    ).collect()[0]
+    assert pair["est_union"] == direct["est_a"]
+
+
+def test_saturated_estimates_within_kmv_bounds(spark):
+    rows = QUERIES["q_theta_setops"].builder(spark, SF).collect()
+    assert len(rows) == 190  # 20 sources -> C(20,2) pairs
+    rel = 5.0 / math.sqrt(K_KMV)  # 5 sigma of the 1/sqrt(k) KMV error
+    for r in rows:
+        assert abs(r["est_a"] - r["n_exact_a"]) <= rel * r["n_exact_a"], r
+        assert abs(r["est_b"] - r["n_exact_b"]) <= rel * r["n_exact_b"], r
+        assert abs(r["est_union"] - r["exact_union"]) <= rel * r["exact_union"], r
+        # intersection std ~ sqrt(inter * U/k); 5-sigma plus integer slack
+        slack = 5.0 * math.sqrt(
+            max(r["exact_inter"], 1.0) * r["exact_union"] / K_KMV
+        ) + 5.0
+        assert abs(r["est_inter"] - r["exact_inter"]) <= slack, r
+        assert 0 <= r["jacc_est_ppm"] <= 1_000_000
+
+
+def test_theta_union_never_exceeds_input_thetas(spark):
+    # θ_U = k-th smallest of the combined sketches — at most min(θ_A, θ_B),
+    # so the union estimate is never built from a stale wider threshold.
+    a = [_mix(i) for i in range(1, 500)]
+    b = [_mix(3 * i + 7) for i in range(1, 500)]
+    k = 16
+    sh = _sets_df(spark, {"a": a, "b": b})
+    km = kmv_sketches(sh, "source", k)
+    kth = {
+        r["source"]: r["kth"]
+        for r in km.filter(F.col("rn") == k).select("source", F.col("h").alias("kth")).collect()
+    }
+    union_kth = sorted(set(a) | set(b))[k - 1]
+    assert union_kth <= min(kth["a"], kth["b"])
+    pair = theta_setops(sh, k=k).collect()[0]
+    assert pair["est_union"] == (k - 1) * _H_SPACE // union_kth
