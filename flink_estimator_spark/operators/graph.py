@@ -353,3 +353,180 @@ def q_bfs_levels(spark, sf_dir):
     finally:
         for df in pinned:
             df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) — the graph family's
+# filter-to-fixpoint shape, distinct from min-label propagation (CC),
+# pointer doubling (jump-CC), frontier expansion (BFS), and score
+# iteration (PageRank): each round REMOVES structure (every edge with an
+# endpoint of degree < k) and the removals cascade until the k-core
+# remains — the standard "dense sub-community" screen (Seidman 1983) and
+# the peeling pattern behind degeneracy ordering / graph sparsification.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 10
+_KCORE_SUPPORT = 2  # co-purchase support threshold (same thinning as
+#                     q_copurchase_pairs) — the raw graph is min-degree
+#                     ~80-dense, so every vertex is trivially in-core
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """DuckDB replay: the peel UNROLLED to ``rounds`` CTE generations
+    (the q_pagerank_parts / q_kmeans_iterate discipline) — each round's
+    census row value-gates the whole trajectory, and the final-vs-previous
+    join derives is_fixpoint exactly as the Spark side does.  Every
+    generation is AS MATERIALIZED: e_r is referenced three times by
+    generation r+1, so an inlining planner would otherwise expand the
+    chain 3^rounds-fold."""
+    gens = []
+    for r in range(rounds + 1):
+        if r > 0:
+            gens.append(f"""
+        e{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r - 1} e
+            JOIN d{r - 1} a ON a.node = e.src AND a.d >= {k}
+            JOIN d{r - 1} b ON b.node = e.dst AND b.d >= {k})""")
+        gens.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT src AS node, count(*) AS d FROM e{r} GROUP BY src)""")
+    census = "\n            UNION ALL\n".join(
+        f"""            SELECT CAST({r} AS BIGINT) AS round,
+                   CAST(count(*) AS BIGINT) AS n_alive,
+                   CAST(COALESCE(sum(d), 0) // 2 AS BIGINT) AS n_edges,
+                   CAST(COALESCE(sum(node * d), 0) AS BIGINT) AS deg_checksum
+            FROM d{r}"""
+        for r in range(rounds + 1)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT pa, pb FROM (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+            WHERE s >= {_KCORE_SUPPORT}
+        ),
+        e0 AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM pairs
+        ),{",".join(gens)},
+        census AS (
+{census}
+        )
+        SELECT c.round, c.n_alive, c.n_edges, c.deg_checksum,
+               COALESCE(p.n_alive = c.n_alive AND p.n_edges = c.n_edges
+                        AND p.deg_checksum = c.deg_checksum,
+                        FALSE) AS is_fixpoint
+        FROM census c LEFT JOIN census p ON p.round = c.round - 1
+        ORDER BY c.round
+    """
+
+
+@query(
+    "q_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("complex", "graph", "iterative", "kcore", "peeling"),
+)
+def q_kcore_peel(spark, sf_dir):
+    """k-core peel (k=3) of the support-thinned co-purchase graph: each
+    round drops every edge with an endpoint of in-subgraph degree < k,
+    cascading to the 3-core fixpoint.  Output is the full peel TRAJECTORY
+    — per round, surviving vertex count, undirected edge count, and an
+    order-independent Σ(node·deg) checksum that pins exactly WHICH nodes
+    hold which degrees — plus an is_fixpoint flag derived by joining each
+    census to its predecessor.  Rounds are fixed at 10 (both engines
+    identically; fixture trajectories converge in ≤ 8 at every SF and the
+    trailing rows make convergence VISIBLE in the gated values:
+    tests/test_kcore.py asserts the final row is a fixpoint).
+
+    Scale: the data-sized work is the one co-purchase self-join (bounded
+    by lines-per-order², checkpointed once); every peel round is a degree
+    aggregate + two semi joins over a MONOTONICALLY SHRINKING edge set,
+    shuffled on the node key — the standard distributed peel.  Lineage is
+    checkpoint-truncated per round (the jump-CC planning-cost lesson);
+    census rows are one aggregate row per round, so the driver never sees
+    more than rounds+1 rows."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket-array pair build (q_copurchase_pairs' one-shuffle form —
+    # measured 2.5 s vs 4+ s for the order-key self-join at sf0.1; here
+    # the edge relation is checkpointed once, so single-consumer rules
+    # apply and the cheaper build wins)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "filter(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb)), p -> p.pb > p.pa)))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _KCORE_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return kcore_trajectory(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def kcore_trajectory(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Peel-trajectory census over a DIRECTED-both-ways edge relation
+    (src, dst): per round, (n_alive, n_edges, Σ node·deg, is_fixpoint).
+    Separated from the query so tests drive synthetic graphs with known
+    cores (clique + pendant chain).
+
+    Early-stop protocol: each round's census is ONE aggregate row read by
+    the driver (the sanctioned scalar-convergence-read shape, cf.
+    connected_components_jump's changed-count); the edge set shrinks
+    monotonically, so an unchanged census IS the fixpoint and the loop
+    stops there — trailing rounds up to the fixed unroll are identical
+    copies by definition, emitted without re-executing the peel (measured
+    at sf0.1: 7.9 s for the always-10-rounds form vs 2.6 s with the
+    stop at the round-2 fixpoint)."""
+    spark = edges.sparkSession
+    edges = eager_checkpoint(edges)
+
+    rows: list[tuple[int, int, int, int]] = []
+    prev: tuple[int, int, int] | None = None
+    for r in range(rounds + 1):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        c = deg.agg(
+            F.count("*").cast("bigint").alias("n_alive"),
+            F.expr("CAST(coalesce(sum(d), 0) DIV 2 AS BIGINT)").alias("n_edges"),
+            F.coalesce(F.sum(F.col("node") * F.col("d")), F.lit(0))
+            .cast("bigint")
+            .alias("deg_checksum"),
+        ).collect()[0]
+        cur = (c["n_alive"], c["n_edges"], c["deg_checksum"])
+        rows.append((r, *cur))
+        if cur == prev:
+            break  # fixpoint observed — every later census is this one
+        prev = cur
+        if r < rounds:
+            keep = deg.filter(F.col("d") >= k)
+            edges = edges.join(
+                keep.select(F.col("node").alias("src")), "src", "semi"
+            ).join(keep.select(F.col("node").alias("dst")), "dst", "semi")
+            edges = eager_checkpoint(edges)
+    while len(rows) <= rounds:  # fill the unroll with fixpoint copies
+        rows.append((len(rows), *rows[-1][1:]))
+
+    out = [
+        (r, na, ne, ck, i > 0 and rows[i - 1][1:] == (na, ne, ck))
+        for i, (r, na, ne, ck) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "round bigint, n_alive bigint, n_edges bigint, "
+        "deg_checksum bigint, is_fixpoint boolean",
+    ).orderBy("round")
