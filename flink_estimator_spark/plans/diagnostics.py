@@ -1650,3 +1650,133 @@ def q_zorder_layout(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_cuped_lift",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS yc,
+                   CAST(count(*) AS BIGINT) AS xc,
+                   user_id % 2 AS variant
+            FROM events GROUP BY user_id),
+        m AS (
+            SELECT count(*) AS n,
+                   sum(CAST(xc AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0)))
+                       AS sxx,
+                   sum(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0)))
+                       AS syy,
+                   sum(CAST(xc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0)))
+                       AS sxy,
+                   sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN variant = 0 THEN CAST(xc AS DECIMAL(38,0))
+                            ELSE 0 END) AS sx_a,
+                   sum(CASE WHEN variant = 0 THEN CAST(yc AS DECIMAL(38,0))
+                            ELSE 0 END) AS sy_a,
+                   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN variant = 1 THEN CAST(xc AS DECIMAL(38,0))
+                            ELSE 0 END) AS sx_b,
+                   sum(CASE WHEN variant = 1 THEN CAST(yc AS DECIMAL(38,0))
+                            ELSE 0 END) AS sy_b
+            FROM u),
+        d AS (
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   (CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) AS covq,
+                   (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS varxq,
+                   (CAST(n AS DECIMAL(38,0)) * syy - sy * sy) AS varyq,
+                   CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a,
+                   CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b,
+                   CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a,
+                   CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b
+            FROM m)
+        SELECT n_a, n_b,
+               CAST(floor(my_a * 1000000) AS BIGINT) AS mean_y_a_q6,
+               CAST(floor(my_b * 1000000) AS BIGINT) AS mean_y_b_q6,
+               CAST(floor(CAST(covq AS DOUBLE) / CAST(varxq AS DOUBLE)
+                          * 1000000) AS BIGINT) AS theta_q6,
+               CAST(floor((my_a - my_b) * 1000000) AS BIGINT)
+                   AS lift_raw_q6,
+               CAST(floor(((my_a - my_b)
+                           - CAST(covq AS DOUBLE) / CAST(varxq AS DOUBLE)
+                             * (mx_a - mx_b)) * 1000000) AS BIGINT)
+                   AS lift_adj_q6,
+               CAST(floor((1.0 - (CAST(covq AS DOUBLE) * CAST(covq AS DOUBLE))
+                                 / (CAST(varxq AS DOUBLE)
+                                    * CAST(varyq AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS varred_ppm
+        FROM d
+    """,
+    tags=("analytic", "ab-test", "statistics", "cuped", "variance-reduction"),
+)
+def q_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced A/B lift (Deng et al. 2013, WSDM — the
+    controlled-experiment technique every large experimentation platform
+    runs): the experiment metric Y (per-user event value) is adjusted by
+    an assignment-independent covariate X (the user's event count — the
+    activity/exposure covariate, ρ ≈ 0.5 against value totals in this
+    corpus) via Y' = Y − θ(X − E[X]), θ = cov(X,Y)/var(X), shrinking
+    metric variance by the squared correlation: varred = 1−ρ² ≈ 0.75
+    here, i.e. a quarter of the metric noise removed before the lift
+    test.  Output: per-variant means, θ, raw vs adjusted lift, and the
+    variance-reduction ratio in ppm.
+
+    Exactness: all seven moments (n, Σx, Σy, Σx², Σy², Σxy + per-variant
+    splits) accumulate as DECIMAL(38,0) sums of exact integer cents —
+    order-independent — then θ/lifts/ρ² are a FIXED sequence of IEEE
+    double ops on those exact values, floor-quantized once at the end
+    (the q_ab_test_lift / q_linreg_by_group discipline, SCALE.md §7c).
+
+    Scale: one per-user aggregate (shuffle keyed on user), then a single
+    twelve-moment global aggregate whose partials combine map-side — the
+    raw event stream moves once, and nothing driver-side exceeds one
+    row."""
+    d38 = "decimal(38,0)"
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(dec("value") * 100).cast("bigint").alias("yc"),
+        F.count("*").cast("bigint").alias("xc"),
+    ).select("yc", "xc", (F.col("user_id") % 2).alias("variant"))
+    xq = F.col("xc").cast(d38)
+    yq = F.col("yc").cast(d38)
+    zero = F.lit(0).cast(d38)
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        F.sum(xq * xq).alias("sxx"),
+        F.sum(yq * yq).alias("syy"),
+        F.sum(xq * yq).alias("sxy"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, xq).otherwise(zero)).alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 0, yq).otherwise(zero)).alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, xq).otherwise(zero)).alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 1, yq).otherwise(zero)).alias("sy_b"),
+    )
+    n38 = F.col("n").cast(d38)
+    covq = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varxq = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    varyq = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    my_a = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    my_b = F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+    mx_a = F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+    mx_b = F.col("sx_b").cast("double") / F.col("n_b").cast("double")
+    theta = covq / varxq
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.floor(my_a * 1_000_000).cast("bigint").alias("mean_y_a_q6"),
+        F.floor(my_b * 1_000_000).cast("bigint").alias("mean_y_b_q6"),
+        F.floor(theta * 1_000_000).cast("bigint").alias("theta_q6"),
+        F.floor((my_a - my_b) * 1_000_000).cast("bigint").alias("lift_raw_q6"),
+        F.floor(((my_a - my_b) - theta * (mx_a - mx_b)) * 1_000_000)
+        .cast("bigint")
+        .alias("lift_adj_q6"),
+        F.floor((F.lit(1.0) - (covq * covq) / (varxq * varyq)) * 1_000_000)
+        .cast("bigint")
+        .alias("varred_ppm"),
+    )

