@@ -2123,3 +2123,278 @@ def q_silhouette(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN (NSW-style beam search) — the fourth production ANN
+# architecture, next to multi-table LSH (q_emb_lsh_ann), IVF routing
+# (q_emb_ivf_ann), and PQ compression (q_emb_pq_adc / q_emb_ivfpq_adc):
+# HNSW/DiskANN-class systems answer queries by NAVIGATING a neighborhood
+# graph — score the beam's out-neighbors, keep the best B, repeat — so a
+# query touches O(B·M·hops) vectors instead of nprobe/corpus fractions.
+# Relational realization: the graph is within-cluster kNN edges (the
+# SemDeDup sum(|cluster|²) build bound — never corpus²) plus a hub mesh
+# (each cluster's min-id node, C² edges) for cross-cluster reachability;
+# the search unrolls a fixed number of hops, each one join + one bounded
+# rank window.
+# ---------------------------------------------------------------------------
+
+_GANN_C = 16  # coarse clusters (seed vectors vec_id < C)
+_GANN_M = 8   # out-degree of the kNN graph
+_GANN_B = 12  # beam width
+_GANN_H = 4   # unrolled hops
+_GANN_Q = 10  # query vectors (vec_id < Q)
+_GANN_K = 5   # returned neighbors per query
+
+
+def _gann_oracle() -> str:
+    """DuckDB replay of the ENTIRE pipeline — quantization, seed
+    assignment, graph build, hub mesh, every beam-search hop, and the
+    exact-rank certificate — so the navigated result set itself
+    value-gates (portable-hash/quantized-arithmetic rule).  Generations
+    are AS MATERIALIZED (the q_kcore_peel lesson: each hop references its
+    predecessor multiple times)."""
+    c, m, b, h, q, k = _GANN_C, _GANN_M, _GANN_B, _GANN_H, _GANN_Q, _GANN_K
+    code = _QUANT_CODE.format(side="e")
+    hops = []
+    for i in range(1, h + 1):
+        hops.append(f"""
+        cand{i} AS MATERIALIZED (
+            SELECT DISTINCT query_id, node FROM (
+                SELECT query_id, node FROM beam{i - 1}
+                UNION ALL
+                SELECT bm.query_id, ed.dst AS node
+                FROM beam{i - 1} bm JOIN edges ed ON ed.src = bm.node)),
+        sc{i} AS MATERIALIZED (
+            SELECT cn.query_id, cn.node,
+                   CAST(sum((cq.c - cc.c) * (cq.c - cc.c)) AS BIGINT) AS d2
+            FROM cand{i} cn
+            JOIN codes cq ON cq.vec_id = cn.query_id
+            JOIN codes cc ON cc.vec_id = cn.node AND cc.i = cq.i
+            GROUP BY cn.query_id, cn.node),
+        beam{i} AS MATERIALIZED (
+            SELECT query_id, node, d2 FROM (
+                SELECT query_id, node, d2,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, node) AS rk
+                FROM sc{i})
+            WHERE rk <= {b})""")
+    return f"""
+        WITH dims AS (
+            SELECT gs.i,
+                   min(CAST(e.embedding[gs.i] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[gs.i] AS DOUBLE)) AS mx
+            FROM embeddings e, generate_series(1, {_QUANT_SQL_DIM}) gs(i)
+            GROUP BY gs.i),
+        codes AS MATERIALIZED (
+            SELECT e.vec_id, d.i, {code} AS c
+            FROM embeddings e, dims d),
+        sd AS MATERIALIZED (
+            SELECT a.vec_id, s.vec_id AS scid,
+                   sum((a.c - s.c) * (a.c - s.c)) AS d2
+            FROM codes a JOIN codes s ON s.vec_id < {c} AND s.i = a.i
+            GROUP BY a.vec_id, s.vec_id),
+        assign AS MATERIALIZED (
+            SELECT vec_id, CAST(scid AS BIGINT) AS cid FROM (
+                SELECT vec_id, scid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, scid) AS rk
+                FROM sd)
+            WHERE rk = 1),
+        knnd AS MATERIALIZED (
+            SELECT aa.vec_id AS src, bb.vec_id AS dst,
+                   sum((ca.c - cb.c) * (ca.c - cb.c)) AS d2
+            FROM assign aa
+            JOIN assign bb ON bb.cid = aa.cid AND bb.vec_id != aa.vec_id
+            JOIN codes ca ON ca.vec_id = aa.vec_id
+            JOIN codes cb ON cb.vec_id = bb.vec_id AND cb.i = ca.i
+            GROUP BY aa.vec_id, bb.vec_id),
+        knn AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY d2, dst) AS rk
+                FROM knnd)
+            WHERE rk <= {m}),
+        hubs AS (SELECT cid, min(vec_id) AS hub FROM assign GROUP BY cid),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM knn
+                UNION ALL
+                SELECT a.hub AS src, b.hub AS dst
+                FROM hubs a JOIN hubs b ON a.hub != b.hub)),
+        entry AS (SELECT min(vec_id) AS node FROM assign),
+        beam0 AS (
+            SELECT e.vec_id AS query_id, en.node
+            FROM embeddings e, entry en WHERE e.vec_id < {q}),{",".join(hops)},
+        finals AS (
+            SELECT query_id, node AS neighbor_id, d2 AS dist_sq,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, node) AS rk
+            FROM beam{h} WHERE node != query_id),
+        brute AS (
+            SELECT cq.vec_id AS query_id, cc.vec_id AS node,
+                   sum((cq.c - cc.c) * (cq.c - cc.c)) AS d2
+            FROM codes cq JOIN codes cc
+              ON cq.vec_id < {q} AND cc.vec_id != cq.vec_id AND cc.i = cq.i
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT query_id, node,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, node) AS true_rk
+            FROM brute)
+        SELECT f.query_id, CAST(f.rk AS BIGINT) AS rk, f.neighbor_id,
+               f.dist_sq, CAST(t.true_rk AS BIGINT) AS true_rk,
+               t.true_rk <= {k} AS in_exact_topk
+        FROM finals f
+        JOIN truth t ON t.query_id = f.query_id AND t.node = f.neighbor_id
+        WHERE f.rk <= {k}
+        ORDER BY f.query_id, f.rk
+    """
+
+
+@query(
+    "q_emb_graph_ann",
+    oracle=_gann_oracle(),
+    tags=("llm", "similarity", "ann", "graph", "beam-search"),
+)
+def q_emb_graph_ann(spark, sf_dir):
+    """Graph-navigation ANN: beam search (B=12, 4 unrolled hops) over a
+    kNN graph — within-cluster top-8 edges under the quantized-int8 L2
+    metric plus a hub mesh of per-cluster min-id nodes — from a single
+    global entry point, answering 10 queries with their top-5 neighbors.
+    Every retrieved row carries its TRUE exact rank (brute-force quantized
+    top-k) as an inline certificate: in_exact_topk makes recall readable
+    off the gated values (mean recall@5 ≥ 0.84 at every fixture SF,
+    pytest-bounded), while dist_sq value-gates the navigation itself.
+
+    Scale: graph CONSTRUCTION is cluster-bounded — assignment is a
+    corpus × C broadcast scan and the kNN self-join is sum(|cluster|²)
+    (the SemDeDup bound), never corpus²; hub mesh is C².  SEARCH cost per
+    query is O(B·M·hops) scored vectors — independent of corpus size,
+    which is the entire point of graph ANN at 100 TB — and each hop is
+    one equi-join + one query-partitioned rank window over ≤ B·(M+1)·Q
+    rows.  The brute-force side exists only as the certificate (bounded
+    broadcast query side × linear scan, the q_emb_quantized_topk class).
+    Production engines grow the graph incrementally (HNSW insert order,
+    NN-descent); the relational build here is the batch-rebuild shape."""
+    c, m, b, h, q, k = _GANN_C, _GANN_M, _GANN_B, _GANN_H, _GANN_Q, _GANN_K
+    emb = t(spark, sf_dir, "embeddings")
+    bounds = quantization_bounds(emb)
+    coded = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            quantize_int8(
+                F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")
+            ).alias("code"),
+        )
+    )
+    # five differently-shaped consumers (seeds, assignment scan, kNN join,
+    # hop scoring, brute certificate) — one materialization (§7h)
+    coded = eager_checkpoint(coded)
+
+    def qd(a: Column, bcol: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seeds = F.broadcast(
+        coded.filter(F.col("vec_id") < c).select(
+            F.col("vec_id").alias("scid"), F.col("code").alias("scode")
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy("sd2", "scid")
+    assign = (
+        coded.crossJoin(seeds)
+        .select(
+            "vec_id", "code", "scid", qd(F.col("code"), F.col("scode")).alias("sd2")
+        )
+        .withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "code", F.col("scid").cast("bigint").alias("cid"))
+    )
+    # consumed by the kNN self-join (both sides) and the hub aggregate
+    assign = eager_checkpoint(assign)
+
+    a_ = assign.select("cid", F.col("vec_id").alias("src"), F.col("code").alias("acode"))
+    b_ = assign.select("cid", F.col("vec_id").alias("dst"), F.col("code").alias("bcode"))
+    wkn = W.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        a_.join(b_, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", qd(F.col("acode"), F.col("bcode")).alias("d2"))
+        .withColumn("_rk", F.row_number().over(wkn))
+        .filter(F.col("_rk") <= m)
+        .select("src", "dst")
+    )
+    hubs = assign.groupBy("cid").agg(F.min("vec_id").alias("hub"))
+    hub_edges = (
+        hubs.select(F.col("hub").alias("src"))
+        .crossJoin(F.broadcast(hubs.select(F.col("hub").alias("dst"))))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = knn.unionByName(hub_edges).distinct()
+    edges = eager_checkpoint(edges)  # consumed once per hop
+
+    queries = F.broadcast(
+        coded.filter(F.col("vec_id") < q).select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+        )
+    )
+    entry = assign.agg(F.min("vec_id").alias("node"))
+    beam = queries.select("query_id").crossJoin(F.broadcast(entry))
+    nodes = coded.select(F.col("vec_id").alias("node"), F.col("code").alias("ncode"))
+    wq = W.partitionBy("query_id").orderBy("d2", "node")
+    for hop in range(h):
+        nbrs = beam.join(edges, beam.node == edges.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = beam.select("query_id", "node").unionByName(nbrs).distinct()
+        scored = (
+            cand.join(nodes, "node")
+            .join(queries, "query_id")
+            .select("query_id", "node", qd(F.col("ncode"), F.col("qcode")).alias("d2"))
+        )
+        beam = (
+            scored.withColumn("_rk", F.row_number().over(wq))
+            .filter(F.col("_rk") <= b)
+            .select("query_id", "node", "d2")
+        )
+        # each hop references the previous beam twice (carry + expand), so
+        # the un-truncated plan doubles per hop; truncating every OTHER hop
+        # caps the replay at two tiny-beam subtrees per segment and halves
+        # the materialization actions
+        if hop % 2 == 1:
+            beam = eager_checkpoint(beam)
+
+    finals = (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", F.col("node").alias("neighbor_id"),
+                F.col("d2").alias("dist_sq"))
+    )
+    brute = (
+        nodes.crossJoin(queries)
+        .filter(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", qd(F.col("ncode"), F.col("qcode")).alias("d2"))
+    )
+    truth = brute.withColumn(
+        "true_rk", F.row_number().over(wq).cast("long")
+    ).select("query_id", F.col("node").alias("neighbor_id"), "true_rk")
+    return (
+        finals.join(truth, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "rk",
+            "neighbor_id",
+            "dist_sq",
+            "true_rk",
+            (F.col("true_rk") <= k).alias("in_exact_topk"),
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -76,6 +76,8 @@ SAMPLE = [
     "q_kanonymity",            # coarsening-ladder census over hash aggregates
     # r7 second batch: k-min rank ladder + sketch set algebra
     "q_theta_setops",          # md5-52 KMV k-mins, theta division estimates
+    # r7 third batch: navigated-graph search over quantized distances
+    "q_emb_graph_ann",         # kNN-graph beam hops, int8-L2 rank windows
 ]
 
 
