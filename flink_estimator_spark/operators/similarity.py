@@ -2398,3 +2398,141 @@ def q_emb_graph_ann(spark, sf_dir):
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez 1985; "k-Center greedy" in coreset /
+# active-learning curation, e.g. Sener & Savarese 2018) — the diversity-
+# selection dual of dedup: instead of REMOVING near-duplicates, SELECT the
+# k points that cover the corpus most evenly.  The greedy 2-approximation
+# is the production algorithm: repeatedly take the point farthest from
+# every chosen center.  Its radius trace (max point-to-nearest-center
+# distance after each pick) is the coverage-quality curve data teams read
+# before fixing a coreset size.
+# ---------------------------------------------------------------------------
+
+_KC_STEPS = 10
+
+
+def _kcenter_oracle(steps: int = _KC_STEPS) -> str:
+    """DuckDB replay, greedy UNROLLED one generation per pick: each
+    generation materializes the running min-distance table, takes the
+    argmax row (ORDER BY mind DESC, vec_id LIMIT 1 — the deterministic
+    tie-break), and folds the new center's distances in with least()."""
+    code = _QUANT_CODE.format(side="e")
+    gens = []
+    rows = ["""            SELECT CAST(0 AS BIGINT) AS step,
+                   (SELECT min(vec_id) FROM embeddings) AS center_id,
+                   (SELECT CAST(max(mind) AS BIGINT) FROM m0) AS radius_q"""]
+    for s in range(1, steps):
+        gens.append(f"""
+        c{s} AS MATERIALIZED (
+            SELECT vec_id FROM m{s - 1}
+            ORDER BY mind DESC, vec_id LIMIT 1),
+        d{s} AS MATERIALIZED (
+            SELECT a.vec_id, sum((a.c - s.c) * (a.c - s.c)) AS d
+            FROM codes a
+            JOIN c{s} ON TRUE
+            JOIN codes s ON s.vec_id = c{s}.vec_id AND s.i = a.i
+            GROUP BY a.vec_id),
+        m{s} AS MATERIALIZED (
+            SELECT m.vec_id, least(m.mind, d.d) AS mind
+            FROM m{s - 1} m JOIN d{s} d ON d.vec_id = m.vec_id)""")
+        rows.append(f"""            SELECT CAST({s} AS BIGINT) AS step,
+                   (SELECT vec_id FROM c{s}) AS center_id,
+                   (SELECT CAST(max(mind) AS BIGINT) FROM m{s}) AS radius_q""")
+    return f"""
+        WITH dims AS (
+            SELECT gs.i,
+                   min(CAST(e.embedding[gs.i] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[gs.i] AS DOUBLE)) AS mx
+            FROM embeddings e, generate_series(1, {_QUANT_SQL_DIM}) gs(i)
+            GROUP BY gs.i),
+        codes AS MATERIALIZED (
+            SELECT e.vec_id, d.i, {code} AS c
+            FROM embeddings e, dims d),
+        m0 AS MATERIALIZED (
+            SELECT a.vec_id, sum((a.c - s.c) * (a.c - s.c)) AS mind
+            FROM codes a
+            JOIN codes s
+              ON s.vec_id = (SELECT min(vec_id) FROM embeddings)
+             AND s.i = a.i
+            GROUP BY a.vec_id),{",".join(gens)}
+        SELECT step, center_id, radius_q FROM (
+{"            UNION ALL".join(rows)}
+        )
+        ORDER BY step
+    """
+
+
+@query(
+    "q_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "curation", "coreset", "iterative", "diversity"),
+)
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection over quantized-int8 embeddings:
+    10 picks, each the point FARTHEST from all chosen centers (exact
+    BIGINT L2², ties to the smaller id), emitting the selection order and
+    the coverage radius after each pick — the coreset-quality curve.  The
+    oracle unrolls the greedy loop one SQL generation per pick, so the
+    entire selection trajectory value-gates.
+
+    Scale: the canonical distributed k-center — each round broadcasts ONE
+    new center, folds its distances into the per-point running minimum
+    (map-side least(), no shuffle), and takes a global argmax (TakeOrdered:
+    combiner-reduced, one row to the driver — the sanctioned scalar read).
+    k rounds × one corpus pass; state is one BIGINT per point,
+    checkpoint-truncated every other round."""
+    emb = t(spark, sf_dir, "embeddings")
+    bounds = quantization_bounds(emb)
+    coded = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            quantize_int8(
+                F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")
+            ).alias("code"),
+        )
+    )
+    # consumed every round (center lookup + distance fold) — materialize once
+    coded = eager_checkpoint(coded)
+
+    def qd(a: Column, bcol: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    c0 = coded.agg(F.min("vec_id")).collect()[0][0]
+    center_code = F.broadcast(
+        coded.filter(F.col("vec_id") == c0).select(F.col("code").alias("ccode"))
+    )
+    mind = coded.crossJoin(center_code).select(
+        "vec_id", "code", qd(F.col("code"), F.col("ccode")).alias("mind")
+    )
+    rows: list[tuple[int, int, int]] = []
+    center = c0
+    for s in range(_KC_STEPS):
+        far = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        rows.append((s, center, far["mind"]))
+        if s == _KC_STEPS - 1:
+            break
+        center = far["vec_id"]
+        ncode = F.broadcast(
+            coded.filter(F.col("vec_id") == center).select(
+                F.col("code").alias("ccode")
+            )
+        )
+        mind = mind.crossJoin(ncode).select(
+            "vec_id",
+            "code",
+            F.least(F.col("mind"), qd(F.col("code"), F.col("ccode"))).alias("mind"),
+        )
+        if s % 2 == 1:  # truncate the least()-fold lineage every other round
+            mind = eager_checkpoint(mind)
+    return spark.createDataFrame(
+        rows, "step bigint, center_id bigint, radius_q bigint"
+    ).orderBy("step")
