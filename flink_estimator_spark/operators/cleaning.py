@@ -737,3 +737,108 @@ def q_kanonymity(spark, sf_dir):
             ("lang", [F.col("lang")]),
         ],
     ).orderBy("level")
+
+
+_L_DIV = 3
+
+
+@query(
+    "q_ldiversity",
+    oracle=f"""
+        WITH base AS (
+            SELECT lang, n_chars // 50 AS len_b, source
+            FROM documents
+        ),
+        g0 AS (SELECT lang, len_b, count(*) AS c,
+                      count(DISTINCT source) AS l
+               FROM base GROUP BY 1, 2),
+        g1 AS (SELECT len_b, count(*) AS c, count(DISTINCT source) AS l
+               FROM base GROUP BY 1),
+        g2 AS (SELECT lang, count(*) AS c, count(DISTINCT source) AS l
+               FROM base GROUP BY 1)
+        SELECT CAST(level AS BIGINT) AS level, qi,
+               CAST(n_groups AS BIGINT) AS n_groups,
+               CAST(n_low_diversity AS BIGINT) AS n_low_diversity,
+               CAST(rows_suppressed AS BIGINT) AS rows_suppressed,
+               CAST(rows_released AS BIGINT) AS rows_released,
+               CAST(min_l AS BIGINT) AS min_l
+        FROM (
+            SELECT 0 AS level, 'lang,len_b' AS qi, count(*) AS n_groups,
+                   sum(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END)
+                       AS n_low_diversity,
+                   sum(CASE WHEN l < {_L_DIV} THEN c ELSE 0 END)
+                       AS rows_suppressed,
+                   sum(CASE WHEN l >= {_L_DIV} THEN c ELSE 0 END)
+                       AS rows_released,
+                   min(l) AS min_l
+            FROM g0
+            UNION ALL
+            SELECT 1, 'len_b', count(*),
+                   sum(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l < {_L_DIV} THEN c ELSE 0 END),
+                   sum(CASE WHEN l >= {_L_DIV} THEN c ELSE 0 END),
+                   min(l)
+            FROM g1
+            UNION ALL
+            SELECT 2, 'lang', count(*),
+                   sum(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l < {_L_DIV} THEN c ELSE 0 END),
+                   sum(CASE WHEN l >= {_L_DIV} THEN c ELSE 0 END),
+                   min(l)
+            FROM g2)
+        ORDER BY level
+    """,
+    tags=("llm", "cleaning", "privacy", "l-diversity"),
+)
+def q_ldiversity(spark, sf_dir):
+    """l-diversity census (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a QI class can hold ≥ k rows yet leak the
+    sensitive attribute outright if every row carries the SAME sensitive
+    value (homogeneity attack).  Treating `source` as the sensitive
+    attribute, each level of the generalization ladder reports how many
+    QI classes hold < l={_L_DIV} DISTINCT sensitive values, the rows a
+    suppress-low-diversity release would drop vs ship, and the achieved
+    min-l — the companion trade-off curve to q_kanonymity's size census.
+
+    Scale: one hash aggregate per level (count + distinct-count over a
+    low-cardinality sensitive column, map-side combined) + metadata-sized
+    census rows — no joins, no windows."""
+    docs = t(spark, sf_dir, "documents")
+    # 50-char buckets (finer than q_kanonymity's 200): at this grain some
+    # (lang, len_b) classes genuinely hold < l sources at every fixture SF,
+    # so the census shows the real suppress-vs-generalize trade-off
+    base = docs.select(
+        "lang", F.expr("n_chars DIV 50").alias("len_b"), "source"
+    )
+    levels = [
+        ("lang,len_b", [F.col("lang"), F.col("len_b")]),
+        ("len_b", [F.col("len_b")]),
+        ("lang", [F.col("lang")]),
+    ]
+    outs = []
+    for lvl_no, (name, cols) in enumerate(levels):
+        g = base.groupBy(*cols).agg(
+            F.count("*").alias("c"),
+            F.countDistinct("source").alias("l"),
+        )
+        outs.append(
+            g.agg(
+                F.lit(lvl_no).cast("bigint").alias("level"),
+                F.lit(name).alias("qi"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("l") < _L_DIV, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_low_diversity"),
+                F.sum(F.when(F.col("l") < _L_DIV, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_suppressed"),
+                F.sum(F.when(F.col("l") >= _L_DIV, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_released"),
+                F.min("l").cast("bigint").alias("min_l"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")
