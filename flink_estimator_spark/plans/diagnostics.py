@@ -1780,3 +1780,135 @@ def q_cuped_lift(spark, sf_dir):
         .cast("bigint")
         .alias("varred_ppm"),
     )
+
+
+@query(
+    "q_delta_ratio",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS yc,
+                   CAST(count(*) AS BIGINT) AS ec,
+                   user_id % 2 AS variant
+            FROM events GROUP BY user_id),
+        m AS (
+            SELECT variant,
+                   count(*) AS n,
+                   sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(ec AS DECIMAL(38,0))) AS se,
+                   sum(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0)))
+                       AS syy,
+                   sum(CAST(ec AS DECIMAL(38,0)) * CAST(ec AS DECIMAL(38,0)))
+                       AS see,
+                   sum(CAST(yc AS DECIMAL(38,0)) * CAST(ec AS DECIMAL(38,0)))
+                       AS sye
+            FROM u GROUP BY variant),
+        d AS (
+            SELECT variant, CAST(n AS BIGINT) AS n,
+                   CAST(sy AS DOUBLE) / CAST(se AS DOUBLE) AS r,
+                   CAST(se AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e,
+                   (CAST(n AS DECIMAL(38,0)) * syy - sy * sy) AS vyq,
+                   (CAST(n AS DECIMAL(38,0)) * see - se * se) AS veq,
+                   (CAST(n AS DECIMAL(38,0)) * sye - sy * se) AS cyeq
+            FROM m),
+        v AS (
+            SELECT variant, n, r, mean_e,
+                   (CAST(vyq AS DOUBLE)
+                    - 2.0 * r * CAST(cyeq AS DOUBLE)
+                    + r * r * CAST(veq AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * mean_e * mean_e) AS var_r
+            FROM d),
+        wide AS (
+            SELECT
+                max(CASE WHEN variant = 0 THEN n END) AS n_a,
+                max(CASE WHEN variant = 1 THEN n END) AS n_b,
+                max(CASE WHEN variant = 0 THEN r END) AS r_a,
+                max(CASE WHEN variant = 1 THEN r END) AS r_b,
+                max(CASE WHEN variant = 0 THEN var_r END) AS v_a,
+                max(CASE WHEN variant = 1 THEN var_r END) AS v_b
+            FROM v)
+        SELECT n_a, n_b,
+               CAST(floor(r_a * 1000000) AS BIGINT) AS ratio_a_q6,
+               CAST(floor(r_b * 1000000) AS BIGINT) AS ratio_b_q6,
+               CAST(floor(sqrt(v_a) * 1000000000) AS BIGINT) AS se_a_q9,
+               CAST(floor(sqrt(v_b) * 1000000000) AS BIGINT) AS se_b_q9,
+               CAST(floor((r_a - r_b) / sqrt(v_a + v_b) * 1000000) AS BIGINT)
+                   AS z_q6
+        FROM wide
+    """,
+    tags=("analytic", "ab-test", "statistics", "delta-method", "ratio-metric"),
+)
+def q_delta_ratio(spark, sf_dir):
+    """Delta-method inference for a RATIO metric (value per event) under
+    user-level randomization — the experimentation primitive q_ab_test_lift
+    (proportions) and q_cuped_lift (user-mean metrics) don't cover: when
+    the metric's denominator is events but the randomization unit is the
+    user, per-event variance is simply wrong (within-user correlation),
+    and the standard fix is the delta method on the per-user (Y, N) pair:
+    Var(ΣY/ΣN) ≈ (σ²_y − 2R·σ_yn + R²·σ_n) / (n·n̄²·n) per variant
+    (Deng, Knoblich & Lu 2018, KDD).  Output: per-variant ratios, delta-
+    method standard errors, and the two-sample z for the ratio difference.
+
+    Exactness: six DECIMAL(38,0) moments per variant over exact integer
+    (cents, count) pairs; the variance and z are one fixed IEEE double
+    sequence floor-quantized at the end (SCALE.md §7c).
+
+    Scale: one user-keyed aggregate + one six-moment aggregate per
+    variant with map-side combine — the event stream moves once."""
+    d38 = "decimal(38,0)"
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(dec("value") * 100).cast("bigint").alias("yc"),
+        F.count("*").cast("bigint").alias("ec"),
+    ).select("yc", "ec", (F.col("user_id") % 2).alias("variant"))
+    yq = F.col("yc").cast(d38)
+    eq = F.col("ec").cast(d38)
+    m = u.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum(yq).alias("sy"),
+        F.sum(eq).alias("se"),
+        F.sum(yq * yq).alias("syy"),
+        F.sum(eq * eq).alias("see"),
+        F.sum(yq * eq).alias("sye"),
+    )
+    n38 = F.col("n").cast(d38)
+    nd = F.col("n").cast("double")
+    r = F.col("sy").cast("double") / F.col("se").cast("double")
+    mean_e = F.col("se").cast("double") / nd
+    vyq = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    veq = (n38 * F.col("see") - F.col("se") * F.col("se")).cast("double")
+    cyeq = (n38 * F.col("sye") - F.col("sy") * F.col("se")).cast("double")
+    var_r = (
+        (vyq - F.lit(2.0) * r * cyeq + r * r * veq) / (nd * nd) / (nd * mean_e * mean_e)
+    )
+    v = m.select(
+        "variant",
+        F.col("n").cast("bigint").alias("n"),
+        r.alias("r"),
+        var_r.alias("var_r"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("var_r"))).alias("v_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("var_r"))).alias("v_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.floor(F.col("r_a") * 1_000_000).cast("bigint").alias("ratio_a_q6"),
+        F.floor(F.col("r_b") * 1_000_000).cast("bigint").alias("ratio_b_q6"),
+        F.floor(F.sqrt(F.col("v_a")) * 1_000_000_000).cast("bigint").alias("se_a_q9"),
+        F.floor(F.sqrt(F.col("v_b")) * 1_000_000_000).cast("bigint").alias("se_b_q9"),
+        F.floor(
+            (F.col("r_a") - F.col("r_b"))
+            / F.sqrt(F.col("v_a") + F.col("v_b"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("z_q6"),
+    )

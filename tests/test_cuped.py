@@ -59,3 +59,42 @@ def test_cuped_bounds(spark):
     # adjustment must not flip an order-of-magnitude: |adj| <= |raw| + |theta*dx|
     theta = got["theta_q6"] / 1e6
     assert math.isfinite(theta)
+
+
+def _delta_ratio_numpy():
+    # numpy reference for the delta-method ratio inference
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT),
+                   count(*)
+            FROM '{SF}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    e = np.array([r[2] for r in rows], dtype=np.float64)
+
+    def stats(mask):
+        yy, ee = y[mask], e[mask]
+        n = mask.sum()
+        r = yy.sum() / ee.sum()
+        vy, ve = np.var(yy), np.var(ee)
+        cye = np.mean(yy * ee) - yy.mean() * ee.mean()
+        var_r = (vy - 2 * r * cye + r * r * ve) / (n * ee.mean() ** 2)
+        return n, r, var_r
+
+    n_a, r_a, v_a = stats(uid % 2 == 0)
+    n_b, r_b, v_b = stats(uid % 2 == 1)
+    return n_a, r_a, v_a, n_b, r_b, v_b
+
+
+def test_delta_ratio_spark_vs_numpy(spark):
+    got = QUERIES["q_delta_ratio"].builder(spark, SF).collect()[0]
+    n_a, r_a, v_a, n_b, r_b, v_b = _delta_ratio_numpy()
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert abs(got["ratio_a_q6"] / 1e6 - r_a) <= 1e-3
+    assert abs(got["ratio_b_q6"] / 1e6 - r_b) <= 1e-3
+    assert abs(got["se_a_q9"] / 1e9 - math.sqrt(v_a)) <= 1e-3
+    assert abs(got["se_b_q9"] / 1e9 - math.sqrt(v_b)) <= 1e-3
+    z = (r_a - r_b) / math.sqrt(v_a + v_b)
+    assert abs(got["z_q6"] / 1e6 - z) <= 1e-3
