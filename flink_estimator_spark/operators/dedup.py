@@ -1956,3 +1956,115 @@ def connected_components_jump(
     finally:
         sym.unpersist()
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold operating curve — the tuning artifact behind every
+# near-dup threshold decision: one pass over the exact pairwise Jaccard
+# relation, counting at EVERY candidate threshold how many pairs fire and
+# how many documents a keep-earliest policy would drop.  Teams read this
+# curve (pairs/removals vs threshold) before fixing the 0.7-or-0.8 knob;
+# computing it per-threshold would re-run the join 8 times.
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (1, 5, 10, 20, 30, 40, 50, 60, 70, 80, 90)  # percent
+
+
+@query(
+    "q_dedup_threshold_curve",
+    oracle=rf"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+') AS words
+                    FROM documents
+                ), LATERAL (SELECT unnest(generate_series(1,
+                                greatest(len(words) - 4, 0))) AS i)
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT id_a, id_b, inter,
+                   sa.n_sh + sb.n_sh - inter AS uni
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        ),
+        fired AS (
+            SELECT t.pct, p.id_a, p.id_b
+            FROM pairs p
+            JOIN (SELECT unnest([{", ".join(str(p) for p in _CURVE_THRESHOLDS)}])
+                      AS pct) t
+              ON p.inter * 100 >= t.pct * p.uni
+        )
+        SELECT CAST(pct AS BIGINT) AS threshold_pct,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+        FROM fired
+        GROUP BY pct
+        ORDER BY threshold_pct
+    """,
+    tags=("llm", "dedup", "jaccard", "tuning", "operating-curve"),
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Near-dup threshold OPERATING CURVE: for each candidate Jaccard
+    threshold (1%..90%), the number of exact 5-gram pairs that fire and
+    the documents a keep-earliest policy would remove (later doc of each
+    fired pair) — computed from ONE pairwise pass, with the threshold
+    test as a cross-multiplied integer inequality (inter·100 ≥ pct·union,
+    the q_jaccard_prefix_pairs discipline — no float compare ever decides
+    membership).
+
+    Scale: the pair relation is the same df-bounded shingle self-join the
+    single-threshold queries use (one shuffle, ReusedExchange across its
+    consumers); the curve fan-out multiplies PAIRS (already tiny) by 8
+    literal thresholds, never the corpus."""
+    # same pair build as jaccard_pairs, but carrying the EXACT integer
+    # union (never re-derived through the float jaccard, which could be
+    # off by one after a divide-then-cast round trip)
+    sh = shingle_df(t(spark, sf_dir, "documents"), partition_by_shingle=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+        )
+    )
+    thr = F.explode(
+        F.array(*[F.lit(p) for p in _CURVE_THRESHOLDS])
+    ).alias("pct")
+    fired = (
+        pairs.select("id_a", "id_b", "inter", "uni", thr)
+        .filter(F.col("inter") * 100 >= F.col("pct") * F.col("uni"))
+    )
+    return (
+        fired.groupBy(F.col("pct").cast("bigint").alias("threshold_pct"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_docs_removed"),
+        )
+        .orderBy("threshold_pct")
+    )
