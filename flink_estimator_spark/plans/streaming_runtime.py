@@ -1540,3 +1540,115 @@ def q_stream_tws_cep_runtime(spark, sf_dir):
     )
     rows = [r for _bid, rs in batches for r in rs]
     return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+
+
+@query(
+    "q_stream_kmv_runtime",
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        decided AS (
+            SELECT DISTINCT ws, h FROM ev
+            WHERE ws + 5460 <=
+                  (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        ),
+        km AS (
+            SELECT ws, h, rn FROM (
+                SELECT ws, h,
+                       row_number() OVER (PARTITION BY ws ORDER BY h) AS rn
+                FROM decided
+            ) WHERE rn <= 16
+        ),
+        per AS (
+            SELECT ws AS win_start, count(*) AS nk,
+                   CASE WHEN count(*) = 16
+                        THEN max(CASE WHEN rn = 16 THEN h END)
+                        ELSE 4503599627370496 END AS theta
+            FROM km GROUP BY ws
+        ),
+        mk AS (
+            SELECT h FROM (SELECT DISTINCT h FROM km)
+            ORDER BY h LIMIT 16
+        ),
+        merged AS (
+            SELECT CAST(-1 AS BIGINT) AS win_start, count(*) AS nk,
+                   CASE WHEN count(*) = 16 THEN max(h)
+                        ELSE 4503599627370496 END AS theta
+            FROM mk
+        )
+        SELECT win_start, CAST(nk AS BIGINT) AS nk,
+               CAST(theta AS BIGINT) AS theta,
+               CASE WHEN nk < 16 THEN CAST(nk AS BIGINT)
+                    ELSE CAST((15 * 4503599627370496) // theta AS BIGINT)
+               END AS est_distinct
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM merged)
+        ORDER BY win_start
+    """,
+    tags=("streaming", "runtime", "sketch", "kmv", "theta", "mergeable"),
+)
+def q_stream_kmv_runtime(spark, sf_dir):
+    """The O(k)-STATE DISTINCT-SKETCH path, driver-gated — the 21st
+    runtime gate: ``streaming/sketches.py windowed_kmv`` runs as a real
+    append-mode streaming query keeping only the k=16 smallest md5-52
+    key hashes per open hour window (state is 16 longs per window at ANY
+    cardinality — the property streaming count-distinct lacks) and
+    emitting each window's sketch when its event-time timeout fires.
+    The gate then exercises the theta algebra downstream of the stream:
+    per decided window, the saturation-aware distinct estimate
+    ((k-1)·2^52 DIV theta, exact nk when unsaturated — at sf0.001 every
+    window IS unsaturated, so both branches gate across the SF ladder);
+    plus one merged row (win_start = -1): the k-smallest-of-union of all
+    emitted sketches, the mergeable-summary rule that lets per-window
+    artifacts answer any-horizon distinct questions without raw events.
+    The DuckDB oracle rebuilds every sketch from raw events with the
+    same md5 arithmetic.  Decided-region restriction is the timer gates'
+    margin pattern (win_end + delay + 60 s, mirrored as ws + 5460)."""
+    from ..streaming.sketches import KMV_K, windowed_kmv
+
+    win_s, k, hsp = 3600, KMV_K, 1 << 52
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: windowed_kmv(make(), watermark="30 minutes", window_s=win_s, k=k),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - 1800 - 60 - win_s
+    rows = [r for _bid, rs in batches for r in rs]
+    emitted = spark.createDataFrame(rows, schema=schema).filter(
+        F.col("win_start") <= F.lit(cutoff)
+    )
+    per = emitted.groupBy("win_start").agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_kth"),
+    ).select(
+        "win_start",
+        "nk",
+        F.when(F.col("nk") == k, F.col("_kth")).otherwise(F.lit(hsp)).alias("theta"),
+    )
+    mk = emitted.select("h").distinct().orderBy("h").limit(k)
+    merged = mk.agg(
+        F.lit(-1).cast("bigint").alias("win_start"),
+        F.count("*").alias("nk"),
+        F.when(F.count("*") == k, F.max("h")).otherwise(F.lit(hsp)).alias("theta"),
+    )
+    est = (
+        F.when(F.col("nk") < k, F.col("nk").cast("bigint"))
+        .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV theta AS BIGINT)"))
+        .alias("est_distinct")
+    )
+    return (
+        per.unionByName(merged)
+        .select(
+            "win_start",
+            F.col("nk").cast("bigint").alias("nk"),
+            F.col("theta").cast("bigint").alias("theta"),
+            est,
+        )
+        .orderBy("win_start")
+    )

@@ -52,3 +52,94 @@ def windowed_cms_cells(
             "c",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed KMV (theta) distinct sketch — the O(k)-state streaming dual of
+# operators/sketches.py's theta set algebra: per tumbling window, keep only
+# the k smallest md5-52 hashes of the key and emit them when the watermark
+# closes the window.  Unlike a streaming count-distinct (state = every
+# distinct key in the window), KMV state is k values REGARDLESS of window
+# cardinality, and the emitted per-window sketches merge downstream by the
+# k-smallest-of-union rule — distinct counts AND set algebra (union /
+# intersection) over any window combination without re-seeing raw events.
+# ---------------------------------------------------------------------------
+
+import pandas as _pd
+from typing import Any as _Any, Iterator as _Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import md5_word
+
+KMV_K = 16
+
+_KMV_OUTPUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
+_KMV_STATE = T.StructType([T.StructField("hs", T.ArrayType(T.LongType()))])
+
+
+def windowed_kmv(
+    events: DataFrame,
+    key: str = "user_id",
+    watermark: str = "30 minutes",
+    window_s: int = 3600,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-window k-minimum-values sketch of ``key``, emitted once as
+    (win_start, rn, h) rows when the event-time timeout at window end
+    fires (the window_topn timer pattern).  Hashing runs JVM-side
+    (md5_word projection before the stateful op); the Python state body
+    only merges already-hashed longs and truncates to k — state is a
+    sorted ≤ k-long array per open window."""
+
+    def _emit(key_: _Any, state: GroupState) -> _Iterator[_pd.DataFrame]:
+        (hs,) = state.get
+        state.remove()
+        if not hs:
+            return
+        yield _pd.DataFrame(
+            {
+                "win_start": [int(key_[0])] * len(hs),
+                "rn": list(range(1, len(hs) + 1)),
+                "h": [int(x) for x in hs],
+            }
+        )
+
+    def _kmv(
+        key_: _Any, pdfs: _Iterator[_pd.DataFrame], state: GroupState
+    ) -> _Iterator[_pd.DataFrame]:
+        if state.hasTimedOut:
+            yield from _emit(key_, state)
+            return
+        cur: set[int] = set()
+        if state.exists:
+            (hs,) = state.get
+            cur.update(int(x) for x in hs)
+        for pdf in pdfs:
+            cur.update(int(x) for x in pdf["h"].to_numpy("int64"))
+        state.update((sorted(cur)[:k],))
+        state.setTimeoutTimestamp((int(key_[0]) + window_s) * 1000)
+        return
+
+    win_start = (F.floor(F.unix_timestamp("ts") / window_s) * window_s).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", md5_word(F.col(key).cast("string"), 1, 13).alias("h"))
+        .withColumn("win_start", win_start)
+        .groupBy("win_start")
+        .applyInPandasWithState(
+            func=_kmv,
+            outputStructType=_KMV_OUTPUT,
+            stateStructType=_KMV_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -108,3 +108,24 @@ def test_theta_union_never_exceeds_input_thetas(spark):
     assert union_kth <= min(kth["a"], kth["b"])
     pair = theta_setops(sh, k=k).collect()[0]
     assert pair["est_union"] == (k - 1) * _H_SPACE // union_kth
+
+
+def test_stream_kmv_gate_properties(spark):
+    # the 21st runtime gate: real streaming execution with timer-fired
+    # sketch emissions; values gate vs DuckDB — here pin the algebra's
+    # branch structure across rows
+    rows = QUERIES["q_stream_kmv_runtime"].builder(spark, SF).collect()
+    assert rows, "no decided windows emitted"
+    merged = [r for r in rows if r["win_start"] == -1]
+    assert len(merged) == 1
+    for r in rows:
+        if r["nk"] < 16:  # unsaturated sketch degrades to the exact count
+            assert r["theta"] == 1 << 52
+            assert r["est_distinct"] == r["nk"]
+        else:
+            assert r["theta"] < (1 << 52)
+            assert r["est_distinct"] >= 16
+    # the merged sketch's theta can never exceed any contributor's
+    # (k-smallest-of-union), so its estimate dominates each window's
+    per_thetas = [r["theta"] for r in rows if r["win_start"] != -1]
+    assert merged[0]["theta"] <= min(per_thetas)
