@@ -1260,3 +1260,108 @@ def q_psi_drift(spark, sf_dir):
             F.sum("term_e6").cast("bigint").alias("psi_e6"),
         )
     )
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+        WITH counts AS (
+            SELECT CAST(floor(value) AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_view,
+                   CAST(sum(nb) AS BIGINT) AS n_purchase,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM counts
+        ),
+        cum AS (
+            SELECT bucket,
+                   lead(bucket) OVER (ORDER BY bucket) AS nxt,
+                   sum(na) OVER (ORDER BY bucket) AS cum_a,
+                   sum(nb) OVER (ORDER BY bucket) AS cum_b
+            FROM counts
+        ),
+        terms AS (
+            SELECT abs(cum_a * t.n_purchase - cum_b * t.n_view)
+                       * (nxt - bucket) AS term
+            FROM cum CROSS JOIN tot t
+            WHERE nxt IS NOT NULL
+        )
+        SELECT t.n_view, t.n_purchase, t.n_buckets,
+               CAST(CAST(sum(CAST(term AS HUGEINT)) * 1000000 AS HUGEINT)
+                    // (t.n_view * t.n_purchase) AS BIGINT) AS w1_e6
+        FROM terms CROSS JOIN tot t
+        GROUP BY t.n_view, t.n_purchase, t.n_buckets
+    """,
+    tags=("complex", "statistics", "wasserstein", "drift", "transport"),
+)
+def q_wasserstein_drift(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) distance between the value
+    distributions of 'view' and 'purchase' events — the TRANSPORT metric
+    completing the drift-monitor family: PSI (binned, q_psi_drift) and KL
+    (q_distribution_drift) blow up on support mismatch and KS
+    (q_ks_statistic) only sees the single worst CDF gap, while W1 weighs
+    HOW FAR mass must move.  In one dimension optimal transport is closed
+    form — W1 = ∫|CDF_a − CDF_b| dx — so no Sinkhorn iteration is needed:
+    the integral is a sum of |cum_a·n_b − cum_b·n_a|·Δx terms over the
+    distinct unit-value buckets, exact integers end to end, with ONE
+    integral division at the end (Spark DECIMAL ``div`` ≡ DuckDB HUGEINT
+    ``//``) quantized to 1e-6 value units.
+
+    Scale: one hash aggregate over unit buckets (bounded by the VALUE
+    RANGE, the q_ks_statistic class — never raw rows), one cumulative
+    window over those distinct buckets, one scalar division."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    counts = ev.groupBy(
+        F.floor("value").cast("bigint").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").cast("bigint").alias("n_view"),
+        F.sum("nb").cast("bigint").alias("n_purchase"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+    w = W.orderBy("bucket")
+    cum = counts.select(
+        "bucket",
+        F.lead("bucket").over(w).alias("nxt"),
+        F.sum("na").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_a"),
+        F.sum("nb").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_b"),
+    )
+    terms = (
+        cum.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_view",
+            "n_purchase",
+            "n_buckets",
+            (
+                F.abs(
+                    F.col("cum_a") * F.col("n_purchase")
+                    - F.col("cum_b") * F.col("n_view")
+                )
+                * (F.col("nxt") - F.col("bucket"))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("n_view", "n_purchase", "n_buckets").agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(term AS DECIMAL(38,0))) * 1000000"
+            " AS DECIMAL(38,0)) div (n_view * n_purchase) AS BIGINT)"
+        ).alias("w1_e6")
+    )

@@ -148,6 +148,11 @@ ALLOWED_GLOBAL_WINDOW = {
     # one cumulative window over DISTINCT COARSE SCORE BUCKETS — exactly
     # q_classifier_auc's bounded input (same sb aggregate upstream)
     "q_threshold_sweep",
+    # one cumulative window over DISTINCT UNIT-VALUE BUCKETS — exactly
+    # q_ks_statistic's boundedness class (bounded by the value range,
+    # SF-invariant once saturated); per-bucket counts pre-aggregate
+    # distributed before the window
+    "q_wasserstein_drift",
     # one rank window over a TakeOrdered top-20 list (q_dsir_select's
     # class): the corpus-size work is the distributed training aggregate
     "q_chi2_terms",
