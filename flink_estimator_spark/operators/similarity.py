@@ -2536,3 +2536,138 @@ def q_kcenter_coreset(spark, sf_dir):
     return spark.createDataFrame(
         rows, "step bigint, center_id bigint, radius_q bigint"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal (mutual) kNN pairs — the SELECTION RULE on top of a kNN graph
+# that near-dup and cross-corpus matching pipelines actually apply: a pair
+# counts only when EACH side ranks the other inside its top-M (reciprocal
+# nearest neighbors — the matching rule in image dedup and bitext mining,
+# cf. Artetxe & Schwenk 2019's margin-based mining).  One-directional kNN
+# fires on hubness (a popular vector appears in everyone's top-M without
+# reciprocating); mutuality is the standard cheap filter.
+# ---------------------------------------------------------------------------
+
+_MKNN_M = 8
+
+
+@query(
+    "q_mutual_knn_pairs",
+    oracle=f"""
+        WITH dims AS (
+            SELECT gs.i,
+                   min(CAST(e.embedding[gs.i] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[gs.i] AS DOUBLE)) AS mx
+            FROM embeddings e, generate_series(1, {_QUANT_SQL_DIM}) gs(i)
+            GROUP BY gs.i),
+        codes AS MATERIALIZED (
+            SELECT e.vec_id, d.i, {_QUANT_CODE.format(side="e")} AS c
+            FROM embeddings e, dims d),
+        sd AS MATERIALIZED (
+            SELECT a.vec_id, s.vec_id AS scid,
+                   sum((a.c - s.c) * (a.c - s.c)) AS d2
+            FROM codes a JOIN codes s ON s.vec_id < {_GANN_C} AND s.i = a.i
+            GROUP BY a.vec_id, s.vec_id),
+        assign AS MATERIALIZED (
+            SELECT vec_id, scid AS cid FROM (
+                SELECT vec_id, scid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, scid) AS rk
+                FROM sd) WHERE rk = 1),
+        knnd AS MATERIALIZED (
+            SELECT aa.vec_id AS src, bb.vec_id AS dst,
+                   sum((ca.c - cb.c) * (ca.c - cb.c)) AS d2
+            FROM assign aa
+            JOIN assign bb ON bb.cid = aa.cid AND bb.vec_id != aa.vec_id
+            JOIN codes ca ON ca.vec_id = aa.vec_id
+            JOIN codes cb ON cb.vec_id = bb.vec_id AND cb.i = ca.i
+            GROUP BY aa.vec_id, bb.vec_id),
+        knn AS (
+            SELECT src, dst, d2, rk FROM (
+                SELECT src, dst, d2,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY d2, dst) AS rk
+                FROM knnd) WHERE rk <= {_MKNN_M})
+        SELECT a.src AS id_a, a.dst AS id_b,
+               CAST(a.d2 AS BIGINT) AS dist_sq,
+               CAST(a.rk AS BIGINT) AS rk_ab,
+               CAST(b.rk AS BIGINT) AS rk_ba
+        FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+        WHERE a.src < a.dst
+        ORDER BY id_a, id_b
+    """,
+    tags=("llm", "similarity", "dedup", "mutual-knn", "reciprocal"),
+)
+def q_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal-kNN pairs over the cluster-bounded quantized kNN graph
+    (q_emb_graph_ann's build): a pair survives only when each vector
+    ranks the other inside its top-{_MKNN_M} — the hubness-resistant
+    matching rule from bitext mining / image dedup, where one-directional
+    kNN fires spuriously on popular vectors.  Output carries both ranks,
+    so the asymmetry (rk_ab vs rk_ba) is visible in the gated values.
+
+    Scale: the kNN build is the SemDeDup sum(|cluster|²) bound (never
+    corpus²); mutuality is ONE self-equi-join of the ≤ corpus·M edge
+    relation on the reversed key — linear in edges."""
+    m = _MKNN_M
+    emb = t(spark, sf_dir, "embeddings")
+    bounds = quantization_bounds(emb)
+    coded = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            quantize_int8(
+                F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")
+            ).alias("code"),
+        )
+    )
+    coded = eager_checkpoint(coded)  # seeds + assignment + kNN sides
+
+    def qd(a: Column, bcol: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seeds = F.broadcast(
+        coded.filter(F.col("vec_id") < _GANN_C).select(
+            F.col("vec_id").alias("scid"), F.col("code").alias("scode")
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy("sd2", "scid")
+    assign = (
+        coded.crossJoin(seeds)
+        .select("vec_id", "code", "scid", qd(F.col("code"), F.col("scode")).alias("sd2"))
+        .withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "code", F.col("scid").alias("cid"))
+    )
+    a_ = assign.select("cid", F.col("vec_id").alias("src"), F.col("code").alias("acode"))
+    b_ = assign.select("cid", F.col("vec_id").alias("dst"), F.col("code").alias("bcode"))
+    wkn = W.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        a_.join(b_, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", qd(F.col("acode"), F.col("bcode")).alias("d2"))
+        .withColumn("rk", F.row_number().over(wkn))
+        .filter(F.col("rk") <= m)
+    )
+    fwd = knn.select(
+        F.col("src").alias("id_a"),
+        F.col("dst").alias("id_b"),
+        F.col("d2").alias("dist_sq"),
+        F.col("rk").cast("bigint").alias("rk_ab"),
+    )
+    rev = knn.select(
+        F.col("dst").alias("id_a"),
+        F.col("src").alias("id_b"),
+        F.col("rk").cast("bigint").alias("rk_ba"),
+    )
+    return (
+        fwd.join(rev, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "dist_sq", "rk_ab", "rk_ba")
+        .orderBy("id_a", "id_b")
+    )

@@ -45,3 +45,16 @@ def test_navigation_never_beats_exact(spark):
     # can only find a subset of the exact ordering.
     for r in _rows(spark):
         assert r["true_rk"] >= r["rk"], r
+
+
+def test_mutual_knn_is_symmetric_subset(spark):
+    # every reciprocal pair must appear in BOTH directions of the kNN
+    # relation; asymmetry shows only in the ranks
+    rows = QUERIES["q_mutual_knn_pairs"].builder(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["rk_ab"] <= 8 and 1 <= r["rk_ba"] <= 8
+    # hubness filter: strictly fewer mutual pairs than directed edges/2
+    n_pairs = len(rows)
+    assert n_pairs < 8 * 500 / 2
