@@ -2671,3 +2671,139 @@ def q_mutual_knn_pairs(spark, sf_dir):
         .select("id_a", "id_b", "dist_sq", "rk_ab", "rk_ba")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation sweep — the question MRL embeddings
+# (Kusupati et al. 2022) put on every retrieval stack: how much top-k
+# quality survives if queries use only the FIRST D dimensions (2x-8x less
+# bandwidth/memory)?  Answered as a recall-vs-dimension curve against the
+# full-width exact ranking, entirely in the quantized-int8 integer metric.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_Q = 10
+_MRL_K = 5
+
+
+def _mrl_oracle() -> str:
+    code = _QUANT_CODE.format(side="e")
+    per_dim = []
+    for d in _MRL_DIMS:
+        per_dim.append(f"""
+        r{d} AS MATERIALIZED (
+            SELECT query_id, node FROM (
+                SELECT cq.vec_id AS query_id, cc.vec_id AS node,
+                       row_number() OVER (
+                           PARTITION BY cq.vec_id
+                           ORDER BY sum((cq.c - cc.c) * (cq.c - cc.c)),
+                                    cc.vec_id) AS rk
+                FROM codes cq JOIN codes cc
+                  ON cq.vec_id < {_MRL_Q} AND cc.vec_id != cq.vec_id
+                 AND cc.i = cq.i AND cq.i <= {d}
+                GROUP BY cq.vec_id, cc.vec_id)
+            WHERE rk <= {_MRL_K})""")
+    hit_rows = "\n            UNION ALL\n".join(
+        f"""            SELECT CAST({d} AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS hits_at{_MRL_K}
+            FROM r{d} t JOIN r{_MRL_DIMS[-1]} f
+              ON f.query_id = t.query_id AND f.node = t.node"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+        WITH dims AS (
+            SELECT gs.i,
+                   min(CAST(e.embedding[gs.i] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[gs.i] AS DOUBLE)) AS mx
+            FROM embeddings e, generate_series(1, {_QUANT_SQL_DIM}) gs(i)
+            GROUP BY gs.i),
+        codes AS MATERIALIZED (
+            SELECT e.vec_id, d.i, {code} AS c
+            FROM embeddings e, dims d),{",".join(per_dim)}
+        SELECT dim, hits_at{_MRL_K},
+               CAST(hits_at{_MRL_K} * 1000000 // {_MRL_Q * _MRL_K} AS BIGINT)
+                   AS recall_ppm
+        FROM (
+{hit_rows}
+        )
+        ORDER BY dim
+    """
+
+
+@query(
+    "q_emb_matryoshka",
+    oracle=_mrl_oracle(),
+    tags=("llm", "similarity", "matryoshka", "truncation", "recall"),
+)
+def q_emb_matryoshka(spark, sf_dir):
+    """Dimension-truncation recall curve (the Matryoshka/MRL question):
+    exact quantized top-{_MRL_K} for {_MRL_Q} queries using only the
+    first D ∈ {_MRL_DIMS} dimensions, scored for overlap against the
+    full-width ranking — recall@{_MRL_K} per D in ppm.  The curve is the
+    decision input for shipping truncated embeddings (2-8x bandwidth and
+    ANN-memory reduction); everything is the integer int8-L2 metric, so
+    the whole sweep value-gates.
+
+    Scale: four bounded brute passes (broadcast {_MRL_Q}-query side x
+    linear corpus scan, the q_emb_quantized_topk class) over PREFIX sums
+    of one shared code relation — the scan is shared, only the fold
+    length varies; hits are an equi-join of two {_MRL_Q}x{_MRL_K}-row
+    top-k lists per D."""
+    emb = t(spark, sf_dir, "embeddings")
+    bounds = quantization_bounds(emb)
+    coded = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            quantize_int8(
+                F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")
+            ).alias("code"),
+        )
+    )
+    coded = eager_checkpoint(coded)  # shared by the 4 sweep passes
+    queries = F.broadcast(
+        coded.filter(F.col("vec_id") < _MRL_Q).select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+        )
+    )
+    nodes = coded.select(F.col("vec_id").alias("node"), F.col("code").alias("ncode"))
+    wq = W.partitionBy("query_id").orderBy("d2", "node")
+
+    def topk(d: int) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qcode"), 1, d),
+                F.slice(F.col("ncode"), 1, d),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            nodes.crossJoin(queries)
+            .filter(F.col("node") != F.col("query_id"))
+            .select("query_id", "node", dist.alias("d2"))
+            .withColumn("_rk", F.row_number().over(wq))
+            .filter(F.col("_rk") <= _MRL_K)
+            .select("query_id", "node")
+        )
+
+    full = topk(_MRL_DIMS[-1])
+    outs = []
+    for d in _MRL_DIMS:
+        hits = topk(d).join(full, ["query_id", "node"]).agg(
+            F.lit(d).cast("bigint").alias("dim"),
+            F.count("*").cast("bigint").alias(f"hits_at{_MRL_K}"),
+        )
+        outs.append(hits)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "dim",
+        f"hits_at{_MRL_K}",
+        F.expr(
+            f"CAST(hits_at{_MRL_K} * 1000000 DIV {_MRL_Q * _MRL_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).orderBy("dim")

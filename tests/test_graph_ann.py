@@ -58,3 +58,16 @@ def test_mutual_knn_is_symmetric_subset(spark):
     # hubness filter: strictly fewer mutual pairs than directed edges/2
     n_pairs = len(rows)
     assert n_pairs < 8 * 500 / 2
+
+
+def test_matryoshka_sweep_bounds(spark):
+    rows = {
+        r["dim"]: r
+        for r in QUERIES["q_emb_matryoshka"].builder(spark, SF).collect()
+    }
+    assert sorted(rows) == [8, 16, 32, 64]
+    # full width vs itself is definitionally perfect recall
+    assert rows[64]["recall_ppm"] == 1_000_000
+    for r in rows.values():
+        assert 0 <= r["hits_at5"] <= 50
+        assert 0 <= r["recall_ppm"] <= 1_000_000
