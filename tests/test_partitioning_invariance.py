@@ -78,6 +78,9 @@ SAMPLE = [
     "q_theta_setops",          # md5-52 KMV k-mins, theta division estimates
     # r7 third batch: navigated-graph search over quantized distances
     "q_emb_graph_ann",         # kNN-graph beam hops, int8-L2 rank windows
+    # r7 fourth batch: iterative argmax selection + CDF-gap transport
+    "q_kcenter_coreset",       # broadcast-center rounds, TakeOrdered argmax
+    "q_wasserstein_drift",     # integer CDF-gap terms, one integral division
 ]
 
 

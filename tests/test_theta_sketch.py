@@ -129,3 +129,60 @@ def test_stream_kmv_gate_properties(spark):
     # (k-smallest-of-union), so its estimate dominates each window's
     per_thetas = [r["theta"] for r in rows if r["win_start"] != -1]
     assert merged[0]["theta"] <= min(per_thetas)
+
+
+# ---------------------------------------------------------------------------
+# Property net: hypothesis drives random set pairs through theta_setops and
+# checks the FULL output row against a pure-python KMV reference — edge
+# cases a fixed fixture misses (singleton sets, empty intersections, sets
+# straddling the saturation boundary, duplicated values).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_K_PROP = 8
+
+
+def _py_theta(a: set[int], b: set[int], k: int, h: int):
+    def kmins(s):
+        return sorted(s)[:k]
+
+    def theta_of(s):
+        km = kmins(s)
+        return km[k - 1] if len(km) == k else h
+
+    ta, tb = theta_of(a), theta_of(b)
+    est = lambda s: len(s) if len(s) < k else (k - 1) * h // theta_of(s)
+    merged = sorted(set(kmins(a)) | set(kmins(b)))[:k]
+    theta_u = merged[k - 1] if len(merged) == k else h
+    est_union = len(merged) if len(merged) < k else (k - 1) * h // theta_u
+    tmin = min(ta, tb)
+    retained = sum(1 for v in set(kmins(a)) & set(kmins(b)) if v < tmin)
+    est_inter = retained * h // tmin
+    exact_inter = len(a & b)
+    exact_union = len(a | b)
+    return {
+        "n_exact_a": len(a), "n_exact_b": len(b),
+        "est_a": est(a), "est_b": est(b),
+        "exact_union": exact_union, "est_union": est_union,
+        "exact_inter": exact_inter, "est_inter": est_inter,
+        "jacc_exact_ppm": exact_inter * 1_000_000 // exact_union,
+        "jacc_est_ppm": est_inter * 1_000_000 // est_union,
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(st.integers(1, _H_SPACE - 1), min_size=1, max_size=30),
+    st.sets(st.integers(1, _H_SPACE - 1), min_size=1, max_size=30),
+    st.integers(0, 10),
+)
+def test_theta_property_vs_python(spark, a, b, overlap):
+    # force a controlled overlap so intersections aren't always empty
+    b = set(b) | set(sorted(a)[:overlap])
+    got = theta_setops(
+        _sets_df(spark, {"a": sorted(a), "b": sorted(b)}), k=_K_PROP
+    ).collect()[0]
+    want = _py_theta(set(a), set(b), _K_PROP, _H_SPACE)
+    for col, val in want.items():
+        assert got[col] == val, (col, got[col], val, sorted(a), sorted(b))
