@@ -1912,3 +1912,154 @@ def q_delta_ratio(spark, sf_dir):
         .cast("bigint")
         .alias("z_q6"),
     )
+
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+@query(
+    "q_conformal_interval",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   user_id % 2 AS grp
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_cal,
+                   CAST(sum(cents) AS BIGINT) AS s
+            FROM ev WHERE grp = 0 GROUP BY event_type
+        ),
+        calr AS (
+            SELECT e.event_type, abs(e.cents * st.n_cal - st.s) AS r
+            FROM ev e JOIN stats st ON st.event_type = e.event_type
+            WHERE e.grp = 0
+        ),
+        freq AS (
+            SELECT event_type, r, count(*) AS c FROM calr GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, r,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cf
+            FROM freq
+        ),
+        qhat AS (
+            SELECT c.event_type, min(c.r) AS q_hat
+            FROM cum c JOIN stats st ON st.event_type = c.event_type
+            WHERE c.cf >= ((st.n_cal + 1) * 9 + 9) // 10
+            GROUP BY c.event_type
+        ),
+        cov AS (
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN abs(e.cents * st.n_cal - st.s)
+                                      <= q.q_hat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS covered
+            FROM ev e
+            JOIN stats st ON st.event_type = e.event_type
+            JOIN qhat q ON q.event_type = e.event_type
+            WHERE e.grp = 1
+            GROUP BY e.event_type
+        )
+        SELECT c.event_type, st.n_cal, c.n_test,
+               CAST(q.q_hat // st.n_cal AS BIGINT) AS halfwidth_cents,
+               c.covered,
+               CAST(c.covered * 1000000 // c.n_test AS BIGINT)
+                   AS coverage_ppm
+        FROM cov c
+        JOIN stats st ON st.event_type = c.event_type
+        JOIN qhat q ON q.event_type = c.event_type
+        ORDER BY c.event_type
+    """,
+    tags=("analytic", "statistics", "conformal", "uncertainty", "calibration"),
+)
+def q_conformal_interval(spark, sf_dir):
+    """Mondrian (group-conditional) SPLIT-CONFORMAL prediction intervals
+    (Vovk et al.; Papadopoulos 2002; Lei et al. 2018) — the
+    distribution-free uncertainty primitive modern eval stacks attach to
+    any point predictor: calibrate on one half (even users), then an
+    interval of half-width q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    nonconformity guarantees ≥ 1−α coverage on exchangeable test data,
+    NO distributional assumptions.  Here the predictor is the per-type
+    calibration mean, nonconformity the cross-multiplied integer
+    |v·n_cal − s| (never a float residual), α = 0.1, Mondrian = per
+    event_type so the guarantee is group-conditional.  Output per type:
+    the conformal half-width in cents and the realized coverage on the
+    held-out odd users — the certificate the fixture validates at
+    ~90% (tests/test_conformal.py pins the finite-sample bound with
+    binomial slack).
+
+    Exactness: the conformal quantile is a ceil-rank selection over the
+    per-type nonconformity FREQUENCY table (the q_winsorized_stats
+    protocol — deterministic under ties, no row_number over equal
+    values); every comparison is exact BIGINT.
+
+    Scale: two joins against a broadcastable per-type stats row, one
+    cumulative window over distinct nonconformity VALUES per type
+    (value-distribution-bounded, the q_ks_statistic class), one
+    metadata-sized census.  At extreme per-type cardinality the
+    ceil-rank selection swaps in the KLL sketch (q_kll_rollup) at a
+    quantified rank error — the exact protocol stays the certificate
+    path."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (dec("value") * 100).cast("bigint").alias("cents"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    cal = ev.filter(F.col("grp") == 0)
+    tst = ev.filter(F.col("grp") == 1)
+    stats = cal.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    calr = cal.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") * F.col("n_cal") - F.col("s")).alias("r"),
+    )
+    freq = calr.groupBy("event_type", "r").agg(F.count("*").alias("c"))
+    wc = W.partitionBy("event_type").orderBy("r")
+    cum = freq.select(
+        "event_type",
+        "r",
+        F.sum("c").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cf"),
+    )
+    qhat = (
+        cum.join(F.broadcast(stats), "event_type")
+        .filter(F.col("cf") >= F.expr(f"CAST(((n_cal + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN - 1}) DIV {_CONF_ALPHA_DEN} AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    cov = (
+        tst.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") * F.col("n_cal") - F.col("s"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        cov.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            F.expr("CAST(q_hat DIV n_cal AS BIGINT)").alias("halfwidth_cents"),
+            "covered",
+            F.expr("CAST(covered * 1000000 DIV n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
