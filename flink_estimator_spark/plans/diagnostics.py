@@ -2063,3 +2063,96 @@ def q_conformal_interval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_power_mde",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS yc
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0)))
+                       AS syy
+            FROM u
+        ),
+        s AS (
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                             AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS sigma,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+            FROM m
+        ),
+        grid AS (SELECT unnest([2, 4, 10, 20]) AS mult)
+        SELECT CAST(s.n_users * g.mult AS BIGINT) AS n_per_arm,
+               CAST(floor(s.sigma * 100) AS BIGINT) AS sigma_q2,
+               CAST(floor((2.8016214492 * s.sigma
+                           * sqrt(2.0 / (s.n_users * g.mult))) * 100)
+                    AS BIGINT) AS mde_cents_q2,
+               CAST(floor((2.8016214492 * s.sigma
+                           * sqrt(2.0 / (s.n_users * g.mult)))
+                          * 1000000 / s.mu) AS BIGINT) AS mde_rel_ppm
+        FROM s CROSS JOIN grid g
+        ORDER BY n_per_arm
+    """,
+    tags=("analytic", "ab-test", "statistics", "power", "mde"),
+)
+def q_power_mde(spark, sf_dir):
+    """Minimum detectable effect curve — the PLANNING side of the
+    experimentation suite (z-test q_ab_test_lift, CUPED q_cuped_lift,
+    delta-method q_delta_ratio, conformal q_conformal_interval answer
+    'what happened'; MDE answers 'how long must we run'): for a
+    two-sample test at α=0.05 / power=0.8, the smallest true lift
+    detectable with n users per arm is (z_{0.975}+z_{0.8})·σ·√(2/n),
+    with the z-sum as the standard literal 1.9600 + 0.8416 = 2.8016.
+    Output: the MDE in cents and relative ppm at 2×/4×/10×/20× the
+    current user count — the 'traffic needed' curve every experiment
+    review reads.
+
+    Exactness: σ from two DECIMAL(38,0) moments (population form,
+    √(n·Σy²−(Σy)²)/n); the curve is fixed IEEE double arithmetic on
+    those exact values with literal z constants, floor-quantized.
+
+    Scale: one user-keyed aggregate + one three-moment global aggregate;
+    the grid is four literals."""
+    d38 = "decimal(38,0)"
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(dec("value") * 100).cast("bigint").alias("yc")
+    )
+    yq = F.col("yc").cast(d38)
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum(yq).alias("sy"),
+        F.sum(yq * yq).alias("syy"),
+    )
+    n38 = F.col("n").cast(d38)
+    sigma = (
+        F.sqrt((n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        / F.col("n").cast("double")
+    )
+    mu = F.col("sy").cast("double") / F.col("n").cast("double")
+    s = m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        sigma.alias("sigma"),
+        mu.alias("mu"),
+    )
+    grid = F.explode(F.array(*[F.lit(x) for x in (2, 4, 10, 20)])).alias("mult")
+    z = F.lit(2.8016214492)
+    mde = z * F.col("sigma") * F.sqrt(F.lit(2.0) / (F.col("n_users") * F.col("mult")))
+    return (
+        s.select("n_users", "sigma", "mu", grid)
+        .select(
+            (F.col("n_users") * F.col("mult")).cast("bigint").alias("n_per_arm"),
+            F.floor(F.col("sigma") * 100).cast("bigint").alias("sigma_q2"),
+            F.floor(mde * 100).cast("bigint").alias("mde_cents_q2"),
+            F.floor(mde * 1_000_000 / F.col("mu")).cast("bigint").alias("mde_rel_ppm"),
+        )
+        .orderBy("n_per_arm")
+    )

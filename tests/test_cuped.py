@@ -98,3 +98,19 @@ def test_delta_ratio_spark_vs_numpy(spark):
     assert abs(got["se_b_q9"] / 1e9 - math.sqrt(v_b)) <= 1e-3
     z = (r_a - r_b) / math.sqrt(v_a + v_b)
     assert abs(got["z_q6"] / 1e6 - z) <= 1e-3
+
+
+def test_power_mde_scaling(spark):
+    rows = QUERIES["q_power_mde"].builder(spark, SF).orderBy("n_per_arm").collect()
+    assert len(rows) == 4
+    # MDE ~ 1/sqrt(n): mde * sqrt(n) constant within quantization slack
+    prods = [r["mde_cents_q2"] * math.sqrt(r["n_per_arm"]) for r in rows]
+    for p in prods[1:]:
+        assert abs(p - prods[0]) / prods[0] < 1e-3
+    # sigma matches numpy population sd on the per-user cents relation
+    con = duckdb.connect()
+    y = np.array([r[0] for r in con.execute(
+        f"""SELECT CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY user_id"""
+    ).fetchall()], dtype=np.float64)
+    assert abs(rows[0]["sigma_q2"] / 100 - y.std()) <= 0.02
