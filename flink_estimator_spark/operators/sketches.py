@@ -271,10 +271,11 @@ def _theta_oracle(k: int = K_KMV, h: int = _H_SPACE) -> str:
                COALESCE(e.exact_inter, 0) AS exact_inter,
                CAST((COALESCE(r.n_ret, 0) * {h}) // p.theta_min AS BIGINT)
                    AS est_inter,
-               CAST(COALESCE(e.exact_inter, 0) * 1000000
+               CAST(CAST(COALESCE(e.exact_inter, 0) AS HUGEINT) * 1000000
                     // (ca.n_exact + cb.n_exact - COALESCE(e.exact_inter, 0))
                     AS BIGINT) AS jacc_exact_ppm,
-               CAST(((COALESCE(r.n_ret, 0) * {h}) // p.theta_min) * 1000000
+               CAST(CAST((COALESCE(r.n_ret, 0) * {h}) // p.theta_min
+                         AS HUGEINT) * 1000000
                     // (CASE WHEN u.nu < {k} THEN CAST(u.nu AS BIGINT)
                              ELSE CAST(({k - 1} * {h}) // u.theta_u AS BIGINT)
                         END)
@@ -462,13 +463,25 @@ def theta_setops(sh: DataFrame, k: int = K_KMV, hsp: int = _H_SPACE) -> DataFram
             (F.col("n_exact_a") + F.col("n_exact_b") - F.col("exact_inter")).cast("bigint"),
         )
         .withColumn("est_inter", F.expr(f"CAST((n_ret * {hsp}) DIV theta_min AS BIGINT)"))
+        # ppm products through DECIMAL(38,0): exact_inter is corpus-sized
+        # (~1e13 shingles at 100 TB) and est_inter reaches ~k*h/theta_min
+        # (~1.8e13 at theta_min ~ 247, the stored falsifying example), so
+        # either *1e6 product overflows BIGINT; the quotient itself is
+        # bounded (est_union >= est_inter*(k-1)/k => ppm <= ~1.14e6).
+        # DuckDB oracle routes the same products through HUGEINT.
         .withColumn(
             "jacc_exact_ppm",
-            F.expr("CAST((exact_inter * 1000000) DIV exact_union AS BIGINT)"),
+            F.expr(
+                "CAST((CAST(exact_inter AS DECIMAL(38,0)) * 1000000)"
+                " DIV exact_union AS BIGINT)"
+            ),
         )
         .withColumn(
             "jacc_est_ppm",
-            F.expr("CAST((est_inter * 1000000) DIV est_union AS BIGINT)"),
+            F.expr(
+                "CAST((CAST(est_inter AS DECIMAL(38,0)) * 1000000)"
+                " DIV est_union AS BIGINT)"
+            ),
         )
     )
     return out.select(

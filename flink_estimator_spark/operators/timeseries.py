@@ -1289,14 +1289,16 @@ def q_psi_drift(spark, sf_dir):
             FROM counts
         ),
         terms AS (
-            SELECT abs(cum_a * t.n_purchase - cum_b * t.n_view)
+            SELECT abs(CAST(cum_a AS HUGEINT) * t.n_purchase
+                       - CAST(cum_b AS HUGEINT) * t.n_view)
                        * (nxt - bucket) AS term
             FROM cum CROSS JOIN tot t
             WHERE nxt IS NOT NULL
         )
         SELECT t.n_view, t.n_purchase, t.n_buckets,
-               CAST(CAST(sum(CAST(term AS HUGEINT)) * 1000000 AS HUGEINT)
-                    // (t.n_view * t.n_purchase) AS BIGINT) AS w1_e6
+               CAST(sum(term) * 1000000
+                    // (CAST(t.n_view AS HUGEINT) * t.n_purchase)
+                    AS BIGINT) AS w1_e6
         FROM terms CROSS JOIN tot t
         GROUP BY t.n_view, t.n_purchase, t.n_buckets
     """,
@@ -1350,10 +1352,15 @@ def q_wasserstein_drift(spark, sf_dir):
             "n_view",
             "n_purchase",
             "n_buckets",
+            # per-term widening: cum_a·n_purchase ~ (1e12)² = 1e24 at
+            # 100 TB event counts — DECIMAL(38,0) per term (HUGEINT in the
+            # oracle), never BIGINT; intermediate bound Σterm·1e6 ≤
+            # n_a·n_b·range·1e6 ~ 1e36 < 10^38.  The divisor n_view·
+            # n_purchase alone exceeds BIGINT too — widened on both sides.
             (
                 F.abs(
-                    F.col("cum_a") * F.col("n_purchase")
-                    - F.col("cum_b") * F.col("n_view")
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("n_purchase")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("n_view")
                 )
                 * (F.col("nxt") - F.col("bucket"))
             ).alias("term"),
@@ -1361,7 +1368,7 @@ def q_wasserstein_drift(spark, sf_dir):
     )
     return terms.groupBy("n_view", "n_purchase", "n_buckets").agg(
         F.expr(
-            "CAST(CAST(sum(CAST(term AS DECIMAL(38,0))) * 1000000"
-            " AS DECIMAL(38,0)) div (n_view * n_purchase) AS BIGINT)"
+            "CAST(CAST(sum(term) * 1000000 AS DECIMAL(38,0))"
+            " div (CAST(n_view AS DECIMAL(38,0)) * n_purchase) AS BIGINT)"
         ).alias("w1_e6")
     )

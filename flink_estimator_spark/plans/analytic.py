@@ -1229,7 +1229,18 @@ def q_attribution_linear(spark, sf_dir):
         .agg(
             F.count("*").alias("n_credits"),
             F.countDistinct("conv_id").alias("n_conversions"),
-            F.sum(F.expr("(rev_cents * 1000000) DIV n_touch"))
+            # per-term bound proof (no DECIMAL needed on the product):
+            # rev_cents is ONE purchase event's value — per-row, not
+            # corpus-scaled — so ×1e6 overflows only past ~$92B per single
+            # purchase.  The SUM of micro-credits IS corpus-scaled, and
+            # Spark's sum(LONG) accumulates in LONG (DuckDB promotes to
+            # HUGEINT) — accumulate in DECIMAL(38,0) so both engines agree
+            # up to the BIGINT output boundary, where both fail loud.
+            F.sum(
+                F.expr(
+                    "CAST((rev_cents * 1000000) DIV n_touch AS DECIMAL(38,0))"
+                )
+            )
             .cast("bigint")
             .alias("credit_cents_q6"),
         )
@@ -1247,8 +1258,8 @@ def q_attribution_linear(spark, sf_dir):
             FROM orders GROUP BY 1),
         tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM m)
         SELECT mo, rev_cents,
-               CAST((rev_cents * 12 * 1000000) // tot.total AS BIGINT)
-                   AS seasonal_index_q6
+               CAST((CAST(rev_cents AS HUGEINT) * 12 * 1000000) // tot.total
+                    AS BIGINT) AS seasonal_index_q6
         FROM m CROSS JOIN tot
         ORDER BY mo
     """,
@@ -1271,9 +1282,12 @@ def q_seasonal_index(spark, sf_dir):
         .select(
             "mo",
             "rev_cents",
-            F.expr("(rev_cents * 12 * 1000000) DIV total").alias(
-                "seasonal_index_q6"
-            ),
+            # rev_cents is a MONTHLY corpus sum (~1e16 cents at 100 TB);
+            # ×12e6 overflows BIGINT — DECIMAL(38,0) product / HUGEINT
+            # oracle; the index quotient itself is ≤ 12e6.
+            F.expr(
+                "(CAST(rev_cents AS DECIMAL(38,0)) * 12 * 1000000) DIV total"
+            ).alias("seasonal_index_q6"),
         )
         .orderBy("mo")
     )
@@ -1384,10 +1398,11 @@ def q_rfm_by_nation(spark, sf_dir):
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING count(*) >= 3)
         SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
-               CAST((n_pair * 1000000) // ia.n_item AS BIGINT)
-                   AS confidence_a_to_b_q6,
-               CAST((n_pair * n_orders.n * 1000000)
-                    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_q6
+               CAST((CAST(n_pair AS HUGEINT) * 1000000) // ia.n_item
+                    AS BIGINT) AS confidence_a_to_b_q6,
+               CAST((CAST(n_pair AS HUGEINT) * n_orders.n * 1000000)
+                    // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                    AS BIGINT) AS lift_q6
         FROM pair
         JOIN item ia ON ia.l_partkey = pa
         JOIN item ib ON ib.l_partkey = pb
@@ -1451,8 +1466,17 @@ def q_basket_rules(spark, sf_dir):
             "n_pair",
             "n_a",
             "n_b",
-            F.expr("(n_pair * 1000000) DIV n_a").alias("confidence_a_to_b_q6"),
-            F.expr("(n_pair * n * 1000000) DIV (n_a * n_b)").alias("lift_q6"),
+            # lift's numerator is pairs×orders×1e6 (~1e29 at 100 TB) and
+            # its DIVISOR n_a*n_b alone exceeds BIGINT (~1e22) — both
+            # routed through DECIMAL(38,0)/HUGEINT; the lift quotient is
+            # ≤ N·1e6/max(n_a,n_b), comfortably BIGINT.
+            F.expr(
+                "(CAST(n_pair AS DECIMAL(38,0)) * 1000000) DIV n_a"
+            ).alias("confidence_a_to_b_q6"),
+            F.expr(
+                "(CAST(n_pair AS DECIMAL(38,0)) * n * 1000000)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_q6"),
         )
         .orderBy(F.desc("lift_q6"), "pa", "pb")
         .limit(50)

@@ -1314,7 +1314,8 @@ def _skew_oracle() -> str:
                    CAST(count(*) AS BIGINT) AS n_keys,
                    CAST(sum(cnt) AS BIGINT) AS n_rows,
                    CAST(max(cnt) AS BIGINT) AS max_per_key,
-                   CAST((max(cnt) * count(*) * 1000000) // sum(cnt) AS BIGINT)
+                   CAST((CAST(max(cnt) AS HUGEINT) * count(*) * 1000000)
+                        // sum(cnt) AS BIGINT)
                        AS skew_factor_q6
             FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS cnt
                   FROM {tbl} GROUP BY 1)""")
@@ -1356,9 +1357,13 @@ def q_skew_advisor(spark, sf_dir):
             F.count("*").alias("n_keys"),
             F.sum("cnt").alias("n_rows"),
             F.max("cnt").alias("max_per_key"),
-            F.expr("(max(cnt) * count(*) * 1000000) DIV sum(cnt)").alias(
-                "skew_factor_q6"
-            ),
+            # rows×keys×1e6 overflows BIGINT at 100 TB (max_per_key ~1e12
+            # × n_keys ~1e10 × 1e6 ~ 1e28) — DECIMAL(38,0) product, HUGEINT
+            # in the oracle; the quotient (≤ n_keys·1e6) stays in BIGINT.
+            F.expr(
+                "(CAST(max(cnt) AS DECIMAL(38,0)) * count(*) * 1000000)"
+                " DIV sum(cnt)"
+            ).alias("skew_factor_q6"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_key")

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from flink_estimator_spark.operators.sketches import (
@@ -138,7 +137,14 @@ def test_stream_kmv_gate_properties(spark):
 # straddling the saturation boundary, duplicated values).
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
+
+_PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 
 _K_PROP = 8
 
@@ -171,12 +177,17 @@ def _py_theta(a: set[int], b: set[int], k: int, h: int):
     }
 
 
-@settings(max_examples=12, deadline=None)
+@_PROP_SETTINGS
 @given(
     st.sets(st.integers(1, _H_SPACE - 1), min_size=1, max_size=30),
     st.sets(st.integers(1, _H_SPACE - 1), min_size=1, max_size=30),
     st.integers(0, 10),
 )
+# Pinned r7-judge falsifying example (was .hypothesis/examples/2caf6af8…):
+# a saturated sketch with a TINY theta_min (247) makes est_inter ~ h/247
+# ~ 1.8e13, whose *1e6 ppm product overflows BIGINT unless routed through
+# DECIMAL(38,0)/HUGEINT on both engines.
+@example(a={2}, b={3, 4, 5, 6, 7, 8, 247}, overlap=1)
 def test_theta_property_vs_python(spark, a, b, overlap):
     # force a controlled overlap so intersections aren't always empty
     b = set(b) | set(sorted(a)[:overlap])
