@@ -67,29 +67,20 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
 # their driver row was recorded; they can only ever earn row-count
 # evidence, which is still staleness-bounded like everything else.
 _EVIDENCE_ROUND: dict[str, int] = {
-    # --- last green driver row: round 1 (10 queries) ---
-    "q_lag_delta": 1, "q_moving_avg": 1, "q_ntile_rank": 1,
-    "q_pivot_status": 1, "q_range_join_bands": 1, "q_rollup": 1,
-    "q_running_revenue": 1, "q_scalar_subquery": 1, "q_set_ops": 1,
-    "q_topk_per_group": 1,
-    # --- last green driver row: round 2 (49 queries) ---
-    "q_approx_sketches": 2, "q_cep_four_step": 2, "q_cep_three_step": 2,
-    "q_class_weights": 2, "q_contamination_screen": 2, "q_cumulate_window": 2,
-    "q_data_mixing": 2, "q_dedup_embedding": 2, "q_dedup_exact_docs": 2,
-    "q_dedup_keep_list": 2, "q_emb_cosine_topk": 2, "q_emb_label_knn": 2,
-    "q_hash_sample": 2, "q_incremental_rollup": 2, "q_interval_join": 2,
-    "q_lang_mismatch": 2, "q_multimodal_features": 2,
-    "q_multimodal_frames": 2, "q_multimodal_resize": 2,
-    "q_multistage_windows": 2, "q_ngram_lm": 2, "q_pandas_grouped_agg": 2,
-    "q_pandas_udf_score": 2, "q_percentiles": 2, "q_pii_redaction": 2,
-    "q_quality_funnel": 2, "q_resample_ffill": 2, "q_reservoir_per_group": 2,
-    "q_scd2_history": 2, "q_sequence_packing": 2, "q_session_dynamic_gap": 2,
-    "q_shared_spans": 2, "q_skew_salted_agg": 2, "q_temporal_join": 2,
-    "q_text_fingerprint": 2, "q_text_lang_guess": 2, "q_text_quality": 2,
-    "q_text_repetition": 2, "q_text_tfidf_top": 2, "q_text_token_stats": 2,
-    "q_time_range_frame": 2, "q_training_order": 2, "q_udtf_tokens": 2,
-    "q_unpivot": 2, "q_value_outliers": 2, "q_vocab_growth": 2,
-    "q_window_dedup": 2, "q_window_join": 2, "q_window_topn": 2,
+    # --- last green driver row: round 2 (36 queries) ---
+    "q_incremental_rollup": 2, "q_interval_join": 2, "q_lang_mismatch": 2,
+    "q_multimodal_features": 2, "q_multimodal_frames": 2,
+    "q_multimodal_resize": 2, "q_multistage_windows": 2, "q_ngram_lm": 2,
+    "q_pandas_grouped_agg": 2, "q_pandas_udf_score": 2, "q_percentiles": 2,
+    "q_pii_redaction": 2, "q_quality_funnel": 2, "q_resample_ffill": 2,
+    "q_reservoir_per_group": 2, "q_scd2_history": 2, "q_sequence_packing": 2,
+    "q_session_dynamic_gap": 2, "q_shared_spans": 2, "q_skew_salted_agg": 2,
+    "q_temporal_join": 2, "q_text_fingerprint": 2, "q_text_lang_guess": 2,
+    "q_text_quality": 2, "q_text_repetition": 2, "q_text_tfidf_top": 2,
+    "q_text_token_stats": 2, "q_time_range_frame": 2, "q_training_order": 2,
+    "q_udtf_tokens": 2, "q_unpivot": 2, "q_value_outliers": 2,
+    "q_vocab_growth": 2, "q_window_dedup": 2, "q_window_join": 2,
+    "q_window_topn": 2,
     # --- last green driver row: round 3 (45 queries) ---
     "q11_important_parts": 3, "q12_priority_shipping": 3,
     "q20_majority_shippers": 3, "q2_min_cost_supplier": 3,
@@ -168,6 +159,25 @@ _EVIDENCE_ROUND: dict[str, int] = {
     "q_stream_twa_runtime": 6, "q_temperature_mix": 6, "q_theil_sen": 6,
     "q_threshold_sweep": 6, "q_tokenizer_fertility": 6,
     "q_winnow_fingerprints": 6, "q_winnow_shared_pairs": 6, "q_zipf_slope": 6,
+    # --- last green driver row: round 7 (50 queries) ---
+    "q_approx_sketches": 7, "q_cep_four_step": 7, "q_cep_three_step": 7,
+    "q_class_weights": 7, "q_conformal_interval": 7,
+    "q_contamination_screen": 7, "q_cumulate_window": 7, "q_cuped_lift": 7,
+    "q_data_mixing": 7, "q_dedup_embedding": 7, "q_dedup_exact_docs": 7,
+    "q_dedup_keep_list": 7, "q_dedup_rewrite": 7,
+    "q_dedup_threshold_curve": 7, "q_delta_ratio": 7, "q_emb_cosine_topk": 7,
+    "q_emb_graph_ann": 7, "q_emb_label_knn": 7, "q_emb_matryoshka": 7,
+    "q_hash_sample": 7, "q_kanonymity": 7, "q_kcenter_coreset": 7,
+    "q_kcore_peel": 7, "q_lag_delta": 7, "q_ldiversity": 7, "q_moving_avg": 7,
+    "q_multimodal_ahash": 7, "q_multimodal_decode": 7, "q_multimodal_wav": 7,
+    "q_multimodal_y4m": 7, "q_mutual_knn_pairs": 7, "q_ntile_rank": 7,
+    "q_pivot_status": 7, "q_power_mde": 7, "q_range_join_bands": 7,
+    "q_rollup": 7, "q_running_revenue": 7, "q_scalar_subquery": 7,
+    "q_set_ops": 7, "q_stream_dedup_ttl_runtime": 7,
+    "q_stream_kmv_runtime": 7, "q_stream_rollup_runtime": 7,
+    "q_stream_tws_cep_runtime": 7, "q_stream_tws_topn_runtime": 7,
+    "q_stream_union_runtime": 7, "q_theta_setops": 7, "q_topk_per_group": 7,
+    "q_url_dedup_rate": 7, "q_wasserstein_drift": 7, "q_zorder_layout": 7,
 }
 _GATED_PRIOR_ROUNDS = frozenset(_EVIDENCE_ROUND)
 
