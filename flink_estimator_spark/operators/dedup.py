@@ -1964,7 +1964,8 @@ def connected_components_jump(
 # relation, counting at EVERY candidate threshold how many pairs fire and
 # how many documents a keep-earliest policy would drop.  Teams read this
 # curve (pairs/removals vs threshold) before fixing the 0.7-or-0.8 knob;
-# computing it per-threshold would re-run the join 8 times.
+# computing it per-threshold would re-run the join once per
+# threshold (len(_CURVE_THRESHOLDS) times).
 # ---------------------------------------------------------------------------
 
 _CURVE_THRESHOLDS = (1, 5, 10, 20, 30, 40, 50, 60, 70, 80, 90)  # percent
@@ -2025,8 +2026,8 @@ def q_dedup_threshold_curve(spark, sf_dir):
 
     Scale: the pair relation is the same df-bounded shingle self-join the
     single-threshold queries use (one shuffle, ReusedExchange across its
-    consumers); the curve fan-out multiplies PAIRS (already tiny) by 8
-    literal thresholds, never the corpus."""
+    consumers); the curve fan-out multiplies PAIRS (already tiny) by the
+    len(_CURVE_THRESHOLDS) = 11 literal thresholds, never the corpus."""
     # same pair build as jaccard_pairs, but carrying the EXACT integer
     # union (never re-derived through the float jaccard, which could be
     # off by one after a divide-then-cast round trip)

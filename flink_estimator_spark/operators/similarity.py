@@ -2601,7 +2601,7 @@ _MKNN_M = 8
 def q_mutual_knn_pairs(spark, sf_dir):
     """Reciprocal-kNN pairs over the cluster-bounded quantized kNN graph
     (q_emb_graph_ann's build): a pair survives only when each vector
-    ranks the other inside its top-{_MKNN_M} — the hubness-resistant
+    ranks the other inside its top-8 (_MKNN_M) — the hubness-resistant
     matching rule from bitext mining / image dedup, where one-directional
     kNN fires spuriously on popular vectors.  Output carries both ranks,
     so the asymmetry (rk_ab vs rk_ba) is visible in the gated values.
@@ -2737,17 +2737,17 @@ def _mrl_oracle() -> str:
 )
 def q_emb_matryoshka(spark, sf_dir):
     """Dimension-truncation recall curve (the Matryoshka/MRL question):
-    exact quantized top-{_MRL_K} for {_MRL_Q} queries using only the
-    first D ∈ {_MRL_DIMS} dimensions, scored for overlap against the
-    full-width ranking — recall@{_MRL_K} per D in ppm.  The curve is the
+    exact quantized top-5 for 10 queries using only the
+    first D ∈ (8, 16, 32, 64) dimensions, scored for overlap against the
+    full-width ranking — recall@5 per D in ppm.  The curve is the
     decision input for shipping truncated embeddings (2-8x bandwidth and
     ANN-memory reduction); everything is the integer int8-L2 metric, so
     the whole sweep value-gates.
 
-    Scale: four bounded brute passes (broadcast {_MRL_Q}-query side x
+    Scale: four bounded brute passes (broadcast 10-query side x
     linear corpus scan, the q_emb_quantized_topk class) over PREFIX sums
     of one shared code relation — the scan is shared, only the fold
-    length varies; hits are an equi-join of two {_MRL_Q}x{_MRL_K}-row
+    length varies; hits are an equi-join of two 10x5-row
     top-k lists per D."""
     emb = t(spark, sf_dir, "embeddings")
     bounds = quantization_bounds(emb)
