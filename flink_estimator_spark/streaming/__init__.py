@@ -5,7 +5,12 @@ from .sketches import windowed_cms_cells  # noqa: F401
 from .curation import screen_embeddings_against_corpus  # noqa: F401
 from .cep import funnel_conversions, sequence_matches, three_step_matches  # noqa: F401
 from .joins import enrich_with_customers, enrich_with_scd2, view_purchase_full_join, view_purchase_interval_join, view_purchase_left_join, window_join  # noqa: F401
-from .stateful import count_window, running_totals, sequence_matches_tws  # noqa: F401
+from .stateful import (  # noqa: F401
+    count_window,
+    running_totals,
+    sequence_matches_tws,
+    ttl_dedup_tws,
+)
 from .anomaly import running_anomalies  # noqa: F401
 from .twa import time_weighted_totals  # noqa: F401
 from .topn import window_topn as window_topn_stream  # noqa: F401

@@ -555,6 +555,86 @@ def window_topn_tws(
 
 
 # ---------------------------------------------------------------------------
+# TTL'd ValueState dedup — the THIRD transformWithState state pillar.
+# RunningTotals exercises typed variables, SequenceMatch/WindowTopN exercise
+# event-time timers; this processor exercises the TTL CONFIG channel
+# (getValueState(..., ttlDurationMs=...)): the store itself expires a key's
+# "seen" marker after ttl of PROCESSING time, with no timer bookkeeping in
+# the processor — Flink's StateTtlConfig re-expressed.  Differentially
+# shadowed against dropDuplicatesWithinWatermark (the gated
+# q_stream_dedup_ttl_runtime), whose eviction machinery is event-time
+# watermark horizon instead: same first-emission-per-live-key semantics,
+# different expiry clock (tests/test_streaming.py pins both the agreement
+# under a non-expiring TTL and the re-emission after a real expiry).
+# ---------------------------------------------------------------------------
+
+TTL_SEEN_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+
+
+class TTLDedupProcessor(StatefulProcessor):
+    """Emit each key's FIRST occurrence; suppress repeats while the TTL'd
+    marker lives.  Duplicates do NOT refresh the marker (no ``update`` on
+    the suppress path — a TTL state update would reset its expiration),
+    mirroring dropDuplicatesWithinWatermark's first-seen expiry anchor.
+
+    State is one TTL'd boolean per live key: the store evicts it
+    ``ttl_ms`` after the emission, so state size tracks the number of
+    keys seen per TTL horizon, never stream length — the property that
+    makes dedup survive 100 TB/day (SCALE.md §7k bounds the gate cost)."""
+
+    def __init__(self, key_fields: list[str], ttl_ms: int):
+        self._key_fields = list(key_fields)
+        self._ttl_ms = int(ttl_ms)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", TTL_SEEN_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        for _ in rows:  # drain: only key presence matters
+            pass
+        if self._seen.exists():
+            return
+        self._seen.update((1,))
+        yield pd.DataFrame(
+            {f: [key[i]] for i, f in enumerate(self._key_fields)}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_dedup_tws(
+    events: DataFrame, keys: list[str], ttl_ms: int
+) -> DataFrame:
+    """Streaming first-occurrence dedup on ``keys`` whose state expires
+    after ``ttl_ms`` of processing time, via the TWS TTL config.  Requires
+    protobuf (state-server protocol) and the RocksDB state store like
+    :func:`running_totals`; ``streaming.dedup.dedup_within_watermark``
+    is the dependency-free event-time shadow."""
+    if not ensure_typed_state_runtime(events.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol) and none could be located; use "
+            "streaming/dedup.py dedup_within_watermark instead"
+        )
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out_schema = T.StructType([events.schema[k] for k in keys])
+    return events.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=TTLDedupProcessor(keys, ttl_ms),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
+# ---------------------------------------------------------------------------
 # COUNT windows (Flink countWindow) — applyInPandasWithState, no extra deps
 # ---------------------------------------------------------------------------
 

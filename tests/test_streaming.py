@@ -398,6 +398,176 @@ def test_transform_with_state_running_totals(spark, stream_dir, tmp_path):
     assert got == exp
 
 
+def _start_tws(spark, df, ckpt, rows):
+    """Start a ProcessingTime transformWithState stream into a row list.
+
+    TTL state requires timeMode="ProcessingTime"
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), and in that
+    mode the operator schedules perpetual "cleaning up state" batches, so
+    NEITHER processAllAvailable NOR availableNow ever signals completion
+    — the caller polls a condition and stops the query manually.  State
+    partitions pinned small per the _run_bounded_stream finding (each
+    partition instantiates a RocksDB store per batch)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def _tws_wait(q, pred, timeout_s=240.0):
+    import time as _time
+
+    t0 = _time.time()
+    while _time.time() - t0 < timeout_s:
+        if q.exception():
+            raise q.exception()
+        if pred():
+            return True
+        _time.sleep(0.3)
+    return False
+
+
+def _tws_inputs_seen(q):
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+
+def test_ttl_dedup_tws_matches_watermark_dedup(spark, stream_dir, tmp_path):
+    """TTL pillar, semantic half: with a TTL no run can outlive (1 h of
+    processing time for a seconds-long stream), the TTL'd ValueState dedup
+    must emit exactly the distinct key set — the same contract the gated
+    q_stream_dedup_ttl_runtime states for dropDuplicatesWithinWatermark
+    over the bounded fixture (its 96 h event-time horizon also never
+    expires in-run).  Full stream on the real RocksDB store, TTL config
+    engaged end to end."""
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
+    )
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
+    from flink_estimator_spark.streaming import ttl_dedup_tws
+
+    exp = {
+        (r["user_id"], r["event_type"], r["day"])
+        for r in _batch_events(spark)
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        )
+        .distinct()
+        .collect()
+    }
+    ev = events_stream(spark, stream_dir).withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    )
+    rows: list = []
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    q = _start_tws(
+        spark,
+        ttl_dedup_tws(ev, ["user_id", "event_type", "day"], ttl_ms=3_600_000),
+        str(tmp_path / "ckpt_ttl_sem"),
+        rows,
+    )
+    try:
+        def keys():
+            return {
+                (r["user_id"], r["event_type"], r["day"])
+                for r in rows
+                if r["user_id"] != SENTINEL_USER
+            }
+
+        n_input = _batch_events(spark).count() + 1  # + sentinel
+        assert _tws_wait(q, lambda: _tws_inputs_seen(q) >= n_input), (
+            "stream never consumed the full fixture"
+        )
+        assert _tws_wait(q, lambda: keys() >= exp), (
+            f"timed out at {len(keys())}/{len(exp)} keys"
+        )
+        n_settle = sum(1 for r in rows if r["user_id"] != SENTINEL_USER)
+        _tws_wait(q, lambda: False, timeout_s=2.0)  # settle: catch dups
+        assert (
+            sum(1 for r in rows if r["user_id"] != SENTINEL_USER) == n_settle
+        ), "keys re-emitted without expiry"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    emitted = [
+        (r["user_id"], r["event_type"], r["day"])
+        for r in rows
+        if r["user_id"] != SENTINEL_USER
+    ]
+    assert set(emitted) == exp
+    # first-emission-only: no key may appear twice
+    assert len(emitted) == len(set(emitted))
+
+
+def test_ttl_dedup_tws_expires_and_reemits(spark, tmp_path, tmp_path_factory):
+    """TTL pillar, lifecycle half: with a 1 ms TTL and a second arrival
+    of the same key after a real wall-clock gap, the store must EVICT the
+    seen marker in between so the key is re-emitted — the eviction
+    machinery itself, which the non-expiring semantic test cannot see.
+    A control stream with a 1 h TTL over the same two arrivals suppresses
+    the repeat, isolating expiry (not restart/replay) as the cause."""
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
+    )
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
+    import time as _time
+
+    from flink_estimator_spark.streaming import ttl_dedup_tws
+
+    src = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    one = src.to_pandas().sort_values("ts").iloc[[0]].reset_index(drop=True)
+
+    results = {}
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    for label, ttl_ms in (("tiny", 1), ("large", 3_600_000)):
+        d = tmp_path_factory.mktemp(f"events_ttl_{label}")
+        pq.write_table(pa.Table.from_pandas(one, preserve_index=False),
+                       str(d / "part-000.parquet"))
+        rows: list = []
+        q = _start_tws(
+            spark,
+            ttl_dedup_tws(
+                events_stream(spark, str(d)),
+                ["user_id", "event_type"],
+                ttl_ms=ttl_ms,
+            ),
+            str(tmp_path / f"ckpt_ttl_{label}"),
+            rows,
+        )
+        try:
+            assert _tws_wait(q, lambda: len(rows) == 1), "first arrival"
+            _time.sleep(0.6)  # >> 1 ms TTL, << 1 h TTL
+            seen0 = _tws_inputs_seen(q)
+            pq.write_table(
+                pa.Table.from_pandas(one, preserve_index=False),
+                str(d / "part-001.parquet"),
+            )
+            # wait until the duplicate file has actually been consumed
+            assert _tws_wait(q, lambda: _tws_inputs_seen(q) > seen0), (
+                "second arrival never processed"
+            )
+            if ttl_ms == 1:
+                assert _tws_wait(q, lambda: len(rows) == 2), (
+                    "expired marker must re-emit the key"
+                )
+            else:
+                _tws_wait(q, lambda: False, timeout_s=2.0)  # settle
+                assert len(rows) == 1, "live marker must keep suppressing"
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        results[label] = len(rows)
+    assert results == {"tiny": 2, "large": 1}
+
+
 def test_estimation_stream_matches_batch(spark, tmp_path, tmp_path_factory):
     import json
 
