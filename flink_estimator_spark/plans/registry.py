@@ -361,6 +361,8 @@ _SF001_SEC_PAIRS = [
     ("q_zorder_layout", 1.23),
     # round-7 tenth batch: aHash over real decoded pixels (warm sf0.01)
     ("q_multimodal_ahash", 1.0),
+    # round-8 first batch: REAL baseline-JPEG decode gate (warm sf0.01)
+    ("q_multimodal_jpeg", 1.3),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"
