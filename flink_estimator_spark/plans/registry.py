@@ -363,6 +363,9 @@ _SF001_SEC_PAIRS = [
     ("q_multimodal_ahash", 1.0),
     # round-8 first batch: REAL baseline-JPEG decode gate (warm sf0.01)
     ("q_multimodal_jpeg", 1.3),
+    # round-8 second batch: windowed theta pair-algebra runtime gate
+    # (warm sf0.01, min-of-2)
+    ("q_stream_theta_pairs_runtime", 5.8),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -1652,3 +1652,273 @@ def q_stream_kmv_runtime(spark, sf_dir):
         )
         .orderBy("win_start")
     )
+
+
+_THP_K = 8
+_THP_H = 1 << 52
+# DAY windows: 150 (window, event_type) groups at EVERY fixture SF (the
+# group count is calendar-bounded, not volume-bounded) and the k=8
+# saturation boundary is straddled already at sf0.001 (17 of 150 groups
+# saturated, the rest exact) — hour windows cost 24x the stateful groups
+# for the same algebra coverage (measured 16.7 s vs ~4 s at sf0.01).
+_THP_WIN = 86400
+# decided-region margin: win_end + watermark (30 min) + timer slack (60 s)
+_THP_MARGIN = _THP_WIN + 1800 + 60
+
+
+def _stream_theta_pairs_oracle() -> str:
+    k, h, m = _THP_K, _THP_H, _THP_MARGIN
+    est_union = f"""CASE WHEN u.nu < {k} THEN CAST(u.nu AS BIGINT)
+                    ELSE CAST(({k - 1} * {h}) // u.theta_u AS BIGINT) END"""
+    est_inter = f"CAST((COALESCE(r.n_ret, 0) * {h}) // p.theta_min AS BIGINT)"
+    return f"""
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts) / {_THP_WIN}) * {_THP_WIN} AS BIGINT)
+                       AS ws,
+                   event_type AS source,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        decided AS (
+            SELECT DISTINCT ws, source, h FROM ev
+            WHERE ws + {m} <=
+                  (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        ),
+        km AS (
+            SELECT ws, source, h, rn FROM (
+                SELECT ws, source, h,
+                       row_number() OVER (PARTITION BY ws, source
+                                          ORDER BY h) AS rn
+                FROM decided
+            ) WHERE rn <= {k}
+        ),
+        th AS (
+            SELECT ws, source, count(*) AS nk,
+                   CASE WHEN count(*) = {k}
+                        THEN max(CASE WHEN rn = {k} THEN h END)
+                        ELSE {h} END AS theta,
+                   CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT)
+                        ELSE CAST(({k - 1} * {h})
+                                  // max(CASE WHEN rn = {k} THEN h END)
+                                  AS BIGINT)
+                   END AS est_n
+            FROM km GROUP BY ws, source
+        ),
+        pairs AS (
+            SELECT a.ws, a.source AS source_a, b.source AS source_b,
+                   CAST(a.nk AS BIGINT) AS nk_a, CAST(b.nk AS BIGINT) AS nk_b,
+                   a.est_n AS est_a, b.est_n AS est_b,
+                   CASE WHEN a.theta < b.theta THEN a.theta ELSE b.theta END
+                       AS theta_min
+            FROM th a JOIN th b ON a.ws = b.ws AND a.source < b.source
+        ),
+        retained AS (
+            SELECT p.ws, p.source_a, p.source_b,
+                   CAST(count(*) AS BIGINT) AS n_ret
+            FROM pairs p
+            JOIN km ka ON ka.ws = p.ws AND ka.source = p.source_a
+            JOIN km kb ON kb.ws = p.ws AND kb.source = p.source_b
+                      AND kb.h = ka.h
+            WHERE ka.h < p.theta_min
+            GROUP BY 1, 2, 3
+        ),
+        uk AS (
+            SELECT ws, source_a, source_b, h,
+                   row_number() OVER (PARTITION BY ws, source_a, source_b
+                                      ORDER BY h) AS rn
+            FROM (
+                SELECT DISTINCT p.ws, p.source_a, p.source_b, kk.h
+                FROM pairs p
+                JOIN km kk ON kk.ws = p.ws
+                          AND kk.source IN (p.source_a, p.source_b)
+            )
+        ),
+        uth AS (
+            SELECT ws, source_a, source_b, count(*) AS nu,
+                   CASE WHEN count(*) = {k}
+                        THEN max(CASE WHEN rn = {k} THEN h END)
+                        ELSE {h} END AS theta_u
+            FROM uk WHERE rn <= {k}
+            GROUP BY 1, 2, 3
+        )
+        SELECT p.ws AS win_start, p.source_a, p.source_b,
+               p.nk_a, p.nk_b, p.est_a, p.est_b,
+               {est_union} AS est_union,
+               {est_inter} AS est_inter,
+               CAST(CAST({est_inter} AS HUGEINT) * 1000000
+                    // ({est_union}) AS BIGINT) AS jacc_est_ppm
+        FROM pairs p
+        JOIN uth u ON u.ws = p.ws AND u.source_a = p.source_a
+                  AND u.source_b = p.source_b
+        LEFT JOIN retained r ON r.ws = p.ws AND r.source_a = p.source_a
+                            AND r.source_b = p.source_b
+        ORDER BY win_start, p.source_a, p.source_b
+    """
+
+
+@query(
+    "q_stream_theta_pairs_runtime",
+    oracle=_stream_theta_pairs_oracle(),
+    tags=("streaming", "runtime", "sketch", "theta", "set-ops", "mergeable"),
+)
+def q_stream_theta_pairs_runtime(spark, sf_dir):
+    """Windowed theta-sketch PAIR ALGEBRA on streaming artifacts — the
+    22nd runtime gate, closing the sketch family's batch/stream symmetry
+    the way CMS did: ``windowed_kmv(by="event_type")`` runs as a real
+    append-mode streaming query keeping one k=8 KMV sketch per open
+    (day window, event_type) — state is 8 longs per group at ANY
+    cardinality — and emitting each sketch at its event-time timeout.
+    Downstream, WITHOUT re-seeing raw events, the gate computes the full
+    theta set algebra between every source pair inside each decided
+    window: per-source distinct estimates, k-smallest-of-union
+    ``est_union``, retained-intersection ``est_inter`` and Jaccard ppm
+    (through the DECIMAL(38,0)/HUGEINT route per SCALE.md §7m) — the
+    q_theta_setops calculus applied to per-window streaming artifacts.
+    The DuckDB oracle rebuilds every sketch from raw events with the
+    same md5-52 arithmetic.  k=8 straddles the saturation boundary
+    already at sf0.001 (17 of 150 day-window groups saturated, the rest
+    exact), so both estimator branches gate at every SF; day windows
+    keep the stateful group count calendar-bounded (150 at every
+    fixture SF — see the _THP_WIN note).  Decided-region margin mirrors
+    q_stream_kmv_runtime."""
+    from ..streaming.sketches import windowed_kmv
+
+    k, hsp = _THP_K, _THP_H
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: windowed_kmv(
+            make(),
+            watermark="30 minutes",
+            window_s=_THP_WIN,
+            k=k,
+            by="event_type",
+        ),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - _THP_MARGIN
+    rows = [r for _bid, rs in batches for r in rs]
+    km = spark.createDataFrame(rows, schema=schema).filter(
+        F.col("win_start") <= F.lit(cutoff)
+    )
+    th = (
+        km.groupBy("win_start", "source")
+        .agg(
+            F.count("*").alias("nk"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_kth"),
+        )
+        .select(
+            "win_start",
+            "source",
+            F.col("nk").cast("bigint").alias("nk"),
+            F.when(F.col("nk") == k, F.col("_kth"))
+            .otherwise(F.lit(hsp))
+            .alias("theta"),
+            F.when(F.col("nk") < k, F.col("nk").cast("bigint"))
+            .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _kth AS BIGINT)"))
+            .alias("est_n"),
+        )
+    )
+    ta = th.select(
+        "win_start",
+        F.col("source").alias("source_a"),
+        F.col("nk").alias("nk_a"),
+        F.col("theta").alias("_th_a"),
+        F.col("est_n").alias("est_a"),
+    )
+    tb = th.select(
+        "win_start",
+        F.col("source").alias("source_b"),
+        F.col("nk").alias("nk_b"),
+        F.col("theta").alias("_th_b"),
+        F.col("est_n").alias("est_b"),
+    )
+    pairs = ta.join(tb, "win_start").filter(
+        F.col("source_a") < F.col("source_b")
+    ).withColumn("theta_min", F.least("_th_a", "_th_b"))
+
+    kma = km.select("win_start", F.col("source").alias("source_a"), "h")
+    kmb = km.select("win_start", F.col("source").alias("source_b"), "h")
+    retained = (
+        kma.join(kmb, ["win_start", "h"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(
+                pairs.select("win_start", "source_a", "source_b", "theta_min")
+            ),
+            ["win_start", "source_a", "source_b"],
+        )
+        .filter(F.col("h") < F.col("theta_min"))
+        .groupBy("win_start", "source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_ret"))
+    )
+
+    from pyspark.sql import Window
+
+    uk = (
+        F.broadcast(pairs.select("win_start", "source_a", "source_b"))
+        .join(
+            km.select(F.col("win_start").alias("_ws"), "source", "h"),
+            (F.col("_ws") == F.col("win_start"))
+            & (
+                (F.col("source") == F.col("source_a"))
+                | (F.col("source") == F.col("source_b"))
+            ),
+        )
+        .select("win_start", "source_a", "source_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("win_start", "source_a", "source_b").orderBy("h")
+    uth = (
+        uk.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("win_start", "source_a", "source_b")
+        .agg(
+            F.count("*").alias("nu"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_ukth"),
+        )
+        .select(
+            "win_start",
+            "source_a",
+            "source_b",
+            F.when(F.col("nu") < k, F.col("nu").cast("bigint"))
+            .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _ukth AS BIGINT)"))
+            .alias("est_union"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(uth), ["win_start", "source_a", "source_b"])
+        .join(
+            F.broadcast(retained),
+            ["win_start", "source_a", "source_b"],
+            "left",
+        )
+        .withColumn("n_ret", F.coalesce(F.col("n_ret"), F.lit(0).cast("bigint")))
+        .withColumn(
+            "est_inter",
+            F.expr(f"CAST((n_ret * {hsp}) DIV theta_min AS BIGINT)"),
+        )
+        .withColumn(
+            "jacc_est_ppm",
+            F.expr(
+                "CAST((CAST(est_inter AS DECIMAL(38,0)) * 1000000)"
+                " DIV est_union AS BIGINT)"
+            ),
+        )
+        .select(
+            "win_start",
+            "source_a",
+            "source_b",
+            "nk_a",
+            "nk_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+            "jacc_est_ppm",
+        )
+        .orderBy("win_start", "source_a", "source_b")
+    )

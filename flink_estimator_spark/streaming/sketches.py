@@ -85,6 +85,15 @@ _KMV_OUTPUT = T.StructType(
 
 _KMV_STATE = T.StructType([T.StructField("hs", T.ArrayType(T.LongType()))])
 
+_KMV_BY_OUTPUT = T.StructType(
+    [
+        T.StructField("win_start", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
 
 def windowed_kmv(
     events: DataFrame,
@@ -92,26 +101,35 @@ def windowed_kmv(
     watermark: str = "30 minutes",
     window_s: int = 3600,
     k: int = KMV_K,
+    by: "str | None" = None,
 ) -> DataFrame:
     """Per-window k-minimum-values sketch of ``key``, emitted once as
-    (win_start, rn, h) rows when the event-time timeout at window end
-    fires (the window_topn timer pattern).  Hashing runs JVM-side
-    (md5_word projection before the stateful op); the Python state body
-    only merges already-hashed longs and truncates to k — state is a
-    sorted ≤ k-long array per open window."""
+    (win_start[, source], rn, h) rows when the event-time timeout at
+    window end fires (the window_topn timer pattern).  Hashing runs
+    JVM-side (md5_word projection before the stateful op); the Python
+    state body only merges already-hashed longs and truncates to k —
+    state is a sorted ≤ k-long array per open window.
+
+    ``by`` adds a second grouping dimension (e.g. event_type): one
+    sketch per (window, source), the shape whose emitted artifacts feed
+    the downstream theta PAIR algebra (windowed Jaccard between sources)
+    without re-seeing raw events — state stays k longs per open
+    (window, source) at any cardinality."""
+    grouped = by is not None
 
     def _emit(key_: _Any, state: GroupState) -> _Iterator[_pd.DataFrame]:
         (hs,) = state.get
         state.remove()
         if not hs:
             return
-        yield _pd.DataFrame(
-            {
-                "win_start": [int(key_[0])] * len(hs),
-                "rn": list(range(1, len(hs) + 1)),
-                "h": [int(x) for x in hs],
-            }
-        )
+        out = {
+            "win_start": [int(key_[0])] * len(hs),
+            "rn": list(range(1, len(hs) + 1)),
+            "h": [int(x) for x in hs],
+        }
+        if grouped:
+            out["source"] = [str(key_[1])] * len(hs)
+        yield _pd.DataFrame(out)
 
     def _kmv(
         key_: _Any, pdfs: _Iterator[_pd.DataFrame], state: GroupState
@@ -130,14 +148,19 @@ def windowed_kmv(
         return
 
     win_start = (F.floor(F.unix_timestamp("ts") / window_s) * window_s).cast("long")
+    cols = ["ts", md5_word(F.col(key).cast("string"), 1, 13).alias("h")]
+    group = ["win_start"]
+    if grouped:
+        cols.append(F.col(by).cast("string").alias("source"))
+        group.append("source")
     return (
         events.withWatermark("ts", watermark)
-        .select("ts", md5_word(F.col(key).cast("string"), 1, 13).alias("h"))
+        .select(*cols)
         .withColumn("win_start", win_start)
-        .groupBy("win_start")
+        .groupBy(*group)
         .applyInPandasWithState(
             func=_kmv,
-            outputStructType=_KMV_OUTPUT,
+            outputStructType=_KMV_BY_OUTPUT if grouped else _KMV_OUTPUT,
             stateStructType=_KMV_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
