@@ -366,6 +366,9 @@ _SF001_SEC_PAIRS = [
     # round-8 second batch: windowed theta pair-algebra runtime gate
     # (warm sf0.01, min-of-2)
     ("q_stream_theta_pairs_runtime", 5.8),
+    # round-8 third batch: checkpoint-restart exactly-once gate
+    # (warm sf0.01)
+    ("q_stream_restart_runtime", 6.8),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

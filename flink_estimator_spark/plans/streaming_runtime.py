@@ -1922,3 +1922,145 @@ def q_stream_theta_pairs_runtime(spark, sf_dir):
         )
         .orderBy("win_start", "source_a", "source_b")
     )
+
+
+def _run_restarted_stream(spark, sf_dir, build, output_mode):
+    """Run ``build(make_stream)`` as TWO separate availableNow queries
+    over ONE checkpoint: the fixture is split at the event-time median
+    into two files, pass 1 sees only the first, the query terminates and
+    is STOPPED, the second file lands, and a brand-new query instance
+    resumes from the checkpoint — a real stop/recover cycle in which
+    windows straddling the split exist only as RECOVERED state.  Returns
+    ([((phase, batch_id), rows)], schema).
+
+    This is the fault-tolerance half of the streaming story the
+    single-run gates can't see: offsets, watermark, and operator state
+    all round-trip through the checkpoint, and exactly-once shows up as
+    the absence of duplicate/missing emissions in the union."""
+    from ..streaming.sources import events_stream
+
+    ckpt = _checkpoint_dir()
+    stream_dir = ckpt + "_src"
+    stage_dir = ckpt + "_stage"
+    os.makedirs(stream_dir, exist_ok=True)
+    ev = t(spark, sf_dir, "events")
+    med = int(
+        ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    )
+    halves = (
+        ev.filter(F.unix_micros("ts") <= med),
+        ev.filter(F.unix_micros("ts") > med),
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    batches: list[tuple[tuple[int, int], list]] = []
+    schema = None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        for phase, half in enumerate(halves):
+            part_dir = os.path.join(stage_dir, f"h{phase}")
+            half.coalesce(1).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            shutil.copy(
+                os.path.join(part_dir, part),
+                os.path.join(stream_dir, f"part-{phase}.parquet"),
+            )
+            out = build(lambda: events_stream(spark, stream_dir))
+            schema = out.schema
+
+            def sink(batch_df, batch_id, _p=phase):
+                batches.append(((_p, batch_id), batch_df.collect()))
+
+            q = (
+                out.writeStream.outputMode(output_mode)
+                .foreachBatch(sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+        return batches, schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+# decided-region margin: win_end (600) + watermark (1800) + slack (60)
+_RESTART_MARGIN = 600 + 1800 + 60
+
+
+@query(
+    "q_stream_restart_runtime",
+    oracle=f"""
+        WITH agg AS (
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS sum_cents
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT win_start, event_type, n, sum_cents
+        FROM agg
+        WHERE win_start + {_RESTART_MARGIN} <=
+              (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "runtime", "restart", "checkpoint", "exactly-once"),
+)
+def q_stream_restart_runtime(spark, sf_dir):
+    """CHECKPOINT RECOVERY + exactly-once across a restart, driver-gated
+    (23rd runtime path) — the fault-tolerance pillar the single-run gates
+    never exercise: a watermarked 10-minute tumble aggregation runs as
+    TWO separate availableNow queries over one checkpoint, stopped and
+    resumed at the fixture's event-time median (see
+    ``_run_restarted_stream``).  Windows straddling the split accumulate
+    half their rows in pass 1, survive the stop as RECOVERED operator
+    state, and complete in pass 2 — lost state undercounts them, replayed
+    offsets double-count, and a watermark that fails to round-trip emits
+    early/late rows; any of these shifts a count or cents sum and the
+    union of emissions stops matching the plain batch GROUP BY the
+    DuckDB oracle states over decided windows.  Cents are DECIMAL-summed
+    exact integers, so the equality is bit-for-bit at any SF.  (At
+    sf0.001 events are sparser than the window — recovery is carried by
+    the ~3 still-open watermark-horizon windows; from sf0.01 up the
+    median window itself holds rows on BOTH sides of the split, measured
+    2+1 at sf0.01 and 2+20 at sf0.1.)
+
+    Scale: this is the operational posture every 100 TB/day streaming
+    deployment lives in (deploys, rebalances, failures all restart the
+    query mid-state); state per window is one (n, sum) pair per
+    event_type, watermark-bounded."""
+    batches, schema = _run_restarted_stream(
+        spark,
+        sf_dir,
+        lambda make: (
+            make()
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+            )
+            .select(
+                F.col("win").start.cast("long").alias("win_start"),
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                (F.col("_s") * 100).cast("bigint").alias("sum_cents"),
+            )
+        ),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - _RESTART_MARGIN
+    rows = [r for _key, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("win_start") <= F.lit(cutoff))
+        .orderBy("win_start", "event_type")
+    )
