@@ -369,6 +369,9 @@ _SF001_SEC_PAIRS = [
     # round-8 third batch: checkpoint-restart exactly-once gate
     # (warm sf0.01)
     ("q_stream_restart_runtime", 6.8),
+    # round-8 fourth batch: typed-state TTL runtime gate (warm sf0.01,
+    # min-of-3; first run pays JVM/TWS warm-up ~16 s)
+    ("q_stream_tws_ttl_runtime", 6.0),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

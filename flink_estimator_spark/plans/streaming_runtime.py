@@ -2064,3 +2064,110 @@ def q_stream_restart_runtime(spark, sf_dir):
         .filter(F.col("win_start") <= F.lit(cutoff))
         .orderBy("win_start", "event_type")
     )
+
+
+def _run_tws_processing_time(spark, sf_dir, build, n_expected):
+    """Drive a ProcessingTime transformWithState stream over the staged
+    fixture and return its emitted rows.  TTL'd state REQUIRES
+    timeMode="ProcessingTime", and in that mode the operator schedules
+    perpetual state-cleanup batches, so neither availableNow nor
+    processAllAvailable ever signals completion — this runner polls the
+    emission count up to ``n_expected`` (a TERMINATION condition only;
+    the oracle still value-checks every row) and stops the query, raising
+    on timeout so an under-emitting processor fails loud."""
+    import time as _time
+
+    from ..streaming.sources import events_stream
+
+    ckpt = _checkpoint_dir()
+    stream_dir = ckpt + "_src"
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    rows: list = []
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        out = build(events_stream(spark, stream_dir))
+        schema = out.schema
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 300
+            while len(rows) < n_expected:
+                if q.exception():
+                    raise q.exception()
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        f"TWS stream emitted {len(rows)}/{n_expected} rows"
+                    )
+                _time.sleep(0.3)
+            _time.sleep(1.0)  # settle: catch spurious extra emissions
+        finally:
+            q.stop()
+        return rows, schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+@query(
+    "q_stream_tws_ttl_runtime",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, day
+    """,
+    tags=("streaming", "runtime", "stateful", "typed-state", "ttl", "dedup"),
+)
+def q_stream_tws_ttl_runtime(spark, sf_dir):
+    """Typed-state TTL executing FOR REAL, driver-gated (24th runtime
+    path) — the third transformWithStateInPandas pillar after typed
+    variables (q_stream_tws_topn_runtime) and event-time timers
+    (q_stream_tws_cep_runtime): ``streaming.stateful.ttl_dedup_tws``
+    registers its seen-marker ValueState WITH a ttlDurationMs config and
+    lets the RocksDB store own eviction.  Run on (event_type, day) keys
+    with a 1 h TTL the bounded run never outlives, the emitted set is
+    exactly the distinct key set, first emission only — the oracle is a
+    plain GROUP BY.  (Actual expiry/re-emission is wall-clock-dependent
+    and pinned by tests/test_streaming.py's two-arrival lifecycle test;
+    this gate contributes driver evidence that the TTL state channel
+    executes end-to-end on the real state server.)
+
+    Scale: keys are CALENDAR-bounded (|event_type| x days = 150 at every
+    fixture SF) per the SCALE.md §7k typed-state cost model — the
+    operator's cost is state-server RPC count, never rows."""
+    from ..streaming.stateful import ttl_dedup_tws
+
+    n_expected = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        )
+        .distinct()
+        .count()
+    )
+    rows, schema = _run_tws_processing_time(
+        spark,
+        sf_dir,
+        lambda ev: ttl_dedup_tws(
+            ev.withColumn(
+                "day", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+            ),
+            ["event_type", "day"],
+            ttl_ms=3_600_000,
+        ),
+        n_expected,
+    )
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("event_type", "day")
+    )
