@@ -67,25 +67,7 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
 # their driver row was recorded; they can only ever earn row-count
 # evidence, which is still staleness-bounded like everything else.
 _EVIDENCE_ROUND: dict[str, int] = {
-    # --- last green driver row: round 2 (36 queries) ---
-    "q_incremental_rollup": 2, "q_interval_join": 2, "q_lang_mismatch": 2,
-    "q_multimodal_features": 2, "q_multimodal_frames": 2,
-    "q_multimodal_resize": 2, "q_multistage_windows": 2, "q_ngram_lm": 2,
-    "q_pandas_grouped_agg": 2, "q_pandas_udf_score": 2, "q_percentiles": 2,
-    "q_pii_redaction": 2, "q_quality_funnel": 2, "q_resample_ffill": 2,
-    "q_reservoir_per_group": 2, "q_scd2_history": 2, "q_sequence_packing": 2,
-    "q_session_dynamic_gap": 2, "q_shared_spans": 2, "q_skew_salted_agg": 2,
-    "q_temporal_join": 2, "q_text_fingerprint": 2, "q_text_lang_guess": 2,
-    "q_text_quality": 2, "q_text_repetition": 2, "q_text_tfidf_top": 2,
-    "q_text_token_stats": 2, "q_time_range_frame": 2, "q_training_order": 2,
-    "q_udtf_tokens": 2, "q_unpivot": 2, "q_value_outliers": 2,
-    "q_vocab_growth": 2, "q_window_dedup": 2, "q_window_join": 2,
-    "q_window_topn": 2,
-    # --- last green driver row: round 3 (45 queries) ---
-    "q11_important_parts": 3, "q12_priority_shipping": 3,
-    "q20_majority_shippers": 3, "q2_min_cost_supplier": 3,
-    "q_ab_test_lift": 3, "q_asof_forward": 3, "q_autocorrelation": 3,
-    "q_click_trigrams": 3, "q_corr_qty_price": 3, "q_correlated_subquery": 3,
+    # --- last green driver row: round 3 (35 queries) ---
     "q_dedup_clusters": 3, "q_dedup_jaccard_pairs": 3,
     "q_distribution_drift": 3, "q_doc_chunks": 3, "q_doc_nll": 3,
     "q_emb_centroids": 3, "q_emb_ivf_recall": 3, "q_emb_lsh_recall": 3,
@@ -178,6 +160,26 @@ _EVIDENCE_ROUND: dict[str, int] = {
     "q_stream_tws_cep_runtime": 7, "q_stream_tws_topn_runtime": 7,
     "q_stream_union_runtime": 7, "q_theta_setops": 7, "q_topk_per_group": 7,
     "q_url_dedup_rate": 7, "q_wasserstein_drift": 7, "q_zorder_layout": 7,
+    # --- last green driver row: round 8 (50 queries) ---
+    "q11_important_parts": 8, "q12_priority_shipping": 8,
+    "q20_majority_shippers": 8, "q2_min_cost_supplier": 8,
+    "q_ab_test_lift": 8, "q_asof_forward": 8, "q_autocorrelation": 8,
+    "q_click_trigrams": 8, "q_corr_qty_price": 8, "q_correlated_subquery": 8,
+    "q_incremental_rollup": 8, "q_interval_join": 8, "q_lang_mismatch": 8,
+    "q_multimodal_features": 8, "q_multimodal_frames": 8,
+    "q_multimodal_jpeg": 8, "q_multimodal_resize": 8,
+    "q_multistage_windows": 8, "q_ngram_lm": 8, "q_pandas_grouped_agg": 8,
+    "q_pandas_udf_score": 8, "q_percentiles": 8, "q_pii_redaction": 8,
+    "q_quality_funnel": 8, "q_resample_ffill": 8, "q_reservoir_per_group": 8,
+    "q_scd2_history": 8, "q_sequence_packing": 8, "q_session_dynamic_gap": 8,
+    "q_shared_spans": 8, "q_skew_salted_agg": 8,
+    "q_stream_restart_runtime": 8, "q_stream_theta_pairs_runtime": 8,
+    "q_stream_tws_ttl_runtime": 8, "q_temporal_join": 8,
+    "q_text_fingerprint": 8, "q_text_lang_guess": 8, "q_text_quality": 8,
+    "q_text_repetition": 8, "q_text_tfidf_top": 8, "q_text_token_stats": 8,
+    "q_time_range_frame": 8, "q_training_order": 8, "q_udtf_tokens": 8,
+    "q_unpivot": 8, "q_value_outliers": 8, "q_vocab_growth": 8,
+    "q_window_dedup": 8, "q_window_join": 8, "q_window_topn": 8,
 }
 _GATED_PRIOR_ROUNDS = frozenset(_EVIDENCE_ROUND)
 
