@@ -282,17 +282,31 @@ class SequenceMatchProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
-        err_us, done = (None, False)
-        if self._meta.exists():
-            err_us, done = self._meta.get()
-        anchors = [int(r[0]) for r in self._anchors.get()]
+        # this operator's dominant cost at gate scale is state-server
+        # ROUND TRIPS over the pure-Python protobuf runtime (SCALE.md
+        # §7k), so every read/write below is conditional: meta existing
+        # implies whether anchors can (meta is written whenever anchors
+        # are), and unchanged state is never re-written
+        had_meta = self._meta.exists()
+        err_us, done = self._meta.get() if had_meta else (None, False)
+        # anchors are only ever non-empty while meta exists and the chain
+        # is open — skip the list read (and its clear) otherwise
+        anchors = (
+            [int(r[0]) for r in self._anchors.get()]
+            if had_meta and not done
+            else []
+        )
+        err_us0, done0, n_anchors0 = err_us, done, len(anchors)
         out = None
         if not done:
             pdf = pd.concat(list(rows), ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, r in pdf.iterrows():
-                et = r["event_type"]
-                us = int(r["ts"].value // 1000)  # pandas ns -> epoch micros
+            # columnar extraction: a per-row .iterrows() measured ~0.8 s
+            # over the sf0.1 gate's 20k rows; zipped ndarrays are ~20x
+            ets = pdf["event_type"].to_numpy()
+            tss = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
+            for et, ns in zip(ets, tss):
+                us = int(ns) // 1000  # pandas ns -> epoch micros
                 if (
                     self._absent is not None
                     and et == self._absent
@@ -327,14 +341,24 @@ class SequenceMatchProcessor(StatefulProcessor):
                                 self._expiry_ms(anchors[0])
                             )
                         break
-        if done or not anchors:
-            # tombstone / no-op: O(1) state — also the real state store
-            # REJECTS put([]) (ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE),
-            # so an empty chain must clear, not write
-            self._anchors.clear()
-        else:
-            self._anchors.put([(a,) for a in anchors])
-        self._meta.update((err_us, done))
+        anchors_progressed = len(anchors) != n_anchors0 or (done and not done0)
+        if anchors_progressed:
+            if done or not anchors:
+                # tombstone: O(1) state — also the real state store
+                # REJECTS put([]) (ILLEGAL_STATE_STORE_VALUE
+                # .EMPTY_LIST_VALUE), so an empty chain must clear, not
+                # write; a chain that saw no progress skips the write
+                # entirely (no-op RPCs removed per the cost note above)
+                self._anchors.clear()
+            else:
+                self._anchors.put([(a,) for a in anchors])
+        # meta must exist whenever anchors do (the read-skip invariant
+        # above), and must reflect any err/done transition; a key whose
+        # batch touched nothing keeps zero state
+        if (err_us, done) != (err_us0, done0) or (
+            anchors_progressed and not had_meta
+        ):
+            self._meta.update((err_us, done))
         if out is not None:
             yield out
 
@@ -386,7 +410,12 @@ def sequence_matches_tws(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     return (
-        events.withWatermark("ts", watermark)
+        # prune to the processor's working set before the keyed exchange:
+        # everything selected here is shuffled AND Arrow-shipped to the
+        # Python worker per key — dropping the fixture's wide props column
+        # cuts both (SCALE.md §7k)
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=SequenceMatchProcessor(
@@ -542,7 +571,11 @@ def window_topn_tws(
         "long"
     )
     return (
-        events.withWatermark("ts", watermark)
+        # prune to (event-time, key, measure) before the keyed exchange —
+        # the processor touches only user_id/value, and ts rides along as
+        # the watermark column (SCALE.md §7k)
+        events.select("ts", "user_id", "value")
+        .withWatermark("ts", watermark)
         .withColumn("win_start", win_start)
         .groupBy("win_start")
         .transformWithStateInPandas(
@@ -626,7 +659,9 @@ def ttl_dedup_tws(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     out_schema = T.StructType([events.schema[k] for k in keys])
-    return events.groupBy(*keys).transformWithStateInPandas(
+    # only key PRESENCE matters to the processor — prune to the key
+    # columns so the exchange and per-key Arrow batches carry nothing else
+    return events.select(*keys).groupBy(*keys).transformWithStateInPandas(
         statefulProcessor=TTLDedupProcessor(keys, ttl_ms),
         outputStructType=out_schema,
         outputMode="Append",
