@@ -374,6 +374,12 @@ _SF001_SEC_PAIRS = [
     # round-8 fourth batch: typed-state TTL runtime gate (warm sf0.01,
     # min-of-3; first run pays JVM/TWS warm-up ~16 s)
     ("q_stream_tws_ttl_runtime", 6.0),
+    # round-9 first batch: typed-state checkpoint-restart gate (two TWS
+    # queries over one checkpoint; warm sf0.01 min-of-3, bench process)
+    ("q_stream_tws_restart_runtime", 6.8),
+    # round-9 second batch: windowed-theta threshold operating curve
+    # (re-runs the KMV stream + a 10-threshold fan-out; warm sf0.01)
+    ("q_stream_theta_curve_runtime", 5.6),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

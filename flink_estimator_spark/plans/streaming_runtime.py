@@ -1757,31 +1757,12 @@ def _stream_theta_pairs_oracle() -> str:
     """
 
 
-@query(
-    "q_stream_theta_pairs_runtime",
-    oracle=_stream_theta_pairs_oracle(),
-    tags=("streaming", "runtime", "sketch", "theta", "set-ops", "mergeable"),
-)
-def q_stream_theta_pairs_runtime(spark, sf_dir):
-    """Windowed theta-sketch PAIR ALGEBRA on streaming artifacts — the
-    22nd runtime gate, closing the sketch family's batch/stream symmetry
-    the way CMS did: ``windowed_kmv(by="event_type")`` runs as a real
-    append-mode streaming query keeping one k=8 KMV sketch per open
-    (day window, event_type) — state is 8 longs per group at ANY
-    cardinality — and emitting each sketch at its event-time timeout.
-    Downstream, WITHOUT re-seeing raw events, the gate computes the full
-    theta set algebra between every source pair inside each decided
-    window: per-source distinct estimates, k-smallest-of-union
-    ``est_union``, retained-intersection ``est_inter`` and Jaccard ppm
-    (through the DECIMAL(38,0)/HUGEINT route per SCALE.md §7m) — the
-    q_theta_setops calculus applied to per-window streaming artifacts.
-    The DuckDB oracle rebuilds every sketch from raw events with the
-    same md5-52 arithmetic.  k=8 straddles the saturation boundary
-    already at sf0.001 (17 of 150 day-window groups saturated, the rest
-    exact), so both estimator branches gate at every SF; day windows
-    keep the stateful group count calendar-bounded (150 at every
-    fixture SF — see the _THP_WIN note).  Decided-region margin mirrors
-    q_stream_kmv_runtime."""
+def _theta_pairs_frame(spark, sf_dir):
+    """Windowed KMV stream -> decided-window theta PAIR-ALGEBRA frame
+    (win_start, source_a, source_b, nk_a, nk_b, est_a, est_b, est_union,
+    est_inter, jacc_est_ppm) — the shared core of the pair gate and the
+    threshold-curve gate (both run the stream; the curve only adds a
+    fan-out over literal thresholds on the 290-row result)."""
     from ..streaming.sketches import windowed_kmv
 
     k, hsp = _THP_K, _THP_H
@@ -1920,18 +1901,121 @@ def q_stream_theta_pairs_runtime(spark, sf_dir):
             "est_inter",
             "jacc_est_ppm",
         )
-        .orderBy("win_start", "source_a", "source_b")
     )
 
 
-def _run_restarted_stream(spark, sf_dir, build, output_mode):
+@query(
+    "q_stream_theta_pairs_runtime",
+    oracle=_stream_theta_pairs_oracle(),
+    tags=("streaming", "runtime", "sketch", "theta", "set-ops", "mergeable"),
+)
+def q_stream_theta_pairs_runtime(spark, sf_dir):
+    """Windowed theta-sketch PAIR ALGEBRA on streaming artifacts — the
+    22nd runtime gate, closing the sketch family's batch/stream symmetry
+    the way CMS did: ``windowed_kmv(by="event_type")`` runs as a real
+    append-mode streaming query keeping one k=8 KMV sketch per open
+    (day window, event_type) — state is 8 longs per group at ANY
+    cardinality — and emitting each sketch at its event-time timeout.
+    Downstream, WITHOUT re-seeing raw events, the gate computes the full
+    theta set algebra between every source pair inside each decided
+    window: per-source distinct estimates, k-smallest-of-union
+    ``est_union``, retained-intersection ``est_inter`` and Jaccard ppm
+    (through the DECIMAL(38,0)/HUGEINT route per SCALE.md §7m) — the
+    q_theta_setops calculus applied to per-window streaming artifacts.
+    The DuckDB oracle rebuilds every sketch from raw events with the
+    same md5-52 arithmetic.  k=8 straddles the saturation boundary
+    already at sf0.001 (17 of 150 day-window groups saturated, the rest
+    exact), so both estimator branches gate at every SF; day windows
+    keep the stateful group count calendar-bounded (150 at every
+    fixture SF — see the _THP_WIN note).  Decided-region margin mirrors
+    q_stream_kmv_runtime."""
+    return _theta_pairs_frame(spark, sf_dir).orderBy(
+        "win_start", "source_a", "source_b"
+    )
+
+
+# thresholds (percent) for the windowed-theta operating curve: the
+# fixture's pair Jaccards span 0-75% ppm with median ~20% at every SF
+# (measured r9), so this ladder splits the decision surface at each SF
+_THETA_CURVE_PCTS = [1, 2, 5, 10, 20, 30, 40, 50, 70, 90]
+
+
+def _stream_theta_curve_oracle() -> str:
+    pcts = ", ".join(str(p) for p in _THETA_CURVE_PCTS)
+    return f"""
+        WITH base AS ({_stream_theta_pairs_oracle()})
+        SELECT CAST(t.pct AS BIGINT) AS threshold_pct,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT base.win_start) AS BIGINT) AS n_windows,
+               CAST(count(DISTINCT (base.win_start, base.source_b))
+                    AS BIGINT) AS n_removed
+        FROM base
+        JOIN (SELECT unnest([{pcts}]) AS pct) t
+          ON base.jacc_est_ppm >= t.pct * 10000
+        GROUP BY t.pct
+        ORDER BY threshold_pct
+    """
+
+
+@query(
+    "q_stream_theta_curve_runtime",
+    oracle=_stream_theta_curve_oracle(),
+    tags=(
+        "streaming", "runtime", "sketch", "theta", "dedup", "tuning",
+        "operating-curve",
+    ),
+)
+def q_stream_theta_curve_runtime(spark, sf_dir):
+    """Windowed-theta THRESHOLD OPERATING CURVE — the sketch family's
+    last batch/stream asymmetry closed (VERDICT r8 item 8): the batch
+    side tunes dedup thresholds from `q_dedup_threshold_curve`; this
+    gate derives the same decision surface from STREAMING artifacts —
+    for each candidate Jaccard threshold, how many decided
+    (window, source-pair)s fire, how many windows are touched, and how
+    many (window, later-source) slots a keep-first policy would drop —
+    computed from the per-window theta pair algebra
+    (`_theta_pairs_frame`) without re-seeing raw events.  Membership is
+    an INTEGER inequality on the exact BIGINT ppm (jacc_est_ppm >=
+    pct * 10000, the cross-multiply discipline — no float compare ever
+    decides a row), so both engines agree bit-for-bit.
+
+    Scale: the curve fan-out multiplies the PAIR table (calendar x
+    |sources|^2 bounded: 290 rows at every fixture SF) by 10 literal
+    thresholds — never events, never sketch entries; the streaming
+    state underneath stays 8 longs per (day, source) group."""
+    pairs = _theta_pairs_frame(spark, sf_dir)
+    thr = F.explode(
+        F.array(*[F.lit(p) for p in _THETA_CURVE_PCTS])
+    ).alias("pct")
+    fired = pairs.select("win_start", "source_b", "jacc_est_ppm", thr).filter(
+        F.col("jacc_est_ppm") >= F.col("pct") * 10000
+    )
+    return (
+        fired.groupBy(F.col("pct").cast("bigint").alias("threshold_pct"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("win_start").cast("bigint").alias("n_windows"),
+            F.countDistinct("win_start", "source_b")
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def _run_restarted_stream(spark, sf_dir, build, output_mode, split_us=None):
     """Run ``build(make_stream)`` as TWO separate availableNow queries
-    over ONE checkpoint: the fixture is split at the event-time median
-    into two files, pass 1 sees only the first, the query terminates and
-    is STOPPED, the second file lands, and a brand-new query instance
-    resumes from the checkpoint — a real stop/recover cycle in which
-    windows straddling the split exist only as RECOVERED state.  Returns
-    ([((phase, batch_id), rows)], schema).
+    over ONE checkpoint: the fixture is split at ``split_us`` (epoch
+    micros; default = the event-time median) into two files, pass 1 sees
+    only the first, the query terminates and is STOPPED, the second file
+    lands, and a brand-new query instance resumes from the checkpoint —
+    a real stop/recover cycle in which windows straddling the split
+    exist only as RECOVERED state.  Gates whose interesting state lives
+    in a narrow event-time band (e.g. earliest-match CEP chains, which
+    all complete in the fixture's early prefix) pass an explicit
+    ``split_us`` landing inside that band so the recovery is
+    value-visible at every SF.  Returns ([((phase, batch_id), rows)],
+    schema).
 
     This is the fault-tolerance half of the streaming story the
     single-run gates can't see: offsets, watermark, and operator state
@@ -1944,12 +2028,13 @@ def _run_restarted_stream(spark, sf_dir, build, output_mode):
     stage_dir = ckpt + "_stage"
     os.makedirs(stream_dir, exist_ok=True)
     ev = t(spark, sf_dir, "events")
-    med = int(
-        ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
-    )
+    if split_us is None:
+        split_us = int(
+            ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+        )
     halves = (
-        ev.filter(F.unix_micros("ts") <= med),
-        ev.filter(F.unix_micros("ts") > med),
+        ev.filter(F.unix_micros("ts") <= split_us),
+        ev.filter(F.unix_micros("ts") > split_us),
     )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     batches: list[tuple[tuple[int, int], list]] = []
@@ -1986,6 +2071,9 @@ def _run_restarted_stream(spark, sf_dir, build, output_mode):
         return batches, schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 # decided-region margin: win_end (600) + watermark (1800) + slack (60)
@@ -2066,6 +2154,122 @@ def q_stream_restart_runtime(spark, sf_dir):
     )
 
 
+@query(
+    "q_stream_tws_restart_runtime",
+    oracle="""
+        SELECT user_id,
+               epoch_us(t0) AS t0_us,
+               epoch_us(t1) AS t1_us,
+               epoch_us(t2) AS t2_us,
+               epoch_us(t3) AS t3_us,
+               (epoch_us(t3) - epoch_us(t0)) // 1000000 AS span_s
+        FROM (
+            SELECT DISTINCT user_id, t0, t1, t2, t3,
+                   sum(CASE WHEN event_type = 'error' AND ts > t0 AND ts < t3
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS n_err
+            FROM (
+                SELECT user_id, event_type, ts, t0, t1, t2,
+                       min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                THEN ts END) OVER (PARTITION BY user_id) AS t3
+                FROM (
+                    SELECT user_id, event_type, ts, t0, t1,
+                           min(CASE WHEN event_type = 'click' AND ts > t1
+                                    THEN ts END) OVER (PARTITION BY user_id) AS t2
+                    FROM (
+                        SELECT user_id, event_type, ts, t0,
+                               min(CASE WHEN event_type = 'view' AND ts > t0
+                                        THEN ts END) OVER (PARTITION BY user_id) AS t1
+                        FROM (
+                            SELECT user_id, event_type, ts,
+                                   min(CASE WHEN event_type = 'signup'
+                                            THEN ts END) OVER (PARTITION BY user_id) AS t0
+                            FROM events
+                            WHERE user_id < 300
+                        )
+                    )
+                )
+            )
+        )
+        WHERE t3 IS NOT NULL
+          AND epoch_us(t3) - epoch_us(t0) <= CAST(172800 AS BIGINT) * 1000000
+          AND n_err = 0
+        ORDER BY user_id
+    """,
+    tags=(
+        "streaming", "runtime", "cep", "typed-state", "restart",
+        "checkpoint", "tws",
+    ),
+)
+def q_stream_tws_restart_runtime(spark, sf_dir):
+    """TYPED-STATE state across a CHECKPOINT RESTART, driver-gated (25th
+    runtime path) — composes the two newest proofs in the tree:
+    ``q_stream_restart_runtime`` recovers BUILT-IN window state through a
+    stop/resume cycle; this gate does the same cycle with
+    ``SequenceMatchProcessor``'s ListState chain anchors + ValueState
+    tombstone + registered event-time timer, the state kinds only the
+    transformWithState API holds.  The split point is data-derived
+    because earliest-match chains all complete in the fixture's early
+    prefix (the event-time MEDIAN straddles zero matched chains at any
+    fixture SF — measured r9): the batch dual picks the matched chain
+    with the LATEST completion and the stream is cut at that chain's
+    (t0, t3) midpoint, so at least one emitted match accumulates anchors
+    in pass 1 and completes in pass 2 — its row is emitted by a BRAND-NEW
+    query instance from recovered ListState/ValueState, and the gate
+    asserts the straddler exists so a fixture drift that removes the
+    recovery evidence fails loud instead of passing vacuously.  Lost
+    anchors re-match later steps (wrong t1/t2), a lost tombstone
+    re-emits, replayed offsets re-run pass-1 chains — each shifts a value
+    or a row count against the full-fixture batch oracle.
+
+    Scale: restart-with-typed-state is the deploy/rebalance/failure
+    posture of every stateful 100 TB/day pipeline; state per key is O(k)
+    anchors while open, O(1) after resolution (timers recovered from the
+    checkpoint's timer column family fire on the resumed watermark)."""
+    from ..operators.sequence import match_sequence
+    from ..streaming.stateful import sequence_matches_tws
+
+    steps = ["signup", "view", "click", "purchase"]
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    ref = match_sequence(
+        ev,
+        [F.col("event_type") == s for s in steps],
+        within_s=172800,
+        absent=F.col("event_type") == "error",
+    )
+    # one bounded row: the latest-completing match anchors the split
+    pick = (
+        ref.orderBy(F.col("t3_us").desc(), "user_id")
+        .select("t0_us", "t3_us")
+        .first()
+    )
+    assert pick is not None, "fixture has no matched chain to straddle"
+    split_us = (pick["t0_us"] + pick["t3_us"]) // 2
+
+    batches, schema = _run_restarted_stream(
+        spark,
+        sf_dir,
+        lambda make: sequence_matches_tws(
+            make().filter(F.col("user_id") < 300),
+            steps=steps,
+            within_s=172800,
+            absent="error",
+            watermark="1 hour",
+        ),
+        output_mode="update",
+        split_us=split_us,
+    )
+    rows = [r for _key, rs in batches for r in rs]
+    straddlers = [
+        r for r in rows if r["t0_us"] <= split_us < r["t3_us"]
+    ]
+    assert straddlers, (
+        "no emitted match straddles the split — the restart recovered no "
+        "typed state; the gate would pass vacuously"
+    )
+    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+
+
 def _run_tws_processing_time(spark, sf_dir, build, n_expected):
     """Drive a ProcessingTime transformWithState stream over the staged
     fixture and return its emitted rows.  TTL'd state REQUIRES
@@ -2107,13 +2311,27 @@ def _run_tws_processing_time(spark, sf_dir, build, n_expected):
                     raise TimeoutError(
                         f"TWS stream emitted {len(rows)}/{n_expected} rows"
                     )
-                _time.sleep(0.3)
-            _time.sleep(1.0)  # settle: catch spurious extra emissions
+                _time.sleep(0.1)
+            # settle: catch spurious extra emissions — but event-driven,
+            # not a fixed sleep: ProcessingTime mode keeps scheduling
+            # cleanup batches, so one FURTHER completed batch beyond the
+            # one that reached the count proves emissions have stopped
+            # (1 s cap keeps the old fixed-sleep bound as the fallback)
+            lp = q.lastProgress
+            reached = lp["batchId"] if lp else -1
+            settle_deadline = _time.time() + 1.0
+            while _time.time() < settle_deadline:
+                lp = q.lastProgress
+                if lp and lp["batchId"] > reached:
+                    break
+                _time.sleep(0.05)
         finally:
             q.stop()
         return rows, schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 @query(
