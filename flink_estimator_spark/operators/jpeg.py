@@ -288,9 +288,11 @@ def encode_jpeg(img: "np.ndarray", quant: "np.ndarray" = Q_UNIFORM8) -> bytes:
     h, w = img.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg requires multiple-of-8 dimensions")
-    planes = [img] if gray else [
-        _rgb_to_ycbcr(img)[..., i] for i in range(3)
-    ]
+    if gray:
+        planes = [img]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., i] for i in range(3)]
     quant = np.asarray(quant, dtype=np.int32)
     out = bytearray(b"\xff\xd8")  # SOI
     zz_q = quant[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
@@ -327,7 +329,18 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     """Decode baseline sequential JPEG: 8-bit, 1 component (grayscale) or
     3 components 4:4:4 (JFIF YCbCr -> RGB), canonical Huffman from ANY
     DHT.  Returns (h, w) or (h, w, 3) uint8.  Raises ValueError on
-    progressive/arithmetic/12-bit/subsampled/restart-interval streams."""
+    progressive/arithmetic/12-bit/subsampled/restart-interval streams —
+    and on TRUNCATED/corrupt input (the fail-loud contract covers every
+    malformed stream, not just recognized-but-unsupported ones)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as exc:
+        # out-of-range reads anywhere in the marker walk, segment
+        # parsing, or entropy decode mean the stream ended mid-structure
+        raise ValueError("truncated JPEG stream") from exc
+
+
+def _decode_jpeg(data: bytes) -> "np.ndarray":
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -397,11 +410,14 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
             reader = _BitReader(data, pos)
             out = _decode_scan(reader, h, w, comps, scan, quants, huff)
             pos = reader.end()
-            # skip to EOI (tolerate pad bytes)
-            while pos < len(data) and not (
+            # skip to EOI (tolerate pad bytes); a stream that ends without
+            # one was cut mid-file even if every block decoded
+            while pos + 1 < len(data) and not (
                 data[pos] == 0xFF and data[pos + 1] == 0xD9
             ):
                 pos += 1
+            if pos + 1 >= len(data):
+                raise ValueError("truncated JPEG stream (missing EOI)")
             if len(out) == 1:
                 return out[0]
             ycc = np.stack(out, axis=-1)

@@ -144,3 +144,20 @@ def test_dc_dpcm_chain_spans_blocks():
     img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
     out = decode_jpeg(encode_jpeg(img))
     assert np.array_equal(out, img)
+
+
+def test_truncated_streams_raise_valueerror_everywhere():
+    # the fail-loud contract covers malformed input: EVERY prefix of a
+    # valid stream must raise ValueError (never IndexError/struct.error),
+    # whether the cut lands mid-marker, mid-segment, or mid-entropy-data
+    img = (np.arange(64, dtype=np.int64) * 3 % 256).reshape(8, 8).astype(np.uint8)
+    payload = encode_jpeg(img)
+    for cut in range(2, len(payload) - 1):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+    # and a mid-stream corruption that points a segment length past EOF
+    corrupt = bytearray(payload)
+    dqt = corrupt.find(b"\xff\xdb")
+    corrupt[dqt + 2 : dqt + 4] = (60000).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(corrupt))

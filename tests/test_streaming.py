@@ -430,8 +430,23 @@ def _tws_wait(q, pred, timeout_s=240.0):
     return False
 
 
+_TWS_SEEN: dict = {}
+
+
 def _tws_inputs_seen(q):
-    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+    """Cumulative input rows consumed by ``q``.  recentProgress retains
+    only ~100 entries and ProcessingTime TTL streams schedule perpetual
+    cleanup batches, so re-summing the window can LOSE input-bearing
+    entries on a slow machine; accumulating per newly seen batchId keeps
+    the count monotone for the life of the run."""
+    last, cum = _TWS_SEEN.get(q.runId, (-1, 0))
+    for p in q.recentProgress:
+        bid = int(p["batchId"])
+        if bid > last:
+            cum += int(p["numInputRows"])
+            last = bid
+    _TWS_SEEN[q.runId] = (last, cum)
+    return cum
 
 
 def test_ttl_dedup_tws_matches_watermark_dedup(spark, stream_dir, tmp_path):

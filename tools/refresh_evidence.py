@@ -35,8 +35,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY = os.path.join(REPO, "flink_estimator_spark", "plans", "registry.py")
 
 
+def _registered_queries(repo: str) -> "set[str] | None":
+    """The live registry's query names, or None if the package can't be
+    imported here (the evidence derivation then keeps every name)."""
+    try:
+        sys.path.insert(0, repo)
+        from flink_estimator_spark.plans import QUERIES
+        return set(QUERIES)
+    except Exception:
+        return None
+
+
 def compute_evidence(repo: str = REPO) -> dict[str, int]:
-    """Latest green driver round per query, from every CORRECTNESS file."""
+    """Latest green driver round per query, from every CORRECTNESS file —
+    intersected with the LIVE registry, so a renamed/removed query's old
+    evidence rows can't wedge the ledger in a permanently-stale state
+    (ADVICE r8: without the filter, test_every_evidence_entry_is_registered
+    could never pass again after a removal)."""
     evidence: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -59,6 +74,9 @@ def compute_evidence(repo: str = REPO) -> dict[str, int]:
                 )
             if green:
                 evidence[name] = max(evidence.get(name, 0), rnd)
+    registered = _registered_queries(repo)
+    if registered is not None:
+        evidence = {k: v for k, v in evidence.items() if k in registered}
     return evidence
 
 
