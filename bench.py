@@ -72,11 +72,53 @@ def main() -> int:
     # q_running movers were adjacent ledger slots), not a plan regression.
     t_offs: dict[str, float] = {}
     bench_t0 = time.perf_counter()
+
+    # Canary TIMELINE (VERDICT r8 item 4): the 20k-scenario estimator
+    # batch is a fixed CPU-bound workload, so its throughput labels the
+    # box's hotness AT A MOMENT.  Run it at bench start, every
+    # CANARY_EVERY entries, and at the end; BENCH_DETAIL records the
+    # timeline plus each query's nearest canary eps, so a contention
+    # window is adjudicable from one ledger (eps-normalized ratios by
+    # tool, not by cross-round judge forensics).  Timeline canaries are
+    # NOT added to timings/total — the final run stays the headline
+    # estimator_eps, like-for-like with prior rounds.
+    from flink_estimator_spark.estimator import Scenario, estimate_df, scenario_schema
+    from tests.scenarios import random_scenarios
+
+    rows = []
+    base_cases = random_scenarios(200, seed=11)
+    for i in range(20_000):
+        kw = dict(base_cases[i % len(base_cases)])
+        kw["project_name"] = f"s{i}"
+        s = Scenario(**kw)
+        rows.append(tuple(getattr(s, f.name) for f in scenario_schema.fields))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_part = int(cpus) if cpus.isdigit() else 32
+    sdf = spark.createDataFrame(rows, scenario_schema).repartition(n_part)
+    sdf.count()  # materialize the repartition outside every timed window
+
+    canary_timeline: list[dict] = []
+
+    def run_canary() -> float:
+        t0 = time.perf_counter()
+        n = estimate_df(sdf).count()
+        sec = time.perf_counter() - t0
+        eps = round(n / sec, 1)
+        canary_timeline.append(
+            {"t_off": round(time.perf_counter() - bench_t0, 1), "eps": eps}
+        )
+        return eps
+
+    CANARY_EVERY = 40
+    run_canary()  # start-of-bench point
+
     order = HEADLINE + sorted(n for n in QUERIES if n not in HEADLINE)
-    for name in order:
+    for qi, name in enumerate(order):
         spec = QUERIES.get(name)
         if spec is None:
             continue
+        if qi and qi % CANARY_EVERY == 0:
+            run_canary()
         runs: list[float] = []
         t_offs[name] = round(time.perf_counter() - bench_t0, 1)
         try:
@@ -102,26 +144,20 @@ def main() -> int:
         # their fresh-JVM cost when storage accumulated.
         spark.catalog.clearCache()
 
-    # Plane-A estimator throughput: 20k scenarios in one DataFrame pass
-    from flink_estimator_spark.estimator import Scenario, estimate_df, scenario_schema
-    from tests.scenarios import random_scenarios
-
-    rows = []
-    base_cases = random_scenarios(200, seed=11)
-    for i in range(20_000):
-        kw = dict(base_cases[i % len(base_cases)])
-        kw["project_name"] = f"s{i}"
-        s = Scenario(**kw)
-        rows.append(tuple(getattr(s, f.name) for f in scenario_schema.fields))
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_part = int(cpus) if cpus.isdigit() else 32
-    sdf = spark.createDataFrame(rows, scenario_schema).repartition(n_part)
-    sdf.count()  # materialize the repartition outside the timed window
+    # Plane-A estimator throughput: the END-of-bench canary is the
+    # headline estimator_eps (same workload + position as prior rounds)
     t0 = time.perf_counter()
-    n_est = estimate_df(sdf).count()
-    est_sec = time.perf_counter() - t0
-    estimator_eps = round(n_est / est_sec, 1)
-    timings["plane_a_estimator_20k"] = round(est_sec, 3)
+    estimator_eps = run_canary()
+    timings["plane_a_estimator_20k"] = round(
+        time.perf_counter() - t0, 3
+    )
+
+    # nearest canary point per query (by wall-clock offset): the
+    # eps-normalization input for cross-round mover adjudication
+    canary_eps: dict[str, float] = {}
+    for name, toff in t_offs.items():
+        nearest = min(canary_timeline, key=lambda c: abs(c["t_off"] - toff))
+        canary_eps[name] = nearest["eps"]
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     failed = sorted(k for k, v in timings.items() if v < 0)
@@ -135,6 +171,9 @@ def main() -> int:
     # per-query movers should be read against the t_off adjacency map
     # before any plan hunt.
     box_hot = estimator_eps < 20_000
+    # any-window hotness: true if ANY timeline point dipped below the
+    # clean-box floor (box_hot keeps its r6 semantics — final point only)
+    box_hot_any = any(c["eps"] < 20_000 for c in canary_timeline)
     detail = {
         "sf": sf,
         "timing": "min_of_2_plus_third_if_over_2s",
@@ -143,7 +182,10 @@ def main() -> int:
         "spread": spreads,
         "t_off": t_offs,
         "estimator_eps": estimator_eps,
+        "canary_timeline": canary_timeline,
+        "canary_eps": canary_eps,
         "box_hot": box_hot,
+        "box_hot_any": box_hot_any,
         "total_sec": total,
         "failed": failed,
     }
