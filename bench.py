@@ -96,6 +96,10 @@ def main() -> int:
     n_part = int(cpus) if cpus.isdigit() else 32
     sdf = spark.createDataFrame(rows, scenario_schema).repartition(n_part)
     sdf.count()  # materialize the repartition outside every timed window
+    estimate_df(sdf).count()  # warm the canary path itself (codegen +
+    # Arrow worker spin-up) so the START timeline point measures the box,
+    # not cold-start — an unwarmed first point read 9.2k on an idle box
+    # and made box_hot_any unconditionally true
 
     canary_timeline: list[dict] = []
 
