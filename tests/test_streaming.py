@@ -520,6 +520,78 @@ def test_ttl_dedup_tws_matches_watermark_dedup(spark, stream_dir, tmp_path):
     assert len(emitted) == len(set(emitted))
 
 
+def test_ttl_dedup_tws_state_survives_restart(spark, tmp_path, tmp_path_factory):
+    """The fault-tolerance matrix's LAST untested cell (r8 verdict closed
+    built-in-state x restart and r9 closed typed-event-time x restart):
+    TTL'd ValueState across a checkpoint stop/resume.  Phase 1 emits key
+    A and is STOPPED; phase 2 stages a duplicate of A plus a new key B
+    and a brand-new query resumes from the checkpoint — a recovered
+    1 h marker must keep suppressing A (state lost in the restart would
+    re-emit it) while B proves the resumed stream is live.  Real RocksDB
+    store, ProcessingTime mode, file-source offsets recovered so phase 2
+    reads only the new file."""
+    from flink_estimator_spark.streaming.stateful import (
+        ensure_typed_state_runtime,
+    )
+
+    if not ensure_typed_state_runtime(spark):
+        pytest.skip("no protobuf runtime locatable on this machine")
+    from flink_estimator_spark.streaming import ttl_dedup_tws
+
+    src = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    one = src.to_pandas().sort_values("ts").iloc[[0]].reset_index(drop=True)
+    other = one.copy()
+    other["user_id"] = one["user_id"] + 1  # second distinct key
+
+    d = tmp_path_factory.mktemp("events_ttl_restart")
+    ckpt = str(tmp_path / "ckpt_ttl_restart")
+    pq.write_table(pa.Table.from_pandas(one, preserve_index=False),
+                   str(d / "part-000.parquet"))
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    key = (int(one["user_id"][0]), str(one["event_type"][0]))
+
+    def start(rows):
+        return _start_tws(
+            spark,
+            ttl_dedup_tws(
+                events_stream(spark, str(d)),
+                ["user_id", "event_type"],
+                ttl_ms=3_600_000,
+            ),
+            ckpt,
+            rows,
+        )
+
+    rows1: list = []
+    q = start(rows1)
+    try:
+        assert _tws_wait(q, lambda: len(rows1) == 1), "phase-1 emission"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    assert (int(rows1[0]["user_id"]), str(rows1[0]["event_type"])) == key
+
+    # the duplicate + the new key land while the query is DOWN
+    both = pd.concat([one, other], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False),
+                   str(d / "part-001.parquet"))
+
+    rows2: list = []
+    q = start(rows2)
+    try:
+        assert _tws_wait(q, lambda: len(rows2) >= 1), "phase-2 emission"
+        _tws_wait(q, lambda: False, timeout_s=2.0)  # settle: catch dup of A
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    emitted = {(int(r["user_id"]), str(r["event_type"])) for r in rows2}
+    assert emitted == {(key[0] + 1, key[1])}, (
+        f"recovered TTL marker must suppress the duplicate and emit only "
+        f"the new key; got {emitted}"
+    )
+
+
 def test_ttl_dedup_tws_expires_and_reemits(spark, tmp_path, tmp_path_factory):
     """TTL pillar, lifecycle half: with a 1 ms TTL and a second arrival
     of the same key after a real wall-clock gap, the store must EVICT the
