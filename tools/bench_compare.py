@@ -35,23 +35,47 @@ import json
 import sys
 
 
-def _eps_for(detail: dict, name: str) -> float:
-    """Nearest canary eps for a query, with pre-timeline fallback."""
-    eps = detail.get("canary_eps", {}).get(name)
-    if eps:
-        return float(eps)
+def _eps_for(detail: dict, name: str, per_query: bool) -> float:
+    """Canary eps for a query: nearest-in-time when ``per_query``, else
+    the ledger's headline.  Granularity must match ACROSS ledgers — mixing
+    one ledger's per-query eps with the other's single global value
+    manufactures movers wherever the fine timeline diverges from the
+    coarse average (measured: raw 0.9 ratios reported as norm 1.6 when an
+    r8 global-eps ledger met an r9 timeline ledger), so the caller passes
+    per_query=True only when BOTH ledgers carry canary_eps."""
+    if per_query:
+        eps = detail.get("canary_eps", {}).get(name)
+        if eps:
+            return float(eps)
     return float(detail.get("estimator_eps") or 0.0)
+
+
+def _hot_window_flags(detail: dict) -> dict:
+    """Per-query bool: did the query's nearest canary point read >15%
+    below the ledger's own median timeline eps?  None per query when the
+    ledger has no timeline (pre-r9)."""
+    canary = detail.get("canary_eps") or {}
+    timeline = detail.get("canary_timeline") or []
+    if not canary or not timeline:
+        return {}
+    eps_values = sorted(c["eps"] for c in timeline)
+    median = eps_values[len(eps_values) // 2]
+    return {name: eps < 0.85 * median for name, eps in canary.items()}
 
 
 def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
     rows = []
     shared = 0
+    per_query = bool(old.get("canary_eps")) and bool(new.get("canary_eps"))
+    hot_old = _hot_window_flags(old)
+    hot_new = _hot_window_flags(new)
     for name, t_old in old.get("queries", {}).items():
         t_new = new.get("queries", {}).get(name)
         if t_new is None or t_old <= 0 or t_new <= 0:
             continue
         shared += 1
-        eps_old, eps_new = _eps_for(old, name), _eps_for(new, name)
+        eps_old = _eps_for(old, name, per_query)
+        eps_new = _eps_for(new, name, per_query)
         raw = t_new / t_old
         norm = raw * (eps_new / eps_old) if eps_old and eps_new else None
         noisy = (
@@ -70,6 +94,11 @@ def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
                 "t_off_old": old.get("t_off", {}).get(name),
                 "t_off_new": new.get("t_off", {}).get(name),
                 "noisy_spread": noisy,
+                # nearest timeline point sat >15% below the ledger's own
+                # median throughput: the entry ran inside a contention
+                # window and its raw ratio indicts the box, not the plan
+                "hot_window_old": hot_old.get(name),
+                "hot_window_new": hot_new.get(name),
             }
         )
     key = lambda r: r["norm_ratio"] if r["norm_ratio"] is not None else r["raw_ratio"]  # noqa: E731
@@ -85,6 +114,7 @@ def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
             "sf_old": old.get("sf"),
             "sf_new": new.get("sf"),
             "sf_mismatch": old.get("sf") != new.get("sf"),
+            "eps_granularity": "per_query" if per_query else "global",
             "shared_queries": shared,
             "median_norm_ratio": median,
             "movers_over_threshold": sum(1 for r in movers if key(r) > 1),
