@@ -236,6 +236,75 @@ def test_expired_timer_is_noop_after_match():
     assert h.getValueState("meta", None).get() == meta_before
 
 
+def _counting(state):
+    """Wrap a fake state object so every read/write method bumps a counter
+    — the unit-level stand-in for state-server RPC counting."""
+    counts = {"reads": 0, "writes": 0}
+    cls = type(state)
+
+    class Counting(cls):  # noqa: N801
+        def get(self):
+            counts["reads"] += 1
+            return cls.get(self)
+
+        def exists(self):
+            counts["reads"] += 1
+            return cls.exists(self)
+
+        def update(self, v):
+            counts["writes"] += 1
+            return cls.update(self, v)
+
+        def put(self, rows):
+            counts["writes"] += 1
+            return cls.put(self, rows)
+
+        def clear(self):
+            counts["writes"] += 1
+            return cls.clear(self)
+
+    wrapped = Counting()
+    wrapped.__dict__.update(state.__dict__)
+    return wrapped, counts
+
+
+def test_untouched_and_resolved_keys_write_no_state():
+    """The r9 RPC-skip contract (SCALE.md 7o): a batch that changes
+    nothing must issue ZERO state writes — untouched keys keep zero
+    state, open-but-unprogressed chains are not rewritten, and resolved
+    (done) keys skip even the anchors READ."""
+    proc = SequenceMatchProcessor(STEPS, within_s=WITHIN_S, absent=ABSENT)
+    h = FakeHandle()
+    proc.init(h)
+    proc._anchors, anchor_counts = _counting(h._states["anchors"])
+    proc._meta, meta_counts = _counting(h._states["meta"])
+
+    # 1. irrelevant events only: no writes at all, key keeps zero state
+    noise = _mk(5, [(50, "view"), (60, "click")])  # no signup -> no chain
+    assert list(proc.handleInputRows((5,), iter([noise]), None)) == []
+    assert anchor_counts["writes"] == 0 and meta_counts["writes"] == 0
+    assert not proc._meta.exists()
+
+    # 2. progress: writes happen exactly once each (anchors put + meta)
+    list(proc.handleInputRows((5,), iter([_mk(5, [(100, "signup")])]), None))
+    assert anchor_counts["writes"] == 1 and meta_counts["writes"] == 1
+
+    # 3. open chain, batch with no progress: zero additional writes
+    w_a, w_m = anchor_counts["writes"], meta_counts["writes"]
+    again = _mk(5, [(150, "click")])  # wrong next step
+    assert list(proc.handleInputRows((5,), iter([again]), None)) == []
+    assert anchor_counts["writes"] == w_a and meta_counts["writes"] == w_m
+
+    # 4. resolve via timer, then feed more rows: no anchors READ, no writes
+    list(proc.handleExpiredTimer((5,), None, None))
+    r_a, w_a = anchor_counts["reads"], anchor_counts["writes"]
+    w_m = meta_counts["writes"]
+    late = _mk(5, [(200, "view"), (300, "purchase")])
+    assert list(proc.handleInputRows((5,), iter([late]), None)) == []
+    assert anchor_counts["reads"] == r_a, "done key must skip the list read"
+    assert anchor_counts["writes"] == w_a and meta_counts["writes"] == w_m
+
+
 # ---------------------------------------------------------------------------
 # WindowTopNProcessor (transformWithStateInPandas port of the event-time-
 # timer window top-N) — same faked-typed-state differential harness; the
