@@ -481,11 +481,17 @@ def decode_png(data: bytes) -> "np.ndarray":
         raise ValueError("not a PNG: bad signature")
     pos, w = 8, None
     idat = bytearray()
+    saw_iend = False
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
+        if len(body) < length or pos > len(data):
+            # body or the trailing 4-byte CRC runs past EOF
+            raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
@@ -499,10 +505,18 @@ def decode_png(data: bytes) -> "np.ndarray":
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
+            saw_iend = True
             break
     if w is None:
         raise ValueError("no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    if not saw_iend:
+        # a stream that ends without IEND was cut mid-file, even when the
+        # zlib payload happens to be complete (fail-loud contract)
+        raise ValueError("truncated PNG stream (missing IEND)")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG zlib stream") from exc
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
@@ -693,6 +707,10 @@ def decode_wav(data: bytes) -> "tuple[int, np.ndarray]":
         tag = data[pos : pos + 4]
         (length,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            # the chunk header promised more bytes than the stream holds;
+            # returning the short body would silently drop audio frames
+            raise ValueError("truncated WAV chunk")
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from(
@@ -705,6 +723,10 @@ def decode_wav(data: bytes) -> "tuple[int, np.ndarray]":
                 )
         elif tag == b"data":
             pcm = body
+    if pos < len(data):
+        # 1-7 unparsed trailing bytes = a chunk header cut mid-stream
+        # (pos may legally overshoot len by the absent final pad byte)
+        raise ValueError("truncated WAV chunk header")
     if rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)

@@ -213,3 +213,38 @@ def test_ahash_invariant_to_brightness_shift():
 def test_ahash_rejects_wrong_shape():
     with pytest.raises(ValueError, match="expected"):
         ahash_from_image(np.zeros((12, 16, 3), dtype=np.uint8))
+
+
+def test_truncated_payloads_raise_valueerror_everywhere():
+    """Fail-loud contract for MALFORMED input across the three container
+    decoders (the JPEG codec has its own every-prefix net): PNG and WAV
+    must raise ValueError on EVERY proper prefix — a short prefix must
+    never surface IndexError/struct.error/zlib.error, silently drop audio
+    frames (a truncated RIFF data chunk once returned half the samples),
+    or accept a stream missing its IEND/CRC tail.  y4m is a STREAM format
+    with no declared frame count, so prefixes ending exactly at a frame
+    boundary are complete streams by construction — every mid-frame or
+    mid-header cut must still raise."""
+    img = (np.arange(64, dtype=np.int64) * 3 % 256).reshape(8, 8).astype(np.uint8)
+    png = encode_png(img)
+    for cut in range(1, len(png) - 1):
+        with pytest.raises(ValueError):
+            decode_png(png[:cut])
+
+    wav = encode_wav((np.arange(32) % 100).astype(np.int16).reshape(-1, 1), 8000)
+    for cut in range(1, len(wav) - 1):
+        with pytest.raises(ValueError):
+            decode_wav(wav[:cut])
+
+    frames = np.stack([img, img.T])
+    y4m = encode_y4m(frames)
+    header_len = y4m.index(b"\n") + 1
+    frame_len = len(b"FRAME\n") + img.size
+    boundaries = {header_len + i * frame_len for i in range(len(frames))}
+    for cut in range(1, len(y4m) - 1):
+        if cut in boundaries:
+            got = decode_y4m(y4m[:cut])  # complete shorter stream
+            assert got.shape[0] == (cut - header_len) // frame_len
+        else:
+            with pytest.raises(ValueError):
+                decode_y4m(y4m[:cut])
