@@ -380,6 +380,9 @@ _SF001_SEC_PAIRS = [
     # round-9 second batch: windowed-theta threshold operating curve
     # (re-runs the KMV stream + a 10-threshold fan-out; warm sf0.01)
     ("q_stream_theta_curve_runtime", 5.6),
+    # round-9 third batch: windowed KLL quantile certificate (built-in
+    # datasketches agg as streaming state; warm sf0.01)
+    ("q_stream_kll_runtime", 4.9),
 ]
 assert len(_SF001_SEC_PAIRS) == len({n for n, _ in _SF001_SEC_PAIRS}), \
     "duplicate key in _SF001_SEC_PAIRS"

@@ -2154,6 +2154,151 @@ def q_stream_restart_runtime(spark, sf_dir):
     )
 
 
+# windowed-KLL gate: day windows (calendar-bounded groups, the _THP_WIN
+# rule) and a >=8-rows floor on certified groups — below it the exact
+# 40th/60th percentile interpolations can bracket the KLL median (an
+# actual retained sample) out of the window even when the sketch is exact
+_KLL_WIN = 86400
+_KLL_MARGIN = _KLL_WIN + 1800 + 60
+_KLL_MIN_N = 8
+
+
+@query(
+    "q_stream_kll_runtime",
+    oracle=f"""
+        WITH decided AS (
+            SELECT CAST(floor(epoch(ts) / {_KLL_WIN}) * {_KLL_WIN} AS BIGINT)
+                       AS ws,
+                   event_type, value
+            FROM events
+            WHERE CAST(floor(epoch(ts) / {_KLL_WIN}) * {_KLL_WIN} AS BIGINT)
+                      + {_KLL_MARGIN} <=
+                  (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) FROM events)
+        )
+        SELECT ws AS win_start, etype, p50_exact, rank_ok FROM (
+            SELECT ws, event_type AS etype,
+                   quantile_cont(value, 0.5) AS p50_exact,
+                   TRUE AS rank_ok
+            FROM decided GROUP BY ws, event_type
+            HAVING count(*) >= {_KLL_MIN_N}
+            UNION ALL
+            SELECT ws, 'ALL', quantile_cont(value, 0.5), TRUE
+            FROM decided GROUP BY ws
+            HAVING count(*) >= {_KLL_MIN_N}
+        )
+        ORDER BY win_start, etype
+    """,
+    tags=(
+        "streaming", "runtime", "sketch", "kll", "quantile", "mergeable",
+        "rollup",
+    ),
+)
+def q_stream_kll_runtime(spark, sf_dir):
+    """Windowed KLL QUANTILE sketches as STREAMING STATE — the 26th
+    runtime path and a mechanism none of the other 25 exercise: Spark's
+    built-in datasketches aggregate (``kll_sketch_agg_double``) running
+    inside a watermarked streaming groupBy, its binary sketch buffer
+    carried as operator state (~500 bytes per open (day, event_type)
+    group at ANY cardinality) and emitted at window close.  Downstream,
+    WITHOUT re-seeing raw events, each window's per-type sketches are
+    folded with ``kll_sketch_merge_double`` into a window-level ALL row —
+    ``q_kll_rollup``'s mergeable-quantile hierarchy applied to streaming
+    artifacts, completing the sketch family's batch/stream symmetry
+    (KMV r8, CMS r6, theta pairs/curve r8/r9, now KLL).  The certificate
+    is the batch gate's rank-window check: the sketch median must land
+    between the group's exact 40th and 60th percentiles (KLL guarantees
+    RANK error, ~1.7% at default k, far inside the +/-10%-rank window),
+    stated per decided (window, event_type) group with >= {_KLL_MIN_N}
+    rows and per decided window.  The DuckDB oracle recomputes the exact
+    medians and states the certificate as literal TRUE — a hash match
+    certifies windowing, sketch state, merge algebra, and the accuracy
+    bound together.
+
+    Scale: groups are calendar x |event_type| bounded (150/30 at every
+    fixture SF); sketch state is O(k log n) bytes regardless of window
+    row count — the property that makes streaming quantiles survive
+    100 TB/day where exact percentile state (all values) cannot."""
+    batches, schema = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda make: (
+            make()
+            .withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.window("ts", f"{_KLL_WIN} seconds").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.kll_sketch_agg_double("value").alias("sk"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+            .select(
+                F.col("w").start.cast("long").alias("win_start"),
+                "event_type",
+                "n",
+                "sk",
+            )
+        ),
+        output_mode="append",
+    )
+    ev = t(spark, sf_dir, "events")
+    max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
+    cutoff = max_s - _KLL_MARGIN
+    rows = [r for _bid, rs in batches for r in rs]
+    km = spark.createDataFrame(rows, schema=schema).filter(
+        F.col("win_start") <= F.lit(cutoff)
+    )
+
+    # exact rank windows from the batch table (the certificate's truth —
+    # the sketch side never re-scans raw events)
+    win_col = (
+        F.floor(F.unix_timestamp("ts") / _KLL_WIN) * _KLL_WIN
+    ).cast("long")
+    decided = ev.select(
+        win_col.alias("win_start"), "event_type", "value"
+    ).filter(F.col("win_start") <= F.lit(cutoff))
+    exact_cols = [
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.4)).alias("_lo"),
+        F.percentile("value", F.lit(0.6)).alias("_hi"),
+    ]
+    exact_per = decided.groupBy("win_start", "event_type").agg(*exact_cols)
+    exact_all = decided.groupBy("win_start").agg(*exact_cols)
+
+    est = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    per = (
+        km.filter(F.col("n") >= _KLL_MIN_N)
+        .join(F.broadcast(exact_per), ["win_start", "event_type"])
+        .select(
+            "win_start",
+            F.col("event_type").alias("etype"),
+            "p50_exact",
+            ((est >= F.col("_lo")) & (est <= F.col("_hi"))).alias("rank_ok"),
+        )
+    )
+    # ALL level: fold the window's per-type sketches (includes groups
+    # below the certification floor — they are still part of the window)
+    sks = F.collect_list("sk")
+    merged = F.aggregate(
+        F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
+        F.element_at(sks, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    all_rows = (
+        km.groupBy("win_start")
+        .agg(merged.alias("sk"), F.sum("n").alias("n"))
+        .filter(F.col("n") >= _KLL_MIN_N)
+        .join(F.broadcast(exact_all), ["win_start"])
+        .select(
+            "win_start",
+            F.lit("ALL").alias("etype"),
+            "p50_exact",
+            ((est >= F.col("_lo")) & (est <= F.col("_hi"))).alias("rank_ok"),
+        )
+    )
+    return per.unionByName(all_rows).orderBy("win_start", "etype")
+
+
 # per-fixture memo for the typed-restart gate's data-derived split point
 _TWS_RESTART_SPLIT: dict = {}
 
