@@ -412,11 +412,11 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB replay of the full portable MinHash-LSH pipeline: md5-60
-    shingles, md5-word signatures, md5 band keys, in-bucket pairs, agreement
-    fraction — the exact computation ``lsh_candidate_pairs(portable=True)``
-    runs, so the candidate set value-gates (VERDICT r3 item 2)."""
+def minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The sh/sig/banded CTE bodies of the portable MinHash-LSH DuckDB
+    replay (md5-60 shingles, md5-word signatures, md5 band keys) — shared
+    by the batch LSH oracle below and the streaming near-dup gate's oracle
+    (plans/streaming_runtime.py), which append different pair selections."""
     rows = num_hashes // bands
     h_mins = ",\n            ".join(
         f"min(CAST(('0x' || substr(md5(CAST(shingle AS VARCHAR) || '#{i // 4}'),"
@@ -434,11 +434,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         f"                SELECT doc_id, {b} AS band, {key_sql(b)} AS key FROM sig"
         for b in range(bands)
     )
-    agree = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
-    )
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
             SELECT DISTINCT doc_id,
                    CAST(('0x' || substr(md5(shingle_str), 1, 15)) AS BIGINT)
                        AS shingle
@@ -459,7 +455,19 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         ),
         banded AS (
 {band_rows}
-        ),
+        )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of the full portable MinHash-LSH pipeline: md5-60
+    shingles, md5-word signatures, md5 band keys, in-bucket pairs, agreement
+    fraction — the exact computation ``lsh_candidate_pairs(portable=True)``
+    runs, so the candidate set value-gates (VERDICT r3 item 2)."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH {minhash_ctes(num_hashes, bands)},
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b

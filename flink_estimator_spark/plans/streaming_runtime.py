@@ -10,7 +10,12 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Twenty distinct runtime paths get gate rows (the six below from round 5,
+Twenty-seven distinct runtime paths get gate rows — rounds 8-9 added the
+windowed theta pair algebra + operating curve, checkpoint stop/resume
+recovery (built-in window state AND typed TWS state), the TTL'd typed-state
+channel, the windowed KLL quantile gate, and streaming MinHash-LSH near-dup
+detection (each gate's docstring numbers its path) — on top of the twenty
+below (the six from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
@@ -95,7 +100,8 @@ def _checkpoint_dir() -> str:
     )
 
 
-def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
+def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4,
+                        table="events"):
     """Stage the fixture as a file-stream directory (symlink — the file
     stream source needs a DIRECTORY and the fixture is read-only), run
     ``build(make_stream)`` through foreachBatch with availableNow, and
@@ -103,6 +109,9 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     zero-arg factory so multi-input operators (stream-stream joins) can
     instantiate INDEPENDENT sources over the same staged directory — each
     ``readStream`` tracks its own offsets under the shared checkpoint.
+    ``table`` picks the staged fixture file: "events" (default, ts-normalized
+    via events_stream) or "documents" (the arriving-crawl shape, served by
+    documents_stream; event time is whatever the builder derives).
 
     Batching contract: the staged directory holds exactly ONE file and no
     maxFilesPerTrigger is set, so availableNow delivers the whole fixture
@@ -116,20 +125,21 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4):
     them to the state volume (thousands of rows here), not the input
     parallelism (32 stores: 7.1 s, 4: 2.3 s at sf0.1 on local[32]; the
     stateless file scan is unaffected)."""
-    from ..streaming.sources import events_stream
+    from ..streaming.sources import documents_stream, events_stream
 
+    source = events_stream if table == "events" else documents_stream
     ckpt = _checkpoint_dir()
     stream_dir = ckpt + "_src"
     os.makedirs(stream_dir, exist_ok=True)
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
+        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.join(stream_dir, f"{table}.parquet"),
     )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     batches: list[tuple[int, list]] = []
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        out = build(lambda: events_stream(spark, stream_dir))
+        out = build(lambda: source(spark, stream_dir))
 
         def sink(batch_df, batch_id):
             batches.append((batch_id, batch_df.collect()))
@@ -2542,4 +2552,138 @@ def q_stream_tws_ttl_runtime(spark, sf_dir):
     return (
         spark.createDataFrame(rows, schema=schema)
         .orderBy("event_type", "day")
+    )
+
+
+# streaming near-dup parameters: 16 hashes / 4 bands mirror the batch
+# q_dedup_minhash_lsh; the 250-doc horizon BINDS at every fixture SF
+# (unbounded candidate pairs 28/25/255 at sf0.001/0.01/0.1 vs 19/17/25
+# inside the horizon — measured r9), so the join's event-time bound does
+# real exclusion work everywhere and the gate can never pass vacuously.
+_NDP_NUM_HASHES = 16
+_NDP_BANDS = 4
+_NDP_HORIZON_DOCS = 250
+_NDP_TS_STEP_S = 60  # synthetic arrival clock: one document per minute
+# clock base: doc 0 must NOT land on epoch 0 — the join's initial
+# state-value watermark clamps there, so an arrival at exactly 1970-01-01
+# 00:00:00 is dropped as late and the (0, *) pairs silently vanish
+# (observed at sf0.001 before the offset)
+_NDP_TS_BASE_S = 86_400
+
+
+def _lsh_neardup_oracle() -> str:
+    """DuckDB replay of the STREAMING near-dup pipeline: the shared
+    minhash_ctes (md5-60 shingles, md5-word signatures, md5 band keys —
+    identical to the batch q_dedup_minhash_lsh oracle) plus the
+    horizon-bounded pair selection the stream-stream self-join emits."""
+    from ..operators.dedup import minhash_ctes
+
+    nh, bd, hz = _NDP_NUM_HASHES, _NDP_BANDS, _NDP_HORIZON_DOCS
+    ppm_per_hash = 1_000_000 // nh
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(nh)
+    )
+    return f"""
+        WITH {minhash_ctes(nh, bd)},
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key
+             AND b.doc_id > a.doc_id
+             AND b.doc_id - a.doc_id <= {hz}
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_bands AS BIGINT) AS n_bands,
+               CAST({agree} AS BIGINT) AS agree,
+               CAST(({agree}) * {ppm_per_hash} AS BIGINT) AS jacc_est_ppm
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q_stream_lsh_neardup_runtime",
+    oracle=_lsh_neardup_oracle(),
+    tags=("streaming", "runtime", "llm", "dedup", "minhash", "lsh", "join"),
+)
+def q_stream_lsh_neardup_runtime(spark, sf_dir):
+    """STREAMING MinHash-LSH near-duplicate detection, driver-gated (27th
+    runtime path) — the dedup family's last batch/stream asymmetry: batch
+    has the full LSH pipeline (q_dedup_minhash_lsh) while the streaming
+    side had only exact dedup (q_stream_dedup_runtime /
+    q_stream_dedup_ttl_runtime).  This gate runs the continuous-crawl
+    shape end-to-end as a real Structured Streaming query: the documents
+    fixture arrives through documents_stream with a deterministic arrival
+    clock (one doc per minute), each row is banded STATELESSLY by
+    streaming.dedup.lsh_banded_signatures (per-row portable MinHash via
+    higher-order functions — zero streaming state before the join), and
+    neardup_pair_stream self-joins the banded stream on (band, key)
+    within a 250-doc event-time horizon through the symmetric hash-join
+    state store.  Emitted (band, pair, agree) rows are then rolled up per
+    pair (n_bands, agree, integer Jaccard ppm) — all BIGINT arithmetic,
+    so the DuckDB oracle rebuilds the identical candidate set from raw
+    text via the SAME minhash_ctes the batch oracle uses.
+
+    What a continuous ingest pipeline gets from this: every arriving
+    document is checked against the recent window of arrivals only —
+    join state is horizon-bounded (watermark-evicted), never
+    corpus-bounded, and band keys are md5-uniform so the keyed exchange
+    cannot skew.  At 100 TB/day the horizon is hours of arrivals per
+    band bucket; the full-corpus backstop is the batch LSH sweep, the
+    same split the reference's windowed operators assume
+    (estimation.html:215-229 interval joins).  The horizon binds at
+    every fixture SF (see _NDP_HORIZON_DOCS note), so the time bound is
+    verified doing real work, not just present."""
+    from ..streaming.dedup import lsh_banded_signatures, neardup_pair_stream
+
+    horizon = f"{_NDP_HORIZON_DOCS * _NDP_TS_STEP_S} seconds"
+
+    def build(make):
+        def banded():
+            docs = make().select(
+                "doc_id",
+                F.timestamp_seconds(
+                    F.lit(_NDP_TS_BASE_S) + F.col("doc_id") * _NDP_TS_STEP_S
+                ).alias("ts"),
+                "text",
+            )
+            # the staged fixture is ONE parquet file -> a 1-split scan that
+            # would run the whole md5 banding pipeline in a single task (the
+            # SCALE.md §4 spread rationale; streams have no AQE to undo
+            # this).  Production sources (Kafka) arrive pre-partitioned;
+            # this models that parallelism for the file-staged fixture.
+            return lsh_banded_signatures(
+                docs.repartition(8, F.col("doc_id")),
+                num_hashes=_NDP_NUM_HASHES,
+                bands=_NDP_BANDS,
+            )
+
+        return neardup_pair_stream(
+            banded,
+            horizon=horizon,
+            num_hashes=_NDP_NUM_HASHES,
+            bands=_NDP_BANDS,
+        )
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="append", table="documents"
+    )
+    rows = [r for _bid, rs in batches for r in rs]
+    emitted = spark.createDataFrame(rows, schema=schema)
+    return (
+        emitted.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bands"),
+            F.max("agree").cast("bigint").alias("agree"),
+        )
+        .withColumn(
+            "jacc_est_ppm",
+            (F.col("agree") * F.lit(1_000_000 // _NDP_NUM_HASHES)).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("id_a", "id_b")
     )

@@ -1639,3 +1639,60 @@ def test_window_topn_tws_matches_legacy_stream(spark, stream_dir, tmp_path):
     got_legacy = run(window_topn, "legacy_topn_out")
     assert got_tws, "no windows fired — vacuous runtime differential"
     assert got_tws == got_legacy
+
+
+def test_lsh_banded_signatures_match_batch_aggregate(spark):
+    """The streaming per-row HOF MinHash (streaming/dedup.py
+    lsh_banded_signatures) must produce bit-identical signatures and band
+    keys to the batch explode->groupBy-min portable pipeline
+    (operators/dedup.py minhash_signatures + lsh_candidate_pairs band
+    construction) — min over the in-row gram multiset equals min over the
+    batch path's DISTINCT shingle set.  Runs both as BATCH frames (the
+    streaming operator is source-agnostic column algebra)."""
+    from flink_estimator_spark.operators.dedup import (
+        md5_word,
+        minhash_signatures,
+        shingle_df,
+    )
+    from flink_estimator_spark.sources.tables import read_table
+    from flink_estimator_spark.streaming.dedup import lsh_banded_signatures
+
+    docs = read_table(spark, os.path.join(SF_SMALL, "documents.parquet")).select(
+        "doc_id", F.timestamp_seconds(F.col("doc_id") * 60).alias("ts"), "text"
+    )
+    num_hashes, bands, rows_per_band = 16, 4, 4
+
+    got = {
+        (r["doc_id"], r["band"]): (r["key"], tuple(r["sig"]))
+        for r in lsh_banded_signatures(
+            docs, num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+
+    sig = minhash_signatures(
+        shingle_df(docs, portable=True), num_hashes=num_hashes, portable=True
+    )
+    for b in range(bands):
+        sig = sig.withColumn(
+            f"key{b}",
+            md5_word(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                1,
+                15,
+            ),
+        )
+    want = {}
+    for r in sig.collect():
+        hs = tuple(r[f"h{i}"] for i in range(num_hashes))
+        for b in range(bands):
+            want[(r["doc_id"], b)] = (r[f"key{b}"], hs)
+
+    assert set(got) == set(want)
+    mismatched = [k for k in got if got[k] != want[k]]
+    assert not mismatched, mismatched[:5]
