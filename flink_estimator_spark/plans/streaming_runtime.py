@@ -302,9 +302,7 @@ def q_stream_session_runtime(spark, sf_dir):
     )
 
 
-@query(
-    "q_stream_join_runtime",
-    oracle="""
+_VIEW_PURCHASE_JOIN_ORACLE = """
         SELECT a.event_id AS view_id,
                b.event_id AS purchase_id,
                a.user_id,
@@ -316,7 +314,53 @@ def q_stream_session_runtime(spark, sf_dir):
          AND a.event_type = 'view' AND b.event_type = 'purchase'
          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
         ORDER BY view_id, purchase_id
-    """,
+    """
+
+
+def _view_purchase_join_build(make):
+    """views joined to same-user purchases within the following 60 minutes
+    — the interval-join plan shared by the single-run join gate and the
+    join-restart gate (identical by construction, so the restart gate
+    exercises recovery of exactly the state machine the single-run gate
+    certifies)."""
+    v = (
+        make()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        make()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + INTERVAL 60 MINUTES"
+        ),
+    ).select(
+        "view_id",
+        F.col("purchase_id"),
+        F.col("v_user").alias("user_id"),
+        F.unix_micros(F.col("v_ts")).alias("view_us"),
+        F.unix_micros(F.col("p_ts")).alias("purchase_us"),
+    )
+
+
+@query(
+    "q_stream_join_runtime",
+    oracle=_VIEW_PURCHASE_JOIN_ORACLE,
     tags=("streaming", "runtime", "join", "stateful"),
 )
 def q_stream_join_runtime(spark, sf_dir):
@@ -333,44 +377,8 @@ def q_stream_join_runtime(spark, sf_dir):
     evidence for the streaming join-state path.)  Join-state volume is
     bounded by rows inside the watermark horizon per side, partitioned by
     user_id — state partitions sized via the shared harness rule."""
-
-    def build(make):
-        v = (
-            make()
-            .filter(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("view_id"),
-                F.col("user_id").alias("v_user"),
-                F.col("ts").alias("v_ts"),
-            )
-            .withWatermark("v_ts", "2 hours")
-        )
-        p = (
-            make()
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "2 hours")
-        )
-        return v.join(
-            p,
-            F.expr(
-                "v_user = p_user AND p_ts >= v_ts"
-                " AND p_ts <= v_ts + INTERVAL 60 MINUTES"
-            ),
-        ).select(
-            "view_id",
-            F.col("purchase_id"),
-            F.col("v_user").alias("user_id"),
-            F.unix_micros(F.col("v_ts")).alias("view_us"),
-            F.unix_micros(F.col("p_ts")).alias("purchase_us"),
-        )
-
     batches, schema = _run_bounded_stream(
-        spark, sf_dir, build, output_mode="append"
+        spark, sf_dir, _view_purchase_join_build, output_mode="append"
     )
     rows = [r for _bid, rs in batches for r in rs]
     return (
@@ -2432,6 +2440,96 @@ def q_stream_tws_restart_runtime(spark, sf_dir):
         "typed state; the gate would pass vacuously"
     )
     return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+
+
+# per-fixture memo for the join-restart gate's data-derived split point
+_JOIN_RESTART_SPLIT: dict = {}
+
+
+@query(
+    "q_stream_join_restart_runtime",
+    oracle=_VIEW_PURCHASE_JOIN_ORACLE,
+    tags=(
+        "streaming", "runtime", "join", "stateful", "restart",
+        "checkpoint", "exactly-once",
+    ),
+)
+def q_stream_join_restart_runtime(spark, sf_dir):
+    """STREAM-STREAM JOIN state across a CHECKPOINT RESTART, driver-gated
+    (28th runtime path) — the fault-tolerance matrix's fourth and last
+    state kind: built-in window aggregation (q_stream_restart_runtime),
+    typed event-time state (q_stream_tws_restart_runtime), and TTL'd
+    typed state (pytest, real store) all round-trip a checkpoint; the
+    SYMMETRIC HASH-JOIN buffers — both sides' rows keyed by user, plus
+    per-side watermarks — never had.  The exact interval-join plan the
+    single-run gate certifies (``_view_purchase_join_build``, shared by
+    construction) runs as TWO availableNow queries over one checkpoint:
+    pass 1 buffers views, the query STOPS, and a brand-new instance joins
+    pass-2 purchases against RECOVERED view-side state.  The split point
+    is data-derived because the event-time median straddles ZERO matched
+    pairs at every fixture SF (measured r9 — same phenomenon as the TWS
+    restart gate): the batch dual picks the widest (view, purchase)
+    interval and cuts at its midpoint, and the gate ASSERTS an emitted
+    pair straddles the split so lost join state fails loud instead of
+    passing vacuously.  Lost view buffers drop the straddling pair,
+    replayed offsets duplicate pass-1 pairs, a watermark that fails to
+    round-trip late-drops pass-2 rows — each shifts the emitted union
+    against the full-fixture batch interval join the DuckDB oracle
+    states.
+
+    Scale: restarts are the deploy/rebalance/failure posture; join state
+    is horizon-bounded per side and the checkpoint carries it keyed
+    exactly as the state partitions laid it out."""
+    split_us = _JOIN_RESTART_SPLIT.get(sf_dir)
+    if split_us is None:
+        ev = t(spark, sf_dir, "events")
+        v = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("u"),
+            F.unix_micros("ts").alias("view_us"),
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("u"),
+            F.unix_micros("ts").alias("purchase_us"),
+        )
+        pick = (
+            v.join(p, "u")
+            .filter(
+                (F.col("purchase_us") > F.col("view_us"))
+                & (F.col("purchase_us") <= F.col("view_us") + 3600 * 1_000_000)
+            )
+            .orderBy(
+                (F.col("purchase_us") - F.col("view_us")).desc(),
+                "view_id",
+                "purchase_id",
+            )
+            .select("view_us", "purchase_us")
+            .first()
+        )
+        assert pick is not None, "fixture has no matched pair to straddle"
+        split_us = (pick["view_us"] + pick["purchase_us"]) // 2
+        _JOIN_RESTART_SPLIT[sf_dir] = split_us
+
+    batches, schema = _run_restarted_stream(
+        spark,
+        sf_dir,
+        _view_purchase_join_build,
+        output_mode="append",
+        split_us=split_us,
+    )
+    rows = [r for _key, rs in batches for r in rs]
+    straddlers = [
+        r for r in rows if r["view_us"] <= split_us < r["purchase_us"]
+    ]
+    assert straddlers, (
+        "no emitted pair straddles the split — the restart recovered no "
+        "join state; the gate would pass vacuously"
+    )
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .orderBy("view_id", "purchase_id")
+    )
 
 
 def _run_tws_processing_time(spark, sf_dir, build, n_expected):
