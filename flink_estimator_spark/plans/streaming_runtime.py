@@ -2785,3 +2785,110 @@ def q_stream_lsh_neardup_runtime(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ingest-pipeline gate: hour windows over the one-doc-per-minute arrival
+# clock; decided-region margin = window (3600) + watermark (1800) + slack
+_ING_WIN = 3600
+_ING_MARGIN = _ING_WIN + 1800 + 60
+_ING_MIN_WORDS = 20
+
+
+@query(
+    "q_stream_ingest_pipeline_runtime",
+    oracle=f"""
+        WITH adm AS (
+            SELECT CAST(floor((86400 + doc_id * 60) / {_ING_WIN})
+                        * {_ING_WIN} AS BIGINT) AS win_start,
+                   source, lang
+            FROM documents
+            WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+                      >= {_ING_MIN_WORDS}
+        ),
+        ded AS (SELECT DISTINCT win_start, source, lang FROM adm)
+        SELECT win_start, source, CAST(count(*) AS BIGINT) AS n_langs
+        FROM ded
+        WHERE win_start + {_ING_MARGIN} <=
+              (SELECT CAST(86400 + max(doc_id) * 60 AS BIGINT) FROM documents)
+        GROUP BY 1, 2
+        ORDER BY win_start, source
+    """,
+    tags=(
+        "streaming", "runtime", "llm", "pipeline", "dedup", "quota",
+        "multi-stateful",
+    ),
+)
+def q_stream_ingest_pipeline_runtime(spark, sf_dir):
+    """A streaming INGEST PIPELINE in one query — quality gate ->
+    per-window admission quota -> windowed rollup — driver-gated (29th
+    runtime path): the multi-stateful DEDUP->AGG chain, a different
+    stateful-operator pair from the agg->agg chain
+    (q_stream_chained_agg_runtime).  Stage 1 (stateless) rejects
+    documents under _ING_MIN_WORDS (20) words; stage 2 throttles admission to
+    ONE document per (hour window, source, lang) via
+    ``dropDuplicatesWithinWatermark`` — the dedup state store keyed on
+    the quota cell, the standard crawl-ingest rate-limit shape; stage 3
+    aggregates admitted slots per (window, source) through the windowed
+    agg store, with the watermark propagating THROUGH the dedup operator
+    to close windows downstream.  Emission determinism: the quota key
+    embeds the precomputed hour bucket, so whichever physical duplicate
+    wins, its window assignment — and therefore the aggregate — is
+    identical, and the emitted set equals the batch DISTINCT the DuckDB
+    oracle states.  Every stage BINDS at every fixture SF (quality
+    rejects ~10 percent, the quota removes ~20 percent of admitted rows:
+    500 -> 446 -> 359 at sf0.001, 5000 -> 4458 -> 3569 at sf0.1), so no
+    stage can pass vacuously.  Decided-region margin mirrors the theta
+    gates.
+
+    Scale: quota state is calendar x |source x lang|-bounded (<= 100
+    live keys per window at any corpus size — the SCALE.md §7k rule),
+    window-agg state is one count per (window, source); both evict on
+    the watermark.  At 100 TB/day this chain IS the front of a training
+    -data ingest: cheap stateless screens first, bounded-key stateful
+    admission second, monitoring rollups last."""
+
+    def build(make):
+        docs = make().select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(_NDP_TS_BASE_S) + F.col("doc_id") * _NDP_TS_STEP_S
+            ),
+        )
+        words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        return (
+            docs.withWatermark("ts", "30 minutes")
+            .filter(F.size(words) >= _ING_MIN_WORDS)
+            .withColumn(
+                "win_start",
+                (F.floor(F.unix_timestamp("ts") / _ING_WIN) * _ING_WIN).cast(
+                    "long"
+                ),
+            )
+            .dropDuplicatesWithinWatermark(["win_start", "source", "lang"])
+            .groupBy(F.window("ts", f"{_ING_WIN} seconds").alias("win"), "source")
+            .agg(F.count("*").alias("_n"))
+            .select(
+                F.col("win").start.cast("long").alias("win_start"),
+                "source",
+                F.col("_n").cast("bigint").alias("n_langs"),
+            )
+        )
+
+    batches, schema = _run_bounded_stream(
+        spark, sf_dir, build, output_mode="append", table="documents"
+    )
+    max_doc = (
+        t(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
+    cutoff = _NDP_TS_BASE_S + max_doc * _NDP_TS_STEP_S - _ING_MARGIN
+    rows = [r for _bid, rs in batches for r in rs]
+    return (
+        spark.createDataFrame(rows, schema=schema)
+        .filter(F.col("win_start") <= F.lit(cutoff))
+        .orderBy("win_start", "source")
+    )

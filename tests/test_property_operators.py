@@ -76,3 +76,59 @@ def test_prefix_jaccard_equals_exhaustive(spark, docs):
         jaccard_pairs(df, n=3, threshold=0.5).collect()
     )
     assert got == want
+
+
+_lsh_words = st.sampled_from(
+    # adversarial token shapes: unicode, punctuation, case (lower() path),
+    # a repeated boilerplate token (duplicate grams exercise the in-row
+    # multiset-min == distinct-set-min equivalence)
+    ["alpha", "Alpha", "héllo", "жук", "a.b,", "x", "the", "the", "42"]
+)
+_lsh_doc = st.lists(_lsh_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_lsh_doc, min_size=1, max_size=6))
+@_SETTINGS
+def test_streaming_hof_minhash_equals_batch_aggregate(spark, docs):
+    """The per-row HOF MinHash (streaming/dedup.lsh_banded_signatures) must
+    equal the batch explode->groupBy-min portable pipeline on ANY text:
+    same doc set (docs under 5 words dropped by both), same signatures,
+    same band keys — the equivalence the streaming near-dup gate's oracle
+    rests on, under adversarial token shapes the fixture lacks."""
+    from flink_estimator_spark.operators.dedup import (
+        md5_word,
+        minhash_signatures,
+        shingle_df,
+    )
+    from flink_estimator_spark.streaming.dedup import lsh_banded_signatures
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(86400) + F.col("doc_id")))
+
+    got = {
+        (r["doc_id"], r["band"]): (r["key"], tuple(r["sig"]))
+        for r in lsh_banded_signatures(df, num_hashes=8, bands=2).collect()
+    }
+
+    sig = minhash_signatures(shingle_df(df, portable=True), num_hashes=8,
+                             portable=True)
+    for b in range(2):
+        sig = sig.withColumn(
+            f"key{b}",
+            md5_word(
+                F.concat_ws(
+                    "#", *[F.col(f"h{b * 4 + r}").cast("string") for r in range(4)]
+                ),
+                1,
+                15,
+            ),
+        )
+    want = {}
+    for r in sig.collect():
+        hs = tuple(r[f"h{i}"] for i in range(8))
+        for b in range(2):
+            want[(r["doc_id"], b)] = (r[f"key{b}"], hs)
+
+    assert got == want
