@@ -10,12 +10,14 @@ processed by a stateful streaming operator, executed with
 ``trigger(availableNow=True)`` through a ``foreachBatch`` sink, and the
 bounded result is returned as the query's DataFrame.
 
-Twenty-seven distinct runtime paths get gate rows — rounds 8-9 added the
+Twenty-nine distinct runtime paths get gate rows — rounds 8-9 added the
 windowed theta pair algebra + operating curve, checkpoint stop/resume
-recovery (built-in window state AND typed TWS state), the TTL'd typed-state
-channel, the windowed KLL quantile gate, and streaming MinHash-LSH near-dup
-detection (each gate's docstring numbers its path) — on top of the twenty
-below (the six from round 5,
+recovery (built-in window state, typed TWS state, AND stream-stream join
+buffers — the complete fault-tolerance matrix), the TTL'd typed-state
+channel, the windowed KLL quantile gate, streaming MinHash-LSH near-dup
+detection, and the multi-stateful ingest pipeline (quality gate -> quota
+dedup -> windowed rollup in one query; each gate's docstring numbers its
+path) — on top of the twenty below (the six from round 5,
 plus round 6's CEP chain ``q_stream_cep_runtime``, dynamic-gap session
 ``q_stream_dynsession_runtime``, pruned-list funnel
 ``q_stream_funnel_runtime``, stream-static temporal probe
