@@ -76,6 +76,7 @@ import os
 import shutil
 import uuid
 
+import pyarrow as pa
 from pyspark.sql import functions as F
 
 from ._helpers import t
@@ -102,12 +103,34 @@ def _checkpoint_dir() -> str:
     )
 
 
+def _batches_df(spark, batches, schema, last_only=False):
+    """DataFrame of a runner's emissions — the union of all batches, or
+    (``last_only``, for complete-mode gates) the final batch.  Batches
+    arrive as pyarrow Tables and feed ``createDataFrame`` through the
+    Arrow path, skipping per-row pickle both ways; the empty case falls
+    back to the declared schema."""
+    if last_only:
+        tabs = [max(batches, key=lambda b: b[0])[1]] if batches else []
+    else:
+        tabs = [tbl for _key, tbl in batches]
+    tabs = [tbl for tbl in tabs if tbl.num_rows]
+    if not tabs:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(pa.concat_tables(tabs))
+
+
+def _batches_rows(batches):
+    """Flattened emissions as plain dicts (assertion/inspection logic —
+    ``r["col"]`` access only, never the returned DataFrame)."""
+    return [r for _key, tbl in batches for r in tbl.to_pylist()]
+
+
 def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4,
                         table="events"):
     """Stage the fixture as a file-stream directory (symlink — the file
     stream source needs a DIRECTORY and the fixture is read-only), run
     ``build(make_stream)`` through foreachBatch with availableNow, and
-    return (list of (batch_id, rows), output schema).  ``build`` receives a
+    return (list of (batch_id, arrow table), output schema).  ``build`` receives a
     zero-arg factory so multi-input operators (stream-stream joins) can
     instantiate INDEPENDENT sources over the same staged directory — each
     ``readStream`` tracks its own offsets under the shared checkpoint.
@@ -126,7 +149,14 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4,
     shuffle.partitions, and each one instantiates a state store — size
     them to the state volume (thousands of rows here), not the input
     parallelism (32 stores: 7.1 s, 4: 2.3 s at sf0.1 on local[32]; the
-    stateless file scan is unaffected)."""
+    stateless file scan is unaffected).
+
+    Emissions cross the JVM->Python boundary as ARROW TABLES
+    (``batch_df.toArrow()``), not pickled rows, and ``_batches_df`` feeds
+    them back through the Arrow ``createDataFrame`` path — the guide §4
+    rule (control HOW bytes cross) applied to the gate harness; measured
+    0.45 s/run on the 21k-row tumble gate at sf0.1 and exact
+    (schema + values) on the round trip."""
     from ..streaming.sources import documents_stream, events_stream
 
     source = events_stream if table == "events" else documents_stream
@@ -138,13 +168,13 @@ def _run_bounded_stream(spark, sf_dir, build, output_mode, state_partitions=4,
         os.path.join(stream_dir, f"{table}.parquet"),
     )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    batches: list[tuple[int, list]] = []
+    batches: list[tuple[int, "pa.Table"]] = []
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         out = build(lambda: source(spark, stream_dir))
 
         def sink(batch_df, batch_id):
-            batches.append((batch_id, batch_df.collect()))
+            batches.append((batch_id, batch_df.toArrow()))
 
         q = (
             out.writeStream.outputMode(output_mode)
@@ -195,9 +225,8 @@ def q_stream_tumble_runtime(spark, sf_dir):
     )
     # complete mode: each invocation carries the FULL aggregate state —
     # the last batch is the answer
-    rows = max(batches)[1] if batches else []
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema, last_only=True)
         .orderBy("win_start", "event_type")
     )
 
@@ -231,9 +260,8 @@ def q_stream_dedup_runtime(spark, sf_dir):
         ),
         output_mode="append",
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("user_id", "event_type")
     )
 
@@ -297,9 +325,8 @@ def q_stream_session_runtime(spark, sf_dir):
         ),
         output_mode="complete",
     )
-    rows = max(batches)[1] if batches else []
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema, last_only=True)
         .orderBy("user_id", "sess_start_us")
     )
 
@@ -382,9 +409,8 @@ def q_stream_join_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark, sf_dir, _view_purchase_join_build, output_mode="append"
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("view_id", "purchase_id")
     )
 
@@ -442,15 +468,14 @@ def q_stream_count_runtime(spark, sf_dir):
     # single-file staging in _run_bounded_stream arrives as ONE batch.
     # If the source ever splits (multi-file fixture, maxFilesPerTrigger),
     # fail loudly here instead of silently diverging from the oracle.
-    non_empty = [bid for bid, rs in batches if rs]
+    non_empty = [bid for bid, tbl in batches if tbl.num_rows]
     assert len(non_empty) <= 1, (
         f"count-window gate expects a single-batch source; got emissions in "
         f"batches {non_empty} — window membership would no longer match the "
         f"oracle's global event-time ordering"
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("user_id", "win_id")
     )
 
@@ -525,14 +550,13 @@ def q_stream_cep_runtime(spark, sf_dir):
         ),
         output_mode="update",
     )
-    non_empty = [bid for bid, rs in batches if rs]
+    non_empty = [bid for bid, tbl in batches if tbl.num_rows]
     assert len(non_empty) <= 1, (
         f"CEP gate expects a single-batch source; got emissions in batches "
         f"{non_empty} — chain anchoring would no longer follow the oracle's "
         f"global event-time order"
     )
-    rows = [r for _bid, rs in batches for r in rs]
-    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+    return _batches_df(spark, batches, schema).orderBy("user_id")
 
 
 @query(
@@ -598,9 +622,8 @@ def q_stream_dynsession_runtime(spark, sf_dir):
         ),
         output_mode="complete",
     )
-    rows = max(batches)[1] if batches else []
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema, last_only=True)
         .select("user_id", "sess_start_us", "sess_end_us", "n_events")
         .orderBy("user_id", "sess_start_us")
     )
@@ -642,9 +665,8 @@ def q_stream_funnel_runtime(spark, sf_dir):
         lambda make: funnel_conversions(make()),
         output_mode="update",
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .groupBy("user_id")
         .agg(F.max("n_conversions").alias("n_conversions"))
         .orderBy("user_id")
@@ -701,9 +723,8 @@ def q_stream_temporal_runtime(spark, sf_dir):
         ),
         output_mode="append",
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .select(
             "event_id",
             "user_id",
@@ -810,9 +831,8 @@ def q_stream_outer_join_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark, sf_dir, build, output_mode="append"
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(
             (F.col("purchase_id") != -1)
             | (F.col("view_us") + _OUTER_GAP_US <= wm_us - _OUTER_MARGIN_US)
@@ -871,15 +891,14 @@ def q_stream_anomaly_runtime(spark, sf_dir):
         lambda make: running_anomalies(make()),
         output_mode="append",
     )
-    non_empty = [bid for bid, rs in batches if rs]
+    non_empty = [bid for bid, tbl in batches if tbl.num_rows]
     assert len(non_empty) <= 1, (
         f"anomaly gate expects a single-batch source; got emissions in "
         f"batches {non_empty} — per-key prior-history order would no longer "
         f"match the oracle's global event-time frame"
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("user_id", "ts_us", "event_id")
     )
 
@@ -931,15 +950,14 @@ def q_stream_twa_runtime(spark, sf_dir):
         lambda make: time_weighted_totals(make()),
         output_mode="update",
     )
-    non_empty = [bid for bid, rs in batches if rs]
+    non_empty = [bid for bid, tbl in batches if tbl.num_rows]
     assert len(non_empty) <= 1, (
         f"TWA gate expects a single-batch source; got emissions in batches "
         f"{non_empty} — a key emitting in several batches would need a "
         f"latest-emission reduction before the quantizing projection"
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("n_segments") >= 1)
         .select(
             "user_id",
@@ -1017,9 +1035,8 @@ def q_stream_topn_runtime(spark, sf_dir):
     # decided-region cutoff: window end (+3600) + watermark delay (1800) +
     # margin (60) — mirrored literally in the oracle's `win_start + 5460`
     cutoff = max_s - 1800 - 60 - win_s
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("win_start") <= F.lit(cutoff))
         .select(
             "win_start",
@@ -1089,9 +1106,8 @@ def q_stream_cms_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - 1800 - 60 - win_s
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("win_start") <= F.lit(cutoff))
         .groupBy(
             F.col("row_i").cast("bigint").alias("row_i"),
@@ -1185,9 +1201,8 @@ def q_stream_chained_agg_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - 1800 - 660 - 3600  # delay + (inner window + margin) + hour
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("hour_start") <= F.lit(cutoff))
         .orderBy("hour_start", "event_type")
     )
@@ -1260,9 +1275,10 @@ def q_stream_rollup_runtime(spark, sf_dir):
             (F.col("min_v") * 100).cast("bigint").alias("min_cents"),
             (F.col("max_v") * 100).cast("bigint").alias("max_cents"),
         )
-        rows = out.collect()
+        # freeze the result before the finally deletes the state files —
+        # one Arrow round trip instead of the pickled-row collect
         return (
-            spark.createDataFrame(rows, schema=out.schema)
+            spark.createDataFrame(out.toArrow())
             .orderBy("day", "event_type")
         )
     finally:
@@ -1312,9 +1328,8 @@ def q_stream_dedup_ttl_runtime(spark, sf_dir):
         ).select("user_id", "event_type", "day"),
         output_mode="append",
     )
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("user_id", "event_type", "day")
     )
 
@@ -1382,9 +1397,8 @@ def q_stream_union_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark, sf_dir, build, output_mode="complete"
     )
-    rows = max(batches)[1] if batches else []
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema, last_only=True)
         .orderBy("win_start", "event_type")
     )
 
@@ -1461,9 +1475,8 @@ def q_stream_tws_topn_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - 1800 - 60 - win_s
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("win_start") <= F.lit(cutoff))
         .select(
             "win_start",
@@ -1553,13 +1566,12 @@ def q_stream_tws_cep_runtime(spark, sf_dir):
         ),
         output_mode="update",
     )
-    non_empty = [bid for bid, rs in batches if rs]
+    non_empty = [bid for bid, tbl in batches if tbl.num_rows]
     assert len(non_empty) <= 1, (
         f"typed-state CEP gate expects a single-batch source; got emissions "
         f"in batches {non_empty}"
     )
-    rows = [r for _bid, rs in batches for r in rs]
-    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+    return _batches_df(spark, batches, schema).orderBy("user_id")
 
 
 @query(
@@ -1639,8 +1651,7 @@ def q_stream_kmv_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - 1800 - 60 - win_s
-    rows = [r for _bid, rs in batches for r in rs]
-    emitted = spark.createDataFrame(rows, schema=schema).filter(
+    emitted = _batches_df(spark, batches, schema).filter(
         F.col("win_start") <= F.lit(cutoff)
     )
     per = emitted.groupBy("win_start").agg(
@@ -1801,8 +1812,7 @@ def _theta_pairs_frame(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - _THP_MARGIN
-    rows = [r for _bid, rs in batches for r in rs]
-    km = spark.createDataFrame(rows, schema=schema).filter(
+    km = _batches_df(spark, batches, schema).filter(
         F.col("win_start") <= F.lit(cutoff)
     )
     th = (
@@ -2057,7 +2067,7 @@ def _run_restarted_stream(spark, sf_dir, build, output_mode, split_us=None):
         ev.filter(F.unix_micros("ts") > split_us),
     )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    batches: list[tuple[tuple[int, int], list]] = []
+    batches: list[tuple[tuple[int, int], "pa.Table"]] = []
     schema = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -2075,7 +2085,7 @@ def _run_restarted_stream(spark, sf_dir, build, output_mode, split_us=None):
             schema = out.schema
 
             def sink(batch_df, batch_id, _p=phase):
-                batches.append(((_p, batch_id), batch_df.collect()))
+                batches.append(((_p, batch_id), batch_df.toArrow()))
 
             q = (
                 out.writeStream.outputMode(output_mode)
@@ -2166,9 +2176,8 @@ def q_stream_restart_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - _RESTART_MARGIN
-    rows = [r for _key, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("win_start") <= F.lit(cutoff))
         .orderBy("win_start", "event_type")
     )
@@ -2264,8 +2273,7 @@ def q_stream_kll_runtime(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     max_s = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1_000_000
     cutoff = max_s - _KLL_MARGIN
-    rows = [r for _bid, rs in batches for r in rs]
-    km = spark.createDataFrame(rows, schema=schema).filter(
+    km = _batches_df(spark, batches, schema).filter(
         F.col("win_start") <= F.lit(cutoff)
     )
 
@@ -2433,15 +2441,15 @@ def q_stream_tws_restart_runtime(spark, sf_dir):
         output_mode="update",
         split_us=split_us,
     )
-    rows = [r for _key, rs in batches for r in rs]
     straddlers = [
-        r for r in rows if r["t0_us"] <= split_us < r["t3_us"]
+        r for r in _batches_rows(batches)
+        if r["t0_us"] <= split_us < r["t3_us"]
     ]
     assert straddlers, (
         "no emitted match straddles the split — the restart recovered no "
         "typed state; the gate would pass vacuously"
     )
-    return spark.createDataFrame(rows, schema=schema).orderBy("user_id")
+    return _batches_df(spark, batches, schema).orderBy("user_id")
 
 
 # per-fixture memo for the join-restart gate's data-derived split point
@@ -2520,16 +2528,16 @@ def q_stream_join_restart_runtime(spark, sf_dir):
         output_mode="append",
         split_us=split_us,
     )
-    rows = [r for _key, rs in batches for r in rs]
     straddlers = [
-        r for r in rows if r["view_us"] <= split_us < r["purchase_us"]
+        r for r in _batches_rows(batches)
+        if r["view_us"] <= split_us < r["purchase_us"]
     ]
     assert straddlers, (
         "no emitted pair straddles the split — the restart recovered no "
         "join state; the gate would pass vacuously"
     )
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("view_id", "purchase_id")
     )
 
@@ -2555,25 +2563,27 @@ def _run_tws_processing_time(spark, sf_dir, build, n_expected):
         os.path.join(stream_dir, "events.parquet"),
     )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    rows: list = []
+    batches: list = []
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         out = build(events_stream(spark, stream_dir))
         schema = out.schema
         q = (
             out.writeStream.outputMode("append")
-            .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .foreachBatch(lambda b, i: batches.append((i, b.toArrow())))
             .option("checkpointLocation", ckpt)
             .start()
         )
         try:
             deadline = _time.time() + 300
-            while len(rows) < n_expected:
+            while sum(tbl.num_rows for _i, tbl in batches) < n_expected:
                 if q.exception():
                     raise q.exception()
                 if _time.time() > deadline:
                     raise TimeoutError(
-                        f"TWS stream emitted {len(rows)}/{n_expected} rows"
+                        f"TWS stream emitted "
+                        f"{sum(tbl.num_rows for _i, tbl in batches)}"
+                        f"/{n_expected} rows"
                     )
                 _time.sleep(0.1)
             # settle: catch spurious extra emissions — but event-driven,
@@ -2591,7 +2601,7 @@ def _run_tws_processing_time(spark, sf_dir, build, n_expected):
                 _time.sleep(0.05)
         finally:
             q.stop()
-        return rows, schema
+        return batches, schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2637,7 +2647,7 @@ def q_stream_tws_ttl_runtime(spark, sf_dir):
         .distinct()
         .count()
     )
-    rows, schema = _run_tws_processing_time(
+    batches, schema = _run_tws_processing_time(
         spark,
         sf_dir,
         lambda ev: ttl_dedup_tws(
@@ -2650,7 +2660,7 @@ def q_stream_tws_ttl_runtime(spark, sf_dir):
         n_expected,
     )
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .orderBy("event_type", "day")
     )
 
@@ -2771,8 +2781,7 @@ def q_stream_lsh_neardup_runtime(spark, sf_dir):
     batches, schema = _run_bounded_stream(
         spark, sf_dir, build, output_mode="append", table="documents"
     )
-    rows = [r for _bid, rs in batches for r in rs]
-    emitted = spark.createDataFrame(rows, schema=schema)
+    emitted = _batches_df(spark, batches, schema)
     return (
         emitted.groupBy("id_a", "id_b")
         .agg(
@@ -2888,9 +2897,8 @@ def q_stream_ingest_pipeline_runtime(spark, sf_dir):
         t(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
     )
     cutoff = _NDP_TS_BASE_S + max_doc * _NDP_TS_STEP_S - _ING_MARGIN
-    rows = [r for _bid, rs in batches for r in rs]
     return (
-        spark.createDataFrame(rows, schema=schema)
+        _batches_df(spark, batches, schema)
         .filter(F.col("win_start") <= F.lit(cutoff))
         .orderBy("win_start", "source")
     )
