@@ -473,17 +473,28 @@ def q_kcore_peel(spark, sf_dir):
         .filter(F.col("s") >= _KCORE_SUPPORT)
         .select("pa", "pb")
     )
+    # materialize at the PAIR level (half the rows of the symmetrized
+    # relation — the checkpoint write is the build's disk cost) and
+    # symmetrize from the checkpoint: both union branches scan the same
+    # small file, so every peel-round consumer still reads materialized
+    # data with the basket pipeline executed exactly once
+    pairs = eager_checkpoint(pairs)
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    return kcore_trajectory(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return kcore_trajectory(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, materialized=True
+    )
 
 
-def kcore_trajectory(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_trajectory(
+    edges: DataFrame, k: int, rounds: int, materialized: bool = False
+) -> DataFrame:
     """Peel-trajectory census over a DIRECTED-both-ways edge relation
     (src, dst): per round, (n_alive, n_edges, Σ node·deg, is_fixpoint).
     Separated from the query so tests drive synthetic graphs with known
-    cores (clique + pendant chain).
+    cores (clique + pendant chain).  ``materialized`` skips the input
+    checkpoint when the caller already materialized the edge relation.
 
     Early-stop protocol: each round's census is ONE aggregate row read by
     the driver (the sanctioned scalar-convergence-read shape, cf.
@@ -492,14 +503,25 @@ def kcore_trajectory(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     stops there — trailing rounds up to the fixed unroll are identical
     copies by definition, emitted without re-executing the peel (measured
     at sf0.1: 7.9 s for the always-10-rounds form vs 2.6 s with the
-    stop at the round-2 fixpoint)."""
+    stop at the round-2 fixpoint).
+
+    Per-round shape (optimization r9): the degree relation is computed
+    ONCE per round and leaves through its own eager_checkpoint (a
+    node-count-sized write) — the previous form re-derived it three times
+    per round (once under the census collect, once per semi join under
+    the edge checkpoint); the census then aggregates the materialized deg
+    (a tiny job) and both semi joins probe it.  Measured at sf0.1:
+    3.9 -> 3.4 s warm; same trajectory at every SF."""
     spark = edges.sparkSession
-    edges = eager_checkpoint(edges)
+    if not materialized:
+        edges = eager_checkpoint(edges)
 
     rows: list[tuple[int, int, int, int]] = []
     prev: tuple[int, int, int] | None = None
     for r in range(rounds + 1):
-        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        deg = eager_checkpoint(
+            edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        )
         c = deg.agg(
             F.count("*").cast("bigint").alias("n_alive"),
             F.expr("CAST(coalesce(sum(d), 0) DIV 2 AS BIGINT)").alias("n_edges"),

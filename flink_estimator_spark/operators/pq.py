@@ -81,9 +81,30 @@ def _grouped_mean(tagged: DataFrame) -> DataFrame:
     )
 
 
+def _sub_d2(varr, carr):
+    """Exact quantized squared L2 between two component arrays — the same
+    floor((v-c)^2 * 1e12) BIGINT terms the join+agg form summed."""
+    return F.aggregate(
+        F.zip_with(
+            varr, carr, lambda x, y: F.floor((x - y) * (x - y) * F.lit(_T12)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, sub, code): nearest centroid per subspace by exact quantized
-    squared L2, ties to the lowest code id."""
+    squared L2, ties to the lowest code id.
+
+    Deliberately the join+groupBy+rank form, NOT an inline
+    higher-order-function argmin: inside the Lloyd loop the repeated
+    mean/assign subtrees resolve through ReusedExchange, which the
+    exchange-free HOF form forfeits — measured at sf0.1, the HOF variants
+    regress the trained pipeline (train+checkpoint 3.2 s -> 3.8-4.9 s;
+    q_emb_pq_adc 3.1 -> 5.0 s), while standalone (single assign over a
+    materialized codebook) they tie.  The LOOP-FREE coarse quantizer in
+    q_emb_ivfpq_adc does use the inline form (``_sub_d2``)."""
     diff = F.col("v") - F.col("c")
     term = F.floor(diff * diff * F.lit(_T12)).cast("bigint")
     d2 = (
@@ -412,7 +433,11 @@ def q_emb_ivfpq_adc(spark, sf_dir):
     e = spread(t(spark, sf_dir, "embeddings"), "vec_id")
     cb, codes = pq_codebooks_and_codes(e)
 
-    # coarse quantizer: label-seeded centroids, ranked assignments
+    # coarse quantizer: label-seeded centroids, ranked assignments.  The
+    # centroid table is reshaped to one component ARRAY per cluster and the
+    # distance runs inline per (vector, cluster) row — corpus x C rows with
+    # no aggregation exchange, where the posexploded join form shuffled
+    # corpus x C x dim rows through a groupBy (same _assign rationale)
     exl = (
         e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
         .withColumn("v", F.col("v").cast("double"))
@@ -424,12 +449,16 @@ def q_emb_ivfpq_adc(spark, sf_dir):
             / F.lit(float(_T6))
         ).alias("c")
     )
-    cdiff = F.col("v") - F.col("c")
-    cterm = F.floor(cdiff * cdiff * F.lit(_T12)).cast("bigint")
+    cpacked = ccent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("carr")
+    )
+    varr = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     cd = (
-        exl.join(F.broadcast(ccent), "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(F.sum(cterm).alias("d2"))
+        e.select("vec_id", varr.alias("varr"))
+        .join(F.broadcast(cpacked))
+        .select("vec_id", "clabel", _sub_d2(F.col("varr"), F.col("carr")).alias("d2"))
     )
     w_c = W.partitionBy("vec_id").orderBy("d2", "clabel")
     crk = cd.withColumn("rk", F.row_number().over(w_c))
