@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import t
+from ..plans._helpers import spread, t
 from ..plans.registry import query
 
 
@@ -392,7 +392,10 @@ def q_bootstrap_ci(spark, sf_dir):
     stays exact below ~9e14 total weighted cents (~1e10 purchase rows at
     fixture prices); beyond that the sums move to DECIMAL(38,0) like the
     KS guard's documented variant."""
-    base = (
+    # spread the purchase base BEFORE the R-way explode: the single-split
+    # events scan otherwise runs all rows x R md5 draws in ONE task
+    # (SCALE.md §4) — measured 5.3 -> 1.3 s warm at sf0.1
+    base = spread(
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select(
@@ -400,7 +403,8 @@ def q_bootstrap_ci(spark, sf_dir):
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("bigint")
             .alias("cents"),
-        )
+        ),
+        "event_id",
     )
     u = "CAST(conv(substring(md5(concat(event_id, '_', r)), 1, 12), 16, 10) AS BIGINT)"
     draws = base.select(
