@@ -67,24 +67,7 @@ def query(name: str, oracle: Optional[str] = None, description: str = "",
 # their driver row was recorded; they can only ever earn row-count
 # evidence, which is still staleness-bounded like everything else.
 _EVIDENCE_ROUND: dict[str, int] = {
-    # --- last green driver row: round 3 (35 queries) ---
-    "q_dedup_clusters": 3, "q_dedup_jaccard_pairs": 3,
-    "q_distribution_drift": 3, "q_doc_chunks": 3, "q_doc_nll": 3,
-    "q_emb_centroids": 3, "q_emb_ivf_recall": 3, "q_emb_lsh_recall": 3,
-    "q_first_last_window": 3, "q_fuzzy_digit_pairs": 3,
-    "q_fuzzy_name_pairs": 3, "q_grouped_concat": 3,
-    "q_grouped_pandas_minmax": 3, "q_hll_rollup": 3, "q_inverted_index": 3,
-    "q_kll_rollup": 3, "q_kmeans_assign": 3, "q_lateral_topn": 3,
-    "q_linreg_by_group": 3, "q_minhash_recall": 3, "q_mode_per_group": 3,
-    "q_null_aware_anti": 3, "q_percent_rank": 3, "q_resample_interp": 3,
-    "q_rolling_median": 3, "q_sessionization": 3, "q_set_ops_all": 3,
-    "q_share_of_total": 3, "q_simhash_recall": 3, "q_skew_salted_join": 3,
-    "q_train_split": 3, "q_value_histogram": 3, "q_weighted_sample": 3,
-    "q_whatif_capacity_grid": 3, "q_yoy_growth": 3,
-    # --- last green driver row: round 4 (50 queries) ---
-    "q_abc_by_brand": 4, "q_asof_nearest": 4, "q_attribution_linear": 4,
-    "q_audience_overlap": 4, "q_basket_rules": 4, "q_benford_audit": 4,
-    "q_bloom_join_prune": 4, "q_bm25_search": 4, "q_budget_allocation": 4,
+    # --- last green driver row: round 4 (41 queries) ---
     "q_change_point": 4, "q_cms_heavy_hitters": 4, "q_cohort_retention": 4,
     "q_conversion_latency": 4, "q_copurchase_pairs": 4, "q_count_window": 4,
     "q_dedup_minhash_lsh": 4, "q_dedup_simhash": 4, "q_emb_ivf_ann": 4,
@@ -180,6 +163,26 @@ _EVIDENCE_ROUND: dict[str, int] = {
     "q_time_range_frame": 8, "q_training_order": 8, "q_udtf_tokens": 8,
     "q_unpivot": 8, "q_value_outliers": 8, "q_vocab_growth": 8,
     "q_window_dedup": 8, "q_window_join": 8, "q_window_topn": 8,
+    # --- last green driver row: round 9 (50 queries) ---
+    "q_abc_by_brand": 9, "q_asof_nearest": 9, "q_attribution_linear": 9,
+    "q_audience_overlap": 9, "q_basket_rules": 9, "q_benford_audit": 9,
+    "q_bloom_join_prune": 9, "q_bm25_search": 9, "q_budget_allocation": 9,
+    "q_dedup_clusters": 9, "q_dedup_jaccard_pairs": 9,
+    "q_distribution_drift": 9, "q_doc_chunks": 9, "q_doc_nll": 9,
+    "q_emb_centroids": 9, "q_emb_ivf_recall": 9, "q_emb_lsh_recall": 9,
+    "q_first_last_window": 9, "q_fuzzy_digit_pairs": 9,
+    "q_fuzzy_name_pairs": 9, "q_grouped_concat": 9,
+    "q_grouped_pandas_minmax": 9, "q_hll_rollup": 9, "q_inverted_index": 9,
+    "q_kll_rollup": 9, "q_kmeans_assign": 9, "q_lateral_topn": 9,
+    "q_linreg_by_group": 9, "q_minhash_recall": 9, "q_mode_per_group": 9,
+    "q_null_aware_anti": 9, "q_percent_rank": 9, "q_resample_interp": 9,
+    "q_rolling_median": 9, "q_sessionization": 9, "q_set_ops_all": 9,
+    "q_share_of_total": 9, "q_simhash_recall": 9, "q_skew_salted_join": 9,
+    "q_stream_ingest_pipeline_runtime": 9, "q_stream_join_restart_runtime": 9,
+    "q_stream_kll_runtime": 9, "q_stream_lsh_neardup_runtime": 9,
+    "q_stream_theta_curve_runtime": 9, "q_stream_tws_restart_runtime": 9,
+    "q_train_split": 9, "q_value_histogram": 9, "q_weighted_sample": 9,
+    "q_whatif_capacity_grid": 9, "q_yoy_growth": 9,
 }
 _GATED_PRIOR_ROUNDS = frozenset(_EVIDENCE_ROUND)
 
