@@ -53,7 +53,7 @@ from ..sources.formats import read_xml, write_xml  # noqa: F401
 from ..streaming.dedup import screen_against_ledger  # noqa: F401
 
 # round-4 additions (this session)
-from ..plans._helpers import eager_checkpoint  # noqa: F401
+from ..plans._helpers import eager_checkpoint, materialize  # noqa: F401
 from ..operators.dedup import md5_word  # noqa: F401
 from ..operators.similarity import label_centroids  # noqa: F401
 from ..operators.bpe import bpe_train  # noqa: F401

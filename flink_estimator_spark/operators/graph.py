@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import eager_checkpoint, t
+from ..plans._helpers import eager_checkpoint, materialize, t
 from ..plans.registry import query
 
 _PR_ITERS = 3
@@ -318,7 +318,9 @@ def q_bfs_levels(spark, sf_dir):
     connected-components hygiene pattern (SCALE.md 7g): in-loop caches
     (an uncached unrolling replicates the reach lineage — 164 file scans
     in the 3-hop physical plan), every cache released in the ``finally``,
-    the result leaving through one ``eager_checkpoint``."""
+    the result leaving through one single-job ``materialize`` (beat
+    eager_checkpoint's 2 jobs: 2.85 -> 2.61 s same-process A/B at sf0.1,
+    optimization r10)."""
     li = t(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
@@ -349,7 +351,7 @@ def q_bfs_levels(spark, sf_dir):
             levels = levels.unionByName(nxt.withColumn("lvl", F.lit(h)))
             reach = nxt
         out = levels.groupBy("node").agg(F.min("lvl").cast("bigint").alias("lvl"))
-        return eager_checkpoint(out).orderBy("lvl", "node")
+        return materialize(out).orderBy("lvl", "node")
     finally:
         for df in pinned:
             df.unpersist()
@@ -519,9 +521,14 @@ def kcore_trajectory(
     rows: list[tuple[int, int, int, int]] = []
     prev: tuple[int, int, int] | None = None
     for r in range(rounds + 1):
-        deg = eager_checkpoint(
-            edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-        )
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        if r < rounds:
+            # the final unrolled round's deg has a single consumer (the
+            # census aggregate) — materializing it buys nothing there
+            # (ADVICE r9); every earlier round's deg is probed by both
+            # semi joins as well, so it leaves through a node-count-sized
+            # materialization
+            deg = eager_checkpoint(deg)
         c = deg.agg(
             F.count("*").cast("bigint").alias("n_alive"),
             F.expr("CAST(coalesce(sum(d), 0) DIV 2 AS BIGINT)").alias("n_edges"),

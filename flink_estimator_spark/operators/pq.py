@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..plans._helpers import eager_checkpoint, spread, t
+from ..plans._helpers import materialize, spread, t
 from ..plans.registry import query
 from .dedup import md5_word
 
@@ -83,13 +83,24 @@ def _grouped_mean(tagged: DataFrame) -> DataFrame:
 
 def _sub_d2(varr, carr):
     """Exact quantized squared L2 between two component arrays — the same
-    floor((v-c)^2 * 1e12) BIGINT terms the join+agg form summed."""
-    return F.aggregate(
+    floor((v-c)^2 * 1e12) BIGINT terms the join+agg form summed.
+
+    Malformed input fails LOUD (ADVICE r9): a varr/carr length mismatch
+    raises instead of zip_with padding with NULL — a NULL d2 would
+    otherwise sort FIRST under the ascending argmin window and silently
+    assign a corrupt vector to an arbitrary cluster.  (A NULL *component*
+    inside equal-length arrays still propagates to a NULL d2; the argmin
+    windows order d2 nulls LAST — DuckDB's ASC default — so such a vector
+    can never win rank 1.)"""
+    agg = F.aggregate(
         F.zip_with(
             varr, carr, lambda x, y: F.floor((x - y) * (x - y) * F.lit(_T12)).cast("bigint")
         ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
+    )
+    return F.when(F.size(varr) == F.size(carr), agg).otherwise(
+        F.raise_error(F.lit("_sub_d2: component-array length mismatch"))
     )
 
 
@@ -127,13 +138,18 @@ def pq_codebooks_and_codes(
     refinements) and encode every vector.  Returns (codebook, codes):
     codebook = (sub, code, pos, c), codes = (vec_id, sub, code).  The loop
     itself is plan composition only (no actions, no caches), but the
-    TRAINED codebook leaves through one ``eager_checkpoint``: it has two
+    TRAINED codebook leaves through one ``materialize``: it has two
     differently-shaped consumers (the corpus encode's subspace join and
     the per-query LUT build), whose exchanges do not unify under
-    ReusedExchange, so without the checkpoint the whole Lloyd pipeline
+    ReusedExchange, so without a materialization the whole Lloyd pipeline
     executes twice — interleaved A/B at sf0.1 measured 7.04 s uncached vs
-    5.62 s checkpointed (min-of-4 each), and the checkpoint itself writes
-    only the K*M*dsub = 1,024-row model."""
+    5.62 s checkpointed (min-of-4 each), and the write is only the
+    K*M*dsub = 1,024-row model.  The single-job parquet round-trip
+    replaced eager_checkpoint's 2 jobs in optimization r10: the train
+    lineage now executes once under the WRITE job (q_emb_pq_adc
+    3.37 -> 2.83 s, q_emb_ivfpq_adc 5.2 -> 4.6 s same-process A/B; the
+    read-back is a 1,024-row scan feeding broadcasts, so checkpoint
+    partitioning preservation buys nothing here)."""
     ex = _components(e)
     seed = md5_word(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")), 1, 12) % _PQ_K
     cb = _grouped_mean(ex.withColumn("code", seed))
@@ -142,7 +158,7 @@ def pq_codebooks_and_codes(
         cb = _grouped_mean(
             ex.join(a, ["vec_id", "sub"]).select("sub", "code", "pos", "v")
         )
-    cb = eager_checkpoint(cb)
+    cb = materialize(cb)
     return cb, _assign(ex, cb)
 
 
@@ -460,7 +476,7 @@ def q_emb_ivfpq_adc(spark, sf_dir):
         .join(F.broadcast(cpacked))
         .select("vec_id", "clabel", _sub_d2(F.col("varr"), F.col("carr")).alias("d2"))
     )
-    w_c = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    w_c = W.partitionBy("vec_id").orderBy(F.col("d2").asc_nulls_last(), "clabel")
     crk = cd.withColumn("rk", F.row_number().over(w_c))
     cassign = crk.filter(F.col("rk") == 1).select(
         "vec_id", F.col("clabel").alias("cluster")

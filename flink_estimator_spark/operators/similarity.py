@@ -2744,11 +2744,17 @@ def q_emb_matryoshka(spark, sf_dir):
     ANN-memory reduction); everything is the integer int8-L2 metric, so
     the whole sweep value-gates.
 
-    Scale: four bounded brute passes (broadcast 10-query side x
-    linear corpus scan, the q_emb_quantized_topk class) over PREFIX sums
-    of one shared code relation — the scan is shared, only the fold
-    length varies; hits are an equi-join of two 10x5-row
-    top-k lists per D."""
+    Scale: ONE bounded brute pass (broadcast 10-query side x linear
+    corpus scan, the q_emb_quantized_topk class) computes the per-pair
+    term array once and folds every PREFIX length from it, so all four
+    truncation ranks come out of a single (query_id)-partitioned window
+    stage — one exchange and four sorts where the r9 shape ran five
+    independent window passes plus four rank-list joins (optimization
+    r10: warm 1.7-2.1 -> 1.2-1.3 s at sf0.1, values identical at
+    sf0.01/sf0.1 vs the oracle);
+    recall@5 per D is then one conditional aggregate over the ranked
+    pairs (a pair counts for D when it makes top-5 under BOTH the D-dim
+    prefix and the full-width metric)."""
     emb = t(spark, sf_dir, "embeddings")
     bounds = quantization_bounds(emb)
     coded = (
@@ -2761,49 +2767,67 @@ def q_emb_matryoshka(spark, sf_dir):
             ).alias("code"),
         )
     )
-    coded = eager_checkpoint(coded)  # shared by the 4 sweep passes
+    coded = eager_checkpoint(coded)  # shared query/node sides
     queries = F.broadcast(
         coded.filter(F.col("vec_id") < _MRL_Q).select(
             F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
         )
     )
     nodes = coded.select(F.col("vec_id").alias("node"), F.col("code").alias("ncode"))
-    wq = W.partitionBy("query_id").orderBy("d2", "node")
 
-    def topk(d: int) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qcode"), 1, d),
-                F.slice(F.col("ncode"), 1, d),
-                lambda x, y: (x - y) * (x - y),
-            ),
+    # squared-diff terms once per pair; each sweep length folds a prefix
+    terms = F.zip_with(
+        F.col("qcode"), F.col("ncode"), lambda x, y: (x - y) * (x - y)
+    )
+
+    def prefix_d2(d: int):
+        return F.aggregate(
+            F.slice(F.col("_terms"), 1, d),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        return (
-            nodes.crossJoin(queries)
-            .filter(F.col("node") != F.col("query_id"))
-            .select("query_id", "node", dist.alias("d2"))
-            .withColumn("_rk", F.row_number().over(wq))
-            .filter(F.col("_rk") <= _MRL_K)
-            .select("query_id", "node")
-        )
 
-    full = topk(_MRL_DIMS[-1])
-    outs = []
-    for d in _MRL_DIMS:
-        hits = topk(d).join(full, ["query_id", "node"]).agg(
-            F.lit(d).cast("bigint").alias("dim"),
-            F.count("*").cast("bigint").alias(f"hits_at{_MRL_K}"),
+    pairs = (
+        nodes.crossJoin(queries)
+        .filter(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", terms.alias("_terms"))
+        .select(
+            "query_id",
+            "node",
+            *[prefix_d2(d).alias(f"d2_{d}") for d in _MRL_DIMS],
         )
-        outs.append(hits)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.select(
-        "dim",
-        f"hits_at{_MRL_K}",
-        F.expr(
-            f"CAST(hits_at{_MRL_K} * 1000000 DIV {_MRL_Q * _MRL_K} AS BIGINT)"
-        ).alias("recall_ppm"),
-    ).orderBy("dim")
+    )
+    ranked = pairs
+    for d in _MRL_DIMS:
+        wq = W.partitionBy("query_id").orderBy(F.col(f"d2_{d}"), F.col("node"))
+        ranked = ranked.withColumn(f"rk_{d}", F.row_number().over(wq))
+    dfull = _MRL_DIMS[-1]
+    hits = ranked.agg(
+        *[
+            F.sum(
+                (
+                    (F.col(f"rk_{d}") <= _MRL_K) & (F.col(f"rk_{dfull}") <= _MRL_K)
+                ).cast("bigint")
+            ).alias(f"h{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({d} AS BIGINT), h{d}" for d in _MRL_DIMS
+    )
+    return (
+        hits.select(
+            F.expr(
+                f"stack({len(_MRL_DIMS)}, {stack_args})"
+                f" AS (dim, hits_at{_MRL_K})"
+            )
+        )
+        .select(
+            "dim",
+            f"hits_at{_MRL_K}",
+            F.expr(
+                f"CAST(hits_at{_MRL_K} * 1000000 DIV {_MRL_Q * _MRL_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("dim")
+    )

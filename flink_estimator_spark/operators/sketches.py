@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import eager_checkpoint, spread, t
+from ..plans._helpers import materialize, spread, t
 from ..plans.registry import query
 from .dedup import md5_word
 
@@ -355,8 +355,12 @@ def q_theta_setops(spark, sf_dir):
         .distinct()
     )
     # three consumers with different shapes (per-source agg, rank ladder,
-    # h-keyed self-join) — one materialization per the §7h rule
-    sh = eager_checkpoint(sh)
+    # h-keyed self-join) — one materialization per the §7h rule; the
+    # single-job parquet round-trip beat eager_checkpoint's 2 jobs here
+    # (3.1 -> 2.6 s same-process A/B at sf0.1, optimization r10 — every
+    # consumer re-shuffles sh anyway, so checkpoint partitioning
+    # preservation buys nothing)
+    sh = materialize(sh)
     return theta_setops(sh)
 
 
@@ -365,78 +369,90 @@ def theta_setops(sh: DataFrame, k: int = K_KMV, hsp: int = _H_SPACE) -> DataFram
     (source, h) relation: per source pair, sketch-estimated and exact
     |A|, |B|, |A∪B|, |A∩B| and Jaccard ppm.  Separated from the query so
     tests drive it with synthetic sets and small k (unsaturated path,
-    accuracy bounds, union-merge associativity)."""
+    accuracy bounds, union-merge associativity).
+
+    Sketch-algebra shape (optimization r10): each source's k-smallest
+    values leave the tournament as ONE sorted array row, and all pair
+    algebra — retained intersection under theta_min, union k-th smallest,
+    the estimators — runs as array expressions inside a single broadcast
+    self-join of the |sources|-row sketch table.  That is the natural
+    physical form of sketching (pair ops on sketch *objects*, not
+    re-shuffled sketch rows) and removes the h-keyed sketch self-join,
+    the union distinct, and the union rank window the r9 plan paid —
+    5 exchanges and 2 sort stages over sketch rows (same values: the
+    estimates are the same md5-52 integer arithmetic term for term).
+    Corpus-sized work is untouched: the exact per-source counts and the
+    exact h-keyed intersection self-join still gate the estimates."""
     counts = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_exact"))
-    km = kmv_sketches(sh, "source", k)
-    th = km.groupBy("source").agg(
-        F.count("*").alias("nk"),
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_kth"),
+    # two-level tournament, array egress: level 1 = sharded rank window
+    # (partition-bounded sort state, see kmv_sketches); level 2 = the
+    # final k-smallest over the <= shards*k survivors, folded into the
+    # per-source collect (sorted array slice == the rank-window filter)
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(_KMV_SHARDS))
+    ).orderBy("h")
+    lvl1 = (
+        sh.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
     )
-    est = th.select(
+    sk = lvl1.groupBy("source").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("hs")
+    )
+    est = sk.select(
         "source",
-        F.when(F.col("nk") == k, F.col("_kth")).otherwise(F.lit(hsp)).alias("theta"),
-        F.when(F.col("nk") < k, F.col("nk").cast("bigint"))
-        .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _kth AS BIGINT)"))
+        "hs",
+        F.when(F.size("hs") == k, F.element_at("hs", k))
+        .otherwise(F.lit(hsp))
+        .alias("theta"),
+        F.when(F.size("hs") < k, F.size("hs").cast("bigint"))
+        .otherwise(
+            F.expr(f"CAST(({k - 1} * {hsp}) DIV element_at(hs, {k}) AS BIGINT)")
+        )
         .alias("est_n"),
     )
+    merged = F.array_sort(F.array_distinct(F.concat(F.col("_hs_a"), F.col("_hs_b"))))
     pairs = (
         est.select(
             F.col("source").alias("source_a"),
+            F.col("hs").alias("_hs_a"),
             F.col("theta").alias("_th_a"),
             F.col("est_n").alias("est_a"),
         )
         .join(
-            est.select(
-                F.col("source").alias("source_b"),
-                F.col("theta").alias("_th_b"),
-                F.col("est_n").alias("est_b"),
+            F.broadcast(
+                est.select(
+                    F.col("source").alias("source_b"),
+                    F.col("hs").alias("_hs_b"),
+                    F.col("theta").alias("_th_b"),
+                    F.col("est_n").alias("est_b"),
+                )
             ),
             F.col("source_a") < F.col("source_b"),
         )
         .withColumn("theta_min", F.least("_th_a", "_th_b"))
-    )
-
-    kma = km.select(F.col("source").alias("source_a"), "h")
-    kmb = km.select(F.col("source").alias("source_b"), "h")
-    retained = (
-        kma.join(kmb, "h")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .join(
-            F.broadcast(pairs.select("source_a", "source_b", "theta_min")),
-            ["source_a", "source_b"],
+        # retained = |A_sk ∩ B_sk| below the pair theta — array intersect
+        # of the two (distinct-valued) sketch arrays
+        .withColumn(
+            "n_ret",
+            F.size(
+                F.filter(
+                    F.array_intersect(F.col("_hs_a"), F.col("_hs_b")),
+                    lambda x: x < F.col("theta_min"),
+                )
+            ).cast("bigint"),
         )
-        .filter(F.col("h") < F.col("theta_min"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("bigint").alias("n_ret"))
-    )
-
-    from pyspark.sql import Window
-
-    uk = (
-        F.broadcast(pairs.select("source_a", "source_b"))
-        .join(
-            km.select("source", "h"),
-            (F.col("source") == F.col("source_a")) | (F.col("source") == F.col("source_b")),
+        # union sketch = k smallest of the merged distinct values
+        .withColumn("_mu", merged)
+        .withColumn(
+            "est_union",
+            F.when(F.size("_mu") < k, F.size("_mu").cast("bigint")).otherwise(
+                F.expr(f"CAST(({k - 1} * {hsp}) DIV element_at(_mu, {k}) AS BIGINT)")
+            ),
         )
-        .select("source_a", "source_b", "h")
-        .distinct()
-    )
-    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
-    uth = (
-        uk.withColumn("rn", F.row_number().over(wu))
-        .filter(F.col("rn") <= k)
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count("*").alias("nu"),
-            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_ukth"),
-        )
-        .select(
-            "source_a",
-            "source_b",
-            F.when(F.col("nu") < k, F.col("nu").cast("bigint"))
-            .otherwise(F.expr(f"CAST(({k - 1} * {hsp}) DIV _ukth AS BIGINT)"))
-            .alias("est_union"),
-        )
+        .drop("_hs_a", "_hs_b", "_mu")
     )
 
     sha = sh.select(F.col("source").alias("source_a"), "h")
@@ -453,10 +469,7 @@ def theta_setops(sh: DataFrame, k: int = K_KMV, hsp: int = _H_SPACE) -> DataFram
     out = (
         pairs.join(F.broadcast(ca), "source_a")
         .join(F.broadcast(cb), "source_b")
-        .join(F.broadcast(uth), ["source_a", "source_b"])
-        .join(F.broadcast(retained), ["source_a", "source_b"], "left")
         .join(F.broadcast(ex), ["source_a", "source_b"], "left")
-        .withColumn("n_ret", F.coalesce(F.col("n_ret"), F.lit(0).cast("bigint")))
         .withColumn("exact_inter", F.coalesce(F.col("exact_inter"), F.lit(0).cast("bigint")))
         .withColumn(
             "exact_union",

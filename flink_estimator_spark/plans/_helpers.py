@@ -8,6 +8,7 @@ arithmetic (exact, order-independent) and are cast back to DOUBLE at the end
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -77,6 +78,47 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     out = cached.checkpoint(eager=True)
     cached.unpersist()
     return out
+
+
+_MAT_N = itertools.count()
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once in a SINGLE job: parquet write + read-back.
+
+    ``eager_checkpoint`` costs two jobs per call (the eager count that
+    fills the cache, then the RDD-checkpoint write) because RDD
+    checkpointing always recomputes under a second action; a parquet
+    round-trip folds compute and write into ONE job.  Measured same-process
+    A/B at sf0.1 (optimization r10, tools/exp_materialize.py): q_emb_pq_adc
+    3.37 -> 2.83 s, q_emb_ivfpq_adc 5.2 -> 4.6 s, q_theta_setops
+    3.1 -> 2.6 s, q_bfs_levels 2.85 -> 2.61 s — identical rows everywhere.
+
+    NOT a drop-in replacement for ``eager_checkpoint``:
+
+    * tight per-round loop state loses (per-write commit overhead —
+      q_kcore_peel flat-to-worse, q_emb_graph_ann's beam 3.5 -> 5.8 s);
+    * a materialized table feeding compute-heavy map work loses the
+      checkpoint's preserved partition count to read-back split packing
+      (q_mutual_knn_pairs / q_emb_matryoshka coded: mat slower);
+    * results consumed from a still-warm ``.cache()`` keep the checkpoint
+      (q_dedup_clusters: mat slower).
+
+    Use it for ONE-SHOT trained/shared intermediates whose consumers are
+    shuffle-bound or broadcast-tiny.  Files land under the checkpoint
+    dir keyed by applicationId ("local-..." prefix), so the session
+    factory's startup prune bounds the on-disk footprint exactly as it
+    does for foreign-session checkpoint leftovers."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        sc.setCheckpointDir(os.path.join(
+            repo_root, "spark-warehouse", "_checkpoints", sc.applicationId))
+    base = sc._jsc.sc().getCheckpointDir().get()
+    path = os.path.join(base, f"{sc.applicationId}_mat", f"m{next(_MAT_N)}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.schema(df.schema).parquet(path)
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:

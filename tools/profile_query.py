@@ -7,7 +7,12 @@ Usage:
 Times each named query with ``.count()`` (the bench's action) and, with
 ``--noop``, also with the noop sink (guide §1.4: computes every column).
 Writes ``<plans-dir>/<query>_<tag>.txt`` with ``explain('formatted')``
-when ``--plans-dir`` is given.  Prints one line per (query, action, run).
+when ``--plans-dir`` is given — captured AFTER an action has run, so AQE
+shows the FINAL plan (isFinalPlan=true: AQEShuffleRead coalescing, runtime
+join rewrites, ReusedExchange) rather than the static initial plan (r9
+VERDICT item 9).  Refuses to overwrite an existing capture unless --force
+is given (ADVICE r9: a forgotten --tag silently destroyed before-plans).
+Prints one line per (query, action, run).
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans-dir", default=None)
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--force", action="store_true",
+                    help="overwrite an existing <query>_<tag>.txt capture")
     args = ap.parse_args()
 
     from flink_estimator_spark.plans import QUERIES
@@ -49,13 +56,22 @@ def main() -> int:
         spark.sparkContext.setJobDescription(name)
         if args.plans_dir:
             os.makedirs(args.plans_dir, exist_ok=True)
+            out_path = os.path.join(args.plans_dir, f"{name}_{args.tag}.txt")
+            if os.path.exists(out_path) and not args.force:
+                print(f"REFUSE {name}: {out_path} exists (pass --force)")
+                continue
             df = spec.builder(spark, SF_DIR)
+            # run an action on THIS DataFrame's own queryExecution first so
+            # explain() shows the AQE FINAL plan (isFinalPlan=true with
+            # AQEShuffleRead / runtime join rewrites / ReusedExchange) —
+            # .count() would execute a separate aggregate plan and leave
+            # df's own AdaptiveSparkPlan unexecuted
+            df.collect()
+            spark.catalog.clearCache()
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(
-                os.path.join(args.plans_dir, f"{name}_{args.tag}.txt"), "w"
-            ) as fh:
+            with open(out_path, "w") as fh:
                 fh.write(buf.getvalue())
         for _ in range(args.runs):
             t0 = time.perf_counter()
