@@ -86,12 +86,11 @@ def _sub_d2(varr, carr):
     floor((v-c)^2 * 1e12) BIGINT terms the join+agg form summed.
 
     Malformed input fails LOUD (ADVICE r9): a varr/carr length mismatch
-    raises instead of zip_with padding with NULL — a NULL d2 would
-    otherwise sort FIRST under the ascending argmin window and silently
-    assign a corrupt vector to an arbitrary cluster.  (A NULL *component*
-    inside equal-length arrays still propagates to a NULL d2; the argmin
-    windows order d2 nulls LAST — DuckDB's ASC default — so such a vector
-    can never win rank 1.)"""
+    raises instead of zip_with padding with NULL, and a NULL component
+    inside equal-length arrays (which would propagate to a NULL d2 and
+    silently win or lose the downstream argmin depending on null-sort
+    placement) raises too — corrupt vectors fail the job instead of being
+    assigned to an arbitrary cluster."""
     agg = F.aggregate(
         F.zip_with(
             varr, carr, lambda x, y: F.floor((x - y) * (x - y) * F.lit(_T12)).cast("bigint")
@@ -99,8 +98,18 @@ def _sub_d2(varr, carr):
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return F.when(F.size(varr) == F.size(carr), agg).otherwise(
-        F.raise_error(F.lit("_sub_d2: component-array length mismatch"))
+    return F.when(
+        F.size(varr) == F.size(carr),
+        F.coalesce(
+            agg,
+            F.raise_error(F.lit("_sub_d2: NULL component in input arrays")).cast(
+                "bigint"
+            ),
+        ),
+    ).otherwise(
+        F.raise_error(F.lit("_sub_d2: component-array length mismatch")).cast(
+            "bigint"
+        )
     )
 
 
@@ -476,16 +485,36 @@ def q_emb_ivfpq_adc(spark, sf_dir):
         .join(F.broadcast(cpacked))
         .select("vec_id", "clabel", _sub_d2(F.col("varr"), F.col("carr")).alias("d2"))
     )
-    w_c = W.partitionBy("vec_id").orderBy(F.col("d2").asc_nulls_last(), "clabel")
-    crk = cd.withColumn("rk", F.row_number().over(w_c))
-    cassign = crk.filter(F.col("rk") == 1).select(
-        "vec_id", F.col("clabel").alias("cluster")
+    # top-nprobe clusters per vector IN-ARRAY, not via a rank window: cd
+    # inherits e's spread partitioning (hash vec_id), so the per-vector
+    # collect aggregates with ZERO exchange and no corpus x C sort; the
+    # array_sort of (d2, clabel) structs is the same (d2, clabel) ascending
+    # tie-break the window ordered by (nulls-last equivalent: _sub_d2
+    # raises on malformed input, see its guard).  One materialization then
+    # serves BOTH consumers — the r9 plan recomputed the whole
+    # BNLJ+fold+window subtree once for the assignment and once for the
+    # probe side (two Window(corpus x C) passes in the captured final
+    # plan); the topc write is corpus rows of (vec_id, 3 structs).
+    topc = materialize(
+        cd.groupBy("vec_id").agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("d2", "clabel"))),
+                1,
+                _IVF_NPROBE,
+            ).alias("cl")
+        )
     )
-    probe = crk.filter(
-        (F.col("rk") <= _IVF_NPROBE) & (F.col("vec_id") < _PQ_NQ)
-    ).select(F.col("vec_id").alias("qid"), F.col("clabel").alias("cluster"))
+    cassign = topc.select(
+        "vec_id", F.element_at("cl", 1)["clabel"].alias("cluster")
+    )
+    probe = (
+        topc.filter(F.col("vec_id") < _PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), F.explode("cl").alias("c"))
+        .select("qid", F.col("c")["clabel"].alias("cluster"))
+    )
     cands = (
-        probe.join(cassign.withColumnRenamed("vec_id", "cand_id"), "cluster")
+        F.broadcast(probe)
+        .join(cassign.withColumnRenamed("vec_id", "cand_id"), "cluster")
         .filter(F.col("cand_id") != F.col("qid"))
         .select("qid", "cand_id")
     )
@@ -499,8 +528,14 @@ def q_emb_ivfpq_adc(spark, sf_dir):
         .groupBy(F.col("vec_id").alias("qid"), "sub", "code")
         .agg(F.sum(term).alias("d2"))
     )
+    # broadcast the candidate list into the code-table probe: cands is
+    # bounded by Q x nprobe x |probed list| (the whole point of IVF),
+    # while shuffling the corpus-sized code table for a sort-merge join
+    # on cand_id costs an exchange + sort per side (the captured r9 final
+    # plan shows exactly that SMJ)
     adc = (
-        cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        F.broadcast(cands)
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .join(F.broadcast(lut), ["qid", "sub", "code"])
         .groupBy("qid", "cand_id")
         .agg(F.sum("d2").cast("bigint").alias("adc_d2"))

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..plans._helpers import eager_checkpoint, spread, t
+from ..plans._helpers import eager_checkpoint, materialize, spread, t
 from ..plans.registry import query
 
 
@@ -2386,8 +2386,12 @@ def q_emb_graph_ann(spark, sf_dir):
     truth = brute.withColumn(
         "true_rk", F.row_number().over(wq).cast("long")
     ).select("query_id", F.col("node").alias("neighbor_id"), "true_rk")
+    # broadcast the <= Q*K-row beam result into the corpus-sized truth
+    # ranking instead of re-shuffling truth on (query_id, neighbor_id)
+    # after its query-partitioned window (optimization r10: one exchange +
+    # sort over corpus x Q rows removed; the build side is 50 rows)
     return (
-        finals.join(truth, ["query_id", "neighbor_id"])
+        truth.join(F.broadcast(finals), ["query_id", "neighbor_id"])
         .select(
             "query_id",
             "rk",
@@ -2647,26 +2651,33 @@ def q_mutual_knn_pairs(spark, sf_dir):
     a_ = assign.select("cid", F.col("vec_id").alias("src"), F.col("code").alias("acode"))
     b_ = assign.select("cid", F.col("vec_id").alias("dst"), F.col("code").alias("bcode"))
     wkn = W.partitionBy("src").orderBy("d2", "dst")
-    knn = (
+    # the kNN edge relation feeds the mutuality join from BOTH directions,
+    # whose exchanges hash on opposite key orders ((src,dst) vs (dst,src))
+    # and so can never unify under ReusedExchange — without a
+    # materialization the whole sum(|cluster|^2) scoring join executes
+    # TWICE (optimization r10; same dup the ivfpq coarse pass had).  The
+    # write is the <= corpus*M edge list; read-back feeds only cheap
+    # joins, so the checkpoint's preserved partitioning buys nothing.
+    knn = materialize(
         a_.join(b_, "cid")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", qd(F.col("acode"), F.col("bcode")).alias("d2"))
-        .withColumn("rk", F.row_number().over(wkn))
+        .withColumn("rk", F.row_number().over(wkn).cast("bigint"))
         .filter(F.col("rk") <= m)
     )
     fwd = knn.select(
         F.col("src").alias("id_a"),
         F.col("dst").alias("id_b"),
         F.col("d2").alias("dist_sq"),
-        F.col("rk").cast("bigint").alias("rk_ab"),
+        F.col("rk").alias("rk_ab"),
     )
     rev = knn.select(
         F.col("dst").alias("id_a"),
         F.col("src").alias("id_b"),
-        F.col("rk").cast("bigint").alias("rk_ba"),
+        F.col("rk").alias("rk_ba"),
     )
     return (
-        fwd.join(rev, ["id_a", "id_b"])
+        fwd.join(F.broadcast(rev), ["id_a", "id_b"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "dist_sq", "rk_ab", "rk_ba")
         .orderBy("id_a", "id_b")

@@ -454,7 +454,16 @@ def q_stream_count_runtime(spark, sf_dir):
     runtime queries can't give.  The value sum stays out of the
     projection: the processor's half-even micro-unit rounding is the
     batch-shadow contract (tests/test_streaming.py), not a cross-engine
-    one."""
+    one.
+
+    State partitions: this gate's cost is per-GROUP Python dispatch (a
+    trivial pandas call per user), not state-store setup, so it wants as
+    many parallel Python workers as the session has — sized from
+    shuffle.partitions (tracks $SPARK_GRAFT_CPUS), not the shared 4-store
+    default (optimization r10 sweep at sf0.1: 4 -> 3.6-3.9 s,
+    8 -> 2.6-3.1, 16 -> 2.2, 32 -> 2.0 s warm; the TWS gates measured the
+    OPPOSITE — state-server RPC per store dominates, 32 stores 5.3-5.7 s
+    vs 3.8 s at 4 — and the legacy topn gate is flat; both keep 4)."""
     from ..streaming.stateful import count_window
 
     batches, schema = _run_bounded_stream(
@@ -464,6 +473,7 @@ def q_stream_count_runtime(spark, sf_dir):
             "user_id", "win_id", "n", "first_event", "last_event"
         ),
         output_mode="append",
+        state_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
     # Oracle-parity precondition (ADVICE r5): count_window orders by
     # (ts, event_id) only WITHIN a micro-batch, while the oracle's
