@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans._helpers import eager_checkpoint, spread, t
+from ..plans._helpers import eager_checkpoint, materialize, spread, t
 from ..plans.registry import query
 from .textstats import fingerprint
 
@@ -902,21 +902,28 @@ def q_simhash_recall(spark, sf_dir):
     the production contiguous banding (wrong shift/mask/width) would make
     the two candidate sets disagree and fail the left-anti check."""
     d = t(spark, sf_dir, "documents")
-    # one simhash pass feeds both banding layouts; unpinned — the shared
-    # token-explode Exchange is ReusedExchange'd inside the single action
-    # (measured 3.33 s unpinned vs 3.88 s checkpointed at sf0.1)
-    sig = simhash(d)
-    close = _interleaved_close_pairs(spread(sig, "doc_id"))
+    # ONE simhash pass feeds both banding layouts through a single-job
+    # materialize: the 48-sum fingerprint aggregate sits above the spread
+    # exchange with no exchange of its own (partitioning preserved), so
+    # ReusedExchange could never dedup it and the unpinned form evaluated
+    # it once per join side — 4x per run (optimization r10; the r9 pin
+    # only measured the 2-job eager_checkpoint, which lost: 3.33 unpinned
+    # vs 3.88 checkpointed; the 1-job materialize wins the same A/B
+    # 2.6 -> 2.5 s warm on a quiet box, identical rows).  The read-back is
+    # doc-count rows, already multi-file, so no re-spread is needed.
+    sig = materialize(simhash(d))
+    close = _interleaved_close_pairs(sig)
     cand = simhash_candidates(d, sig=sig).select(
         "id_a", "id_b", F.lit(1).alias("hit")
     )
     missed = close.join(cand, ["id_a", "id_b"], "left_anti")
-    n_docs = d.count()
+    # fold the doc count into the result plan (one action, not two)
     return (
         missed.agg(F.count("*").alias("n_missed"))
+        .crossJoin(d.agg(F.count("*").cast("long").alias("n_docs")))
         .select(
             F.lit("simhash_pigeonhole").alias("method"),
-            F.lit(n_docs).cast("long").alias("n_docs"),
+            "n_docs",
             (F.col("n_missed") == 0).alias("pigeonhole_ok"),
         )
     )
