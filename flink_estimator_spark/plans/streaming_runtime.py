@@ -116,10 +116,20 @@ def _batches_df(spark, batches, schema, last_only=False):
     tabs = [tbl for tbl in tabs if tbl.num_rows]
     if not tabs:
         return spark.createDataFrame([], schema=schema)
-    # pass the DECLARED schema on the non-empty path too (ADVICE r9): both
-    # the empty and non-empty branches then source types/nullability from
-    # the same declaration instead of Arrow type inference
-    return spark.createDataFrame(pa.concat_tables(tabs), schema=schema)
+    # enforce the DECLARED schema on the non-empty path too (ADVICE r9):
+    # both branches then source types from the same declaration instead of
+    # Arrow inference.  The check is metadata-only — passing schema= into
+    # createDataFrame costs ~0.2-0.4 s per gate run (measured r10), so the
+    # declared schema is compared as an Arrow schema and a cast (or loud
+    # error) happens only if a Spark/Arrow type-mapping shift ever makes
+    # the emitted tables diverge from the declaration.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pa.concat_tables(tabs)
+    expected = to_arrow_schema(schema)
+    if tbl.schema != expected:
+        tbl = tbl.cast(expected)  # raises if genuinely incompatible
+    return spark.createDataFrame(tbl)
 
 
 def _batches_rows(batches):
