@@ -77,16 +77,24 @@ def get_spark(
         # (on a cluster this would be an HDFS/S3 path)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ckpt_root = os.path.join(repo_root, "spark-warehouse", "_checkpoints")
-        # Foreign sessions (the driver gate) lack the cleanCheckpoints
-        # cleaner, so eager_checkpoint parks their files under
-        # _checkpoints/<applicationId> (plans/_helpers.py).  Those sessions
-        # never run concurrently with a factory session — prune their
-        # leftovers here so the disk footprint is bounded (ADVICE r4).
+        # Prune checkpoint leftovers so the disk footprint is bounded
+        # (ADVICE r4): foreign-session subtrees (_checkpoints/<appId>),
+        # materialize() parquet dirs (<appId>_mat), and the UUID dirs RDD
+        # checkpointing creates when a process exits before the
+        # referenceTracking cleaner runs.  Age-guarded (r10): a fixed
+        # 3-hour threshold instead of name-prefix matching, so a starting
+        # session can never delete files a CONCURRENT session (bench +
+        # pytest on one box) is still reading.
         import shutil
+        import time
         if os.path.isdir(ckpt_root):
+            cutoff = time.time() - 3 * 3600
             for sub in os.listdir(ckpt_root):
-                if sub.startswith(("local-", "app-")):
-                    shutil.rmtree(os.path.join(ckpt_root, sub),
-                                  ignore_errors=True)
+                p = os.path.join(ckpt_root, sub)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         spark.sparkContext.setCheckpointDir(ckpt_root)
     return spark
